@@ -1,38 +1,46 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Delegates to the engine package: every operator from SURVEY.md §2 (plus
+the BASELINE.json extension surface) is a registered query in
+``etl_sprint_2_5_spark.plans`` with a matching DuckDB oracle.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from etl_sprint_2_5_spark import plans  # noqa: E402
+
+plans.load_all()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the gold-document
+    denormalization shape (J3/A1/W3/W4 composite) with true nested
+    array<struct> output — fact left-joined to pre-aggregated bridge⨝dim
+    children, sorted, limited (daemon.py:160-196 semantics)."""
+    from etl_sprint_2_5_spark.pipeline.gold import order_documents
+
+    return order_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator query (SURVEY.md §2 +
+    extensions). Each callable takes (spark, sf_dir) → DataFrame."""
+    return {name: q.fn for name, q in plans.REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-runnable ANSI SQL per query; omitted entries are the
+    documented non-SQL-expressible ops (rows-only check)."""
+    return {
+        name: q.oracle for name, q in plans.REGISTRY.items() if q.oracle is not None
+    }

@@ -1,0 +1,70 @@
+"""Text expression helpers shared by dedup / text-analysis / full-text
+operators (SURVEY.md §2.7 F11 and the BASELINE.json extension surface).
+
+Everything is a Column expression over built-ins — tokenization,
+shingling, and hashing all run JVM-side. Cross-engine determinism
+matters (the DuckDB oracle recomputes the same values), so hashing is
+md5-hex based: both engines produce identical lowercase hex for
+identical UTF-8 input, and lexicographic MIN over hex strings is a
+valid uniform MinHash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"[^a-z0-9]+"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Lowercase + collapse non-alphanumerics to single spaces + trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), TOKEN_SPLIT_RE, " "))
+
+
+def tokenize(col: Column | str) -> Column:
+    """Normalized word tokens (array<string>, no empties)."""
+    return F.filter(
+        F.split(normalize_text(col), " "), lambda t: F.length(t) > 0
+    )
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """n-word shingles as space-joined strings.
+
+    Built with transform over token indexes (JVM-side, no UDF):
+    shingle_i = tokens[i..i+n-1] joined by space.
+    """
+    toks = tokenize(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+
+
+def char_ngrams(col: Column | str, n: int = 4) -> Column:
+    """Character n-grams of the normalized text (for language-ID style
+    heuristics and n-gram Jaccard)."""
+    norm = normalize_text(col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+        lambda i: norm.substr(i, F.lit(n)),
+    )
+
+
+def hash_bucket(col: Column | str, seed: int, buckets: int) -> Column:
+    """Deterministic cross-engine bucket id: first 8 md5-hex chars of
+    ``seed:value`` parsed base-16, mod buckets."""
+    c = F.col(col) if isinstance(col, str) else col
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), c)), 1, 8), 16, 10)
+    return (h.cast("long") % buckets).alias("bucket")
+
+
+def minhash_hex(shingles: Column, seed: int) -> Column:
+    """One MinHash band value: lexicographic min of md5-hex of each
+    seeded shingle. A string min over uniform hex hashes is an
+    order-statistic MinHash — identical in Spark and ANSI SQL."""
+    return F.array_min(
+        F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )

@@ -1,0 +1,119 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every query in __spark_entry__.queries() at sf0.01 via Spark AND
+its oracle_sql() via DuckDB, then compares: row count, column names,
+and order-insensitive values (columns sorted by name, rows sorted,
+floats compared exactly after both sides' ROUND).
+
+Usage: python tools/verify_local.py [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def duck_connect() -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return con
+
+
+def normalize(df) -> list[tuple]:
+    """Columns sorted by name, rows sorted by string repr."""
+    cols = sorted(df.columns)
+    df = df[cols]
+    rows = []
+    for row in df.itertuples(index=False):
+        rows.append(tuple(_norm_val(v) for v in row))
+    return sorted(rows, key=repr), cols
+
+
+def _norm_val(v):
+    import math
+
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # kill -0.0 and representation jitter after upstream rounding
+        return round(v, 9) + 0.0
+    return v
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from etl_sprint_2_5_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark("verify_local")
+    con = duck_connect()
+    qs = e.queries()
+    oracles = e.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: spark error: {ex}")
+            continue
+        if name not in oracles:
+            print(f"rows  {name}: {len(sdf)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            odf = con.execute(oracles[name]).fetchdf()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL  {name}: duckdb error: {ex}")
+            continue
+        srows, scols = normalize(sdf)
+        orows, ocols = normalize(odf)
+        status = []
+        if scols != ocols:
+            status.append(f"cols spark={scols} oracle={ocols}")
+        if len(srows) != len(orows):
+            status.append(f"rowcount spark={len(srows)} oracle={len(orows)}")
+        elif scols == ocols and srows != orows:
+            n_bad = sum(1 for a, b in zip(srows, orows) if a != b)
+            diff = next((a, b) for a, b in zip(srows, orows) if a != b)
+            status.append(f"values differ ({n_bad}/{len(srows)} rows), first: spark={diff[0]} oracle={diff[1]}")
+        if status:
+            failures.append(name)
+            print(f"FAIL  {name}: {'; '.join(status)}")
+        else:
+            print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+    if not only:
+        try:
+            res = e.entry(spark)
+            n = res.count()
+            print(f"OK    entry(): {n} rows, schema: {[f.name for f in res.schema.fields]}")
+        except Exception as ex:  # noqa: BLE001
+            failures.append("entry")
+            print(f"FAIL  entry(): {ex}")
+    print(f"\n{'ALL GREEN' if not failures else 'FAILURES: ' + ', '.join(failures)}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

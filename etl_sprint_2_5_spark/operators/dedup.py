@@ -1,0 +1,236 @@
+"""Document deduplication operators — the BASELINE.json extension
+surface for large-scale training-data pipelines.
+
+Five dedup families, each designed for the 100 TB shape of the
+problem (never all-pairs over the corpus):
+
+- exact: hash-groupBy on a normalized fingerprint (one shuffle).
+- fingerprint (key collision): same, over the sorted distinct token
+  set — catches token-permuted copies.
+- MinHash + LSH: per-doc signature computed with array expressions
+  (zero shuffle), banded, candidates found by an equi-join on
+  (band, band_key) — the only shuffle is on the band key, and each
+  band bucket is tiny. Candidates are then verified with exact
+  Jaccard via array_intersect (no second explode).
+- SimHash: 32-bit signature via an in-array left fold (F.aggregate +
+  zip_with — whole-stage codegen, no explode, no shuffle until the
+  final grouping).
+- embedding cosine: blocked by a coarse key (label / IVF cell) so the
+  pair space is per-block, then exact cosine on double precision.
+
+Cross-engine determinism: all hashing is md5-hex (identical in Spark
+and DuckDB); MinHash uses the lexicographic MIN of seeded md5 hex
+strings, which is a valid order-statistic MinHash and needs no
+int conversion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.functions.text import (
+    minhash_hex,
+    normalize_text,
+    tokenize,
+    word_shingles,
+)
+
+SIMHASH_BITS = 32
+HIGH_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact dedup on normalized text: one hash-groupBy.
+
+    Output: fingerprint, keeper (min id), n_docs, member ids sorted
+    and comma-joined. At scale this is a single shuffle on a 32-byte
+    key with map-side partial aggregation.
+    """
+    return (
+        df.select(
+            F.md5(normalize_text(text_col)).alias("fingerprint"),
+            F.col(id_col).cast("string").alias("_id"),
+        )
+        .groupBy("fingerprint")
+        .agg(
+            F.min(F.col("_id").cast("long")).alias("keeper"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(F.array_sort(F.collect_list("_id")), ",").alias("member_ids"),
+        )
+    )
+
+
+def token_fingerprint(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Key-collision fingerprint: md5 of the sorted distinct token set
+    (catches reordered/duplicated-token copies)."""
+    toks = tokenize(text_col)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias(
+            "fingerprint"
+        ),
+    )
+
+
+def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """Per-doc distinct n-word shingle set (array column, no shuffle)."""
+    return df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, n)).alias("shingles"),
+    )
+
+
+def minhash_signature(shingled: DataFrame, num_hashes: int = 12) -> DataFrame:
+    """MinHash signature as array<string> of length num_hashes —
+    computed entirely with array expressions per row."""
+    sig = F.array(*[minhash_hex(F.col("shingles"), s) for s in range(num_hashes)])
+    return shingled.withColumn("sig", sig)
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame,
+    id_col: str,
+    num_hashes: int = 12,
+    rows_per_band: int = 3,
+) -> DataFrame:
+    """Band the signature and self-join on (band, band_key).
+
+    Each band key is md5 of its signature slice; the join shuffles on
+    the band key only — bucket sizes stay tiny even at corpus scale,
+    which is the whole point of LSH banding.
+    """
+    n_bands = num_hashes // rows_per_band
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = signed.select(
+        F.col(id_col), F.posexplode(bands).alias("band", "band_key")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    shingled: DataFrame,
+    id_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via array_intersect (the
+    verify step of MinHash-LSH; candidates ≪ corpus²)."""
+    sa = shingled.select(
+        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(inter.cast("double") / union, 4).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def _simhash_token_bits(tok: Column) -> Column:
+    """±1 vector (length SIMHASH_BITS) from the md5 nibbles of a token:
+    bit i is the high bit of hex digit i."""
+    h = F.md5(tok)
+    return F.transform(
+        F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
+        lambda i: F.when(h.substr(i, F.lit(1)).isin(*HIGH_NIBBLES), 1).otherwise(-1),
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """32-bit SimHash as a bit string, via an in-array left fold:
+    aggregate(tokens, zeros, (acc, t) -> zip_with(acc, bits(t), +)).
+
+    Stays in whole-stage codegen — no explode, no shuffle, no UDF.
+    """
+    toks = F.array_distinct(tokenize(text_col))
+    sums = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0), SIMHASH_BITS),
+        lambda acc, t: F.zip_with(acc, _simhash_token_bits(t), lambda a, b: a + b),
+    )
+    bitstr = F.array_join(
+        F.transform(sums, lambda s: F.when(s >= 0, "1").otherwise("0")), ""
+    )
+    return df.select(F.col(id_col), bitstr.alias("simhash"))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity of two array<float> columns in double
+    precision, as an in-order left fold (deterministic summation order
+    — matches the DuckDB oracle bit-for-bit)."""
+    da = F.transform(a, lambda x: x.cast("double"))
+    db = F.transform(b, lambda x: x.cast("double"))
+    dot = F.aggregate(
+        F.zip_with(da, db, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    na = F.sqrt(
+        F.aggregate(F.transform(da, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    nb = F.sqrt(
+        F.aggregate(F.transform(db, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    )
+    return dot / (na * nb)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    block_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Blocked cosine near-dup pairs: all-pairs only WITHIN a block
+    (label / IVF cell / LSH bucket), never corpus-wide.
+
+    The self-join shuffles both sides on the block key; pair explosion
+    is bounded per block. Output: id_a, id_b, cos (rounded)."""
+    left = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+    )
+    right = df.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+    )
+    return (
+        left.join(right, "_blk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

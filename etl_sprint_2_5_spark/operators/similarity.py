@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns — BASELINE.json extension.
+
+Two strategies:
+
+- brute-force top-k: exact cosine of Q query vectors (broadcast)
+  against the full corpus, per-query top-k by partitioned row_number.
+  Cost O(Q·N) — the correctness baseline and fine when Q is small.
+- IVF (inverted file): a fixed set of centroid vectors partitions the
+  corpus into cells (one broadcast join at build); a query probes
+  only its nearest cell(s). Cost O(Q·C + Q·N/C) — the scale path:
+  at 100 TB the cell assignment is a write-time partitioning column
+  and probing prunes partitions instead of scanning the corpus.
+
+Determinism contract (shared with the DuckDB oracle): ranking uses
+round(cos, 6) DESC with the candidate id as tiebreak, so ordering
+never depends on sub-round float noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.operators.dedup import cosine
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """Exact top-k neighbors per query vector (self excluded).
+
+    queries is broadcast (small side); the corpus is never shuffled —
+    scoring is map-side, only the per-query top-k ranking shuffles on
+    query_id."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
+def assign_cells(
+    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """IVF build: nearest-centroid assignment via one broadcast join +
+    per-vector argmax (round(cos,6) DESC, centroid_id ASC tiebreak)."""
+    cent = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cev")
+    )
+    scored = corpus.join(F.broadcast(cent)).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col("centroid_id"),
+        F.round(cosine(F.col(vec_col), F.col("_cev")), 6).alias("_cc"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("_cc"), F.asc("centroid_id"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus_cells: DataFrame,
+    queries_cells: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """IVF probe: per query, search only vectors sharing its cell.
+
+    Both sides carry a ``centroid_id`` column from assign_cells; the
+    join key is the cell — at scale this is a partition-pruned scan,
+    not a corpus pass."""
+    q = queries_cells.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        "centroid_id",
+    )
+    c = corpus_cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        "centroid_id",
+    )
+    scored = (
+        c.join(F.broadcast(q), "centroid_id")
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )

@@ -1,1 +1,244 @@
-"""Placeholder — populated in this round."""
+"""Deduplication queries over the documents/embeddings tables, each
+with an exact DuckDB oracle (the oracle replicates the same md5-based
+signatures, so even MinHash/SimHash are hash-verified, not rows-only).
+
+Shared normalization contract (both engines, identical):
+  tokens(text)  = non-empty pieces of lower(text) with [^a-z0-9]+ → ' '
+  shingles(text)= distinct 3-word shingles of tokens
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.operators.dedup import (
+    embedding_near_dups,
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signature,
+    shingle_sets,
+    simhash,
+    token_fingerprint,
+    verify_jaccard,
+)
+from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.sources.parquet import load_table
+
+# DuckDB fragments mirroring functions/text.py exactly.
+_DUCK_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text),"
+    "'[^a-z0-9]+', ' ', 'g')), ' '), t -> len(t) > 0)"
+)
+_DUCK_SHINGLES = (
+    "list_distinct(list_transform(generate_series(0, greatest(len(tk) - 3, 0)),"
+    " i -> array_to_string(tk[i+1:i+3], ' ')))"
+)
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS fingerprint
+      FROM documents
+    )
+    SELECT fingerprint,
+           min(doc_id)                                             AS keeper,
+           count(*)                                                AS n_docs,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id::VARCHAR) AS member_ids
+    FROM fp
+    GROUP BY fingerprint
+    ORDER BY fingerprint
+    """,
+    covers=("X-dedup-exact", "A4", "U2"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 of normalized text, hash-groupBy, keeper=min id."""
+    d = load_table(spark, "documents", sf_dir)
+    return exact_dedup(d, "text", "doc_id").orderBy("fingerprint")
+
+
+@query(
+    "dedup_token_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    )
+    SELECT md5(array_to_string(list_sort(list_distinct(tk)), ' ')) AS fingerprint,
+           count(*)     AS n_docs,
+           min(doc_id)  AS keeper
+    FROM toks
+    GROUP BY fingerprint
+    HAVING count(*) > 1
+    ORDER BY fingerprint
+    """,
+    covers=("X-dedup-fingerprint",),
+)
+def dedup_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-collision fingerprint dedup: groups whose sorted distinct
+    token sets are identical (catches shuffled/duplicated tokens)."""
+    d = load_table(spark, "documents", sf_dir)
+    fp = token_fingerprint(d, "text", "doc_id")
+    return (
+        fp.groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
+        .where(F.col("n_docs") > 1)
+        .orderBy("fingerprint")
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM toks
+    ), mh AS (                        -- minhash: per (doc, seed) min md5
+      SELECT doc_id, seed,
+             list_min(list_transform(shingles, s -> md5(seed::VARCHAR || ':' || s))) AS minh
+      FROM sh, unnest(generate_series(0, 11)) AS t(seed)
+    ), bands AS (                     -- 4 bands x 3 rows
+      SELECT doc_id, seed // 3 AS band,
+             md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+      FROM mh GROUP BY doc_id, seed // 3
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+                 (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+                (len(sa.shingles) + len(sb.shingles)
+                 - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    covers=("X-dedup-minhash",),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(12 hashes) + LSH(4 bands × 3) + exact-Jaccard verify.
+
+    Signature is pure array math per row; the only shuffles are the
+    band-key equi-join and the final pair verify — the linear-cost
+    near-dup pattern that survives corpus scale."""
+    d = load_table(spark, "documents", sf_dir)
+    shingled = shingle_sets(d, "text", "doc_id")
+    signed = minhash_signature(shingled, num_hashes=12)
+    pairs = lsh_candidate_pairs(signed, "doc_id", num_hashes=12, rows_per_band=3)
+    return verify_jaccard(pairs, shingled, "doc_id", threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_DUCK_TOKS}) AS tk FROM documents
+    )
+    SELECT doc_id,
+           array_to_string(list_transform(generate_series(1, 32), i ->
+             CASE WHEN list_aggregate(list_transform(tk, t ->
+                    CASE WHEN substring(md5(t), i, 1) IN
+                         ('8','9','a','b','c','d','e','f')
+                    THEN 1 ELSE -1 END), 'sum') >= 0
+             THEN '1' ELSE '0' END), '') AS simhash
+    FROM toks
+    ORDER BY doc_id
+    """,
+    covers=("X-dedup-simhash",),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash signature per document (md5-nibble bit votes),
+    computed as an in-array fold — verified bit-for-bit by the oracle."""
+    d = load_table(spark, "documents", sf_dir)
+    return simhash(d, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM toks
+    ), ex AS (
+      SELECT doc_id, unnest(shingles) AS s FROM sh
+    ), co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter::DOUBLE / (la.n + lb.n - inter), 4) AS jaccard
+    FROM co
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) la ON la.doc_id = co.id_a
+    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) lb ON lb.doc_id = co.id_b
+    WHERE round(inter::DOUBLE / (la.n + lb.n - inter), 4) >= 0.5
+    ORDER BY id_a, id_b
+    """,
+    covers=("X-dedup-ngram",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard WITHOUT LSH: inverted-index self-join on shared
+    shingles (only co-occurring pairs are scored — no all-pairs scan),
+    then exact Jaccard from co-occurrence counts."""
+    d = load_table(spark, "documents", sf_dir)
+    sh = shingle_sets(d, "text", "doc_id")
+    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    co = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    la = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
+    lb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        co.join(la, "id_a")
+        .join(lb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle="""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                        b.embedding::DOUBLE[]), 6) AS cos
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                       b.embedding::DOUBLE[]), 6) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    covers=("X-dedup-cosine",),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, blocked by label (the coarse-cluster
+    key) — all-pairs only within a block, cosine in double precision."""
+    e = load_table(spark, "embeddings", sf_dir)
+    return embedding_near_dups(
+        e, "vec_id", "embedding", "label", threshold=0.4
+    ).orderBy("id_a", "id_b")

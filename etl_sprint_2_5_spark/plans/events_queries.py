@@ -1,1 +1,165 @@
-"""Placeholder — populated in this round."""
+"""Event-stream queries — the batch-checkable faces of the streaming
+surface (SURVEY.md §2.8). The same logic runs under Structured
+Streaming in etl_sprint_2_5_spark/streaming/ (watermarks, triggers);
+here each is expressed over the static events table so the DuckDB
+oracle can verify the semantics exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.sources.parquet import load_table
+
+SESSION_GAP_MIN = 30
+
+
+@query(
+    "tumbling_window_agg",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           count(*)                AS n_events,
+           round(sum(value), 2)    AS total_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY window_start_us, event_type
+    """,
+    covers=("T1", "X-stream-window"),
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time window aggregation — the
+    Spark-native generalization of the daemon's poll cycle (T1).
+    Streaming twin: streaming/windows.py with a watermark."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+            "n_users",
+        )
+        .orderBy("window_start_us", "event_type")
+    )
+
+
+@query(
+    "session_windows",
+    oracle=f"""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '{SESSION_GAP_MIN} minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_session,
+             event_id
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM gaps
+    )
+    SELECT user_id, session_seq,
+           epoch_us(min(ts))                          AS session_start_us,
+           count(*)                                   AS n_events,
+           round(sum(value), 2)                       AS total_value,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+    FROM sessions
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+    covers=("X-stream-session",),
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap, derived with
+    the gaps-and-islands pattern (lag → flag → running sum). The
+    streaming twin uses session_window()/applyInPandasWithState."""
+    ev = load_table(spark, "events", sf_dir)
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w_order).cast("long")
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60), 1).otherwise(0),
+    )
+    w_run = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sessions = flagged.withColumn("session_seq", F.sum("new_session").over(w_run))
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.unix_micros(F.min("ts")).alias("session_start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+            (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+                "duration_s"
+            ),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@query(
+    "stateful_event_dedup",
+    oracle="""
+    SELECT user_id, event_type,
+           min(event_id)  AS first_event_id,
+           epoch_us(min(ts)) AS first_ts_us,
+           count(*)       AS n_occurrences
+    FROM events
+    GROUP BY user_id, event_type
+    ORDER BY user_id, event_type
+    """,
+    covers=("T3", "X-stream-dedup"),
+)
+def stateful_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed first-occurrence dedup — the batch face of streaming
+    dropDuplicates-with-state (idempotent-upsert semantics T3: keep
+    the first event per (user, type), count the rest)."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.min("event_id").alias("first_event_id"),
+            F.unix_micros(F.min("ts")).alias("first_ts_us"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
+@query(
+    "late_data_rescan",
+    oracle="""
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+    FROM events
+    WHERE ts > TIMESTAMP '2024-01-20 00:00:00' - INTERVAL '15 minutes'
+      AND ts <= TIMESTAMP '2024-01-20 12:00:00'
+    ORDER BY ts, event_id
+    """,
+    covers=("T5",),
+)
+def late_data_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-style lateness tolerance: re-scan a slack window
+    behind the cursor (fixes the reference's backdated-updated_at
+    blind spot T5, daemon.py:110-117 — documented divergence)."""
+    ev = load_table(spark, "events", sf_dir)
+    cursor = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    upper = F.lit("2024-01-20 12:00:00").cast("timestamp")
+    slack = F.expr("INTERVAL 15 minutes")
+    return (
+        ev.where((F.col("ts") > cursor - slack) & (F.col("ts") <= upper))
+        .select("event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type")
+        .orderBy("ts", "event_id")
+    )

@@ -1,1 +1,99 @@
-"""Placeholder — populated in this round."""
+"""Similarity-search queries over the embeddings table, with exact
+DuckDB oracles (both strategies are fully deterministic — ranking on
+round(cos,6) with id tiebreak)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.operators.similarity import (
+    assign_cells,
+    brute_force_topk,
+    ivf_topk,
+)
+from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.sources.parquet import load_table
+
+_N_QUERIES = 8  # vec_id < 8 are the query vectors
+_K = 5
+_CENTROID_MOD = 100  # vec_id % 100 == 0 are the fixed IVF centroids
+
+_DUCK_COS = (
+    "round(list_cosine_similarity(a.embedding::DOUBLE[], "
+    "q.embedding::DOUBLE[]), 6)"
+)
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {_DUCK_COS} AS cos
+      FROM embeddings a, embeddings q
+      WHERE q.vec_id < {_N_QUERIES} AND a.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """,
+    covers=("X-ann-brute",),
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query set, score map-side,
+    rank per query. The O(Q·N) correctness baseline for ANN."""
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.where(F.col("vec_id") < _N_QUERIES)
+    return brute_force_topk(e, queries, "vec_id", "embedding", _K).orderBy(
+        "query_id", "rank"
+    )
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT vec_id AS centroid_id, embedding FROM embeddings
+      WHERE vec_id % {_CENTROID_MOD} = 0
+    ), assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT a.vec_id, a.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                   c.centroid_id) AS rn
+        FROM embeddings a, centroids c
+      ) WHERE rn = 1
+    ), scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {_DUCK_COS} AS cos
+      FROM assigned a JOIN assigned q ON a.centroid_id = q.centroid_id
+      WHERE q.vec_id < {_N_QUERIES} AND a.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """,
+    covers=("X-ann-ivf",),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: fixed centroids (vec_id % 100 == 0), nearest-
+    cell assignment at build, probe restricted to the query's cell —
+    the partition-pruned scale path (approximate by construction)."""
+    e = load_table(spark, "embeddings", sf_dir)
+    centroids = e.where(F.col("vec_id") % _CENTROID_MOD == 0)
+    assigned = assign_cells(e, centroids, "vec_id", "embedding")
+    q_cells = assigned.where(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(assigned, q_cells, "vec_id", "embedding", _K).orderBy(
+        "query_id", "rank"
+    )

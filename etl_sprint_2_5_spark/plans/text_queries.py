@@ -1,1 +1,185 @@
-"""Placeholder — populated in this round."""
+"""Text-analysis queries over the documents table with exact DuckDB
+oracles (same token contract as dedup_queries)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.operators.textops import (
+    LANG_MARKERS,
+    fulltext_score,
+    language_id,
+    quality_score,
+    token_stats,
+)
+from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.sources.parquet import load_table
+
+_DUCK_TOKS = (
+    "list_filter(string_split(trim(regexp_replace(lower(text),"
+    "'[^a-z0-9]+', ' ', 'g')), ' '), t -> len(t) > 0)"
+)
+
+
+def _duck_list(words: tuple[str, ...]) -> str:
+    inner = ", ".join(f"'{w}'" for w in words)
+    return f"[{inner}]"
+
+
+def _duck_hits(lg: str) -> str:
+    return (
+        f"len(list_filter(tk, t -> list_contains({_duck_list(LANG_MARKERS[lg])}, t)))"
+    )
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS tk FROM documents
+    )
+    SELECT source,
+           count(*)                                   AS n_docs,
+           sum(len(tk))                               AS total_tokens,
+           round(avg(len(tk)), 4)                     AS avg_tokens,
+           round(avg(len(list_distinct(tk))), 4)      AS avg_distinct,
+           sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS total_llm_tokens
+    FROM toks
+    GROUP BY source
+    ORDER BY source
+    """,
+    covers=("X-text-tokens",),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting rolled up per source (whitespace tokens +
+    chars/4 LLM-token heuristic)."""
+    d = load_table(spark, "documents", sf_dir)
+    stats = token_stats(d, "text", "doc_id").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        stats.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_distinct"), 4).alias("avg_distinct"),
+            F.sum("approx_llm_tokens").alias("total_llm_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_DUCK_TOKS} AS tk FROM documents
+    )
+    SELECT doc_id,
+           len(tk)                 AS n_tokens,
+           len(list_distinct(tk))  AS n_distinct,
+           round(0.4 * least(length(text) / 400.0, 1.0)
+               + 0.4 * (CASE WHEN len(tk) > 0
+                        THEN len(list_distinct(tk))::DOUBLE / len(tk)
+                        ELSE 0 END)
+               + 0.2 * (1 - (CASE WHEN len(tk) > 0
+                        THEN {_duck_hits('en')}::DOUBLE / len(tk)
+                        ELSE 0 END)), 4) AS quality
+    FROM toks
+    ORDER BY doc_id
+    """,
+    covers=("X-text-quality",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc composite quality score (length, diversity, stopword
+    density) — the training-data pre-filter."""
+    d = load_table(spark, "documents", sf_dir)
+    return quality_score(d, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_DUCK_TOKS} AS tk FROM documents
+    ), hits AS (
+      SELECT doc_id, lang,
+             {_duck_hits('de')} AS hits_de,
+             {_duck_hits('en')} AS hits_en,
+             {_duck_hits('es')} AS hits_es,
+             {_duck_hits('fr')} AS hits_fr
+      FROM toks
+    ), pred AS (
+      SELECT doc_id, lang,
+             CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+                  WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
+                  WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
+                  WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'
+                  ELSE 'fr' END AS pred_lang
+      FROM hits
+    )
+    SELECT lang, pred_lang, count(*) AS n
+    FROM pred
+    GROUP BY lang, pred_lang
+    ORDER BY lang, pred_lang
+    """,
+    covers=("X-text-langid",),
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID, reported as a label×prediction
+    confusion rollup."""
+    d = load_table(spark, "documents", sf_dir)
+    pred = language_id(d, "text", "doc_id").join(
+        d.select("doc_id", "lang"), "doc_id"
+    )
+    return (
+        pred.groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+@query(
+    "fulltext_search",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk,
+             list_filter(string_split(trim(regexp_replace(lower(source),
+               '[^a-z0-9]+', ' ', 'g')), ' '), t -> len(t) > 0) AS srctk
+      FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             round(3.0 * (len(list_filter(tk, t -> t = 'spark'))
+                        + len(list_filter(tk, t -> t = 'window'))
+                        + len(list_filter(tk, t -> t = 'merge')))
+                 + 1.0 * (len(list_filter(srctk, t -> t = 'spark'))
+                        + len(list_filter(srctk, t -> t = 'window'))
+                        + len(list_filter(srctk, t -> t = 'merge'))), 2) AS score
+      FROM toks
+    )
+    SELECT doc_id, score
+    FROM scored
+    WHERE score > 0
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """,
+    covers=("F12", "Q3", "F11"),
+)
+def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted multi-field full-text scoring (the ES multi_match
+    approximation, search_api/api.py:93-100): text boosted 3×,
+    source 1×, query 'spark window merge', top-20."""
+    d = load_table(spark, "documents", sf_dir)
+    scored = fulltext_score(
+        d,
+        "doc_id",
+        terms=("spark", "window", "merge"),
+        fields={"text": 3.0, "source": 1.0},
+    )
+    return (
+        scored.where(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+    )

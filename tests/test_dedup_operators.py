@@ -1,0 +1,68 @@
+"""Unit tests for dedup operators: LSH banding, in-bucket pair expansion,
+SimHash, Arrow cosine."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.operators import dedup as D
+
+
+def test_pairs_within_bucket(spark):
+    df = spark.createDataFrame([(["a", "b", "c"],)], "ids: array<string>")
+    got = df.select(D.pairs_within_bucket(F.col("ids")).alias("p")).first()["p"]
+    pairs = [(r["id_a"], r["id_b"]) for r in got]
+    assert pairs == [("a", "b"), ("a", "c"), ("b", "c")]
+
+
+def test_pairs_within_bucket_singleton_empty(spark):
+    df = spark.createDataFrame([(["a"],)], "ids: array<string>")
+    assert df.select(D.pairs_within_bucket(F.col("ids")).alias("p")).first()["p"] == []
+
+
+def _corpus(spark):
+    # two near-identical docs + one unrelated
+    rows = [
+        ("d1", "the quick brown fox jumps over the lazy dog again and again"),
+        ("d2", "the quick brown fox jumps over the lazy dog again and again today"),
+        ("d3", "completely different content about spark catalyst optimizer internals"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_lsh_finds_near_dup_pair(spark):
+    sh = D.shingle_sets(_corpus(spark), "text", "doc_id")
+    signed = D.minhash_signature(sh, num_hashes=12)
+    pairs = D.lsh_candidate_pairs(signed, "doc_id", num_hashes=12, rows_per_band=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("d1", "d2") in got
+    assert ("d1", "d3") not in got and ("d2", "d3") not in got
+
+
+def test_verify_jaccard_scores(spark):
+    sh = D.shingle_sets(_corpus(spark), "text", "doc_id")
+    pairs = spark.createDataFrame([("d1", "d2")], ["id_a", "id_b"])
+    out = D.verify_jaccard(pairs, sh, "doc_id", threshold=0.5).collect()
+    assert len(out) == 1 and out[0]["jaccard"] > 0.5
+
+
+def test_max_bucket_cap_drops_degenerate_keys(spark):
+    # 5 identical docs → every band bucket has 5 ids; cap of 4 kills all pairs
+    rows = [(f"d{i}", "same text everywhere repeated tokens here") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = D.shingle_sets(df, "text", "doc_id")
+    signed = D.minhash_signature(sh, num_hashes=12)
+    capped = D.lsh_candidate_pairs(
+        signed, "doc_id", num_hashes=12, rows_per_band=3, max_bucket=4
+    )
+    assert capped.count() == 0
+
+
+def test_cosine_pandas_matches_math(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0, 1.0], [1.0, 1.0, 0.0])], "a: array<double>, b: array<double>"
+    )
+    got = df.select(D.cosine_pandas("a", "b").alias("c")).first()["c"]
+    assert math.isclose(got, 0.5, rel_tol=1e-9)

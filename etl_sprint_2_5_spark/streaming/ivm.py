@@ -1,0 +1,146 @@
+"""Incremental view maintenance driver — the reference CDC daemon in
+Spark terms (SURVEY.md §2.8, §3.2, §7 phase 5).
+
+The reference runs 7 coroutine pipelines, each: keyset-scan a source
+table after its cursor → map changed rows to affected document ids →
+rebuild those documents with the lateral-join query → bulk-upsert to
+ES → advance the cursor (/root/reference/postgres_to_es/
+daemon.py:90-129,132-152,155-200,426-535).
+
+Here each pipeline is a config over ordinary Catalyst plans:
+
+- **producer** = keyset_batch (S2/P6): composite (ts, id) cursor
+  predicate, pushable into the parquet/JDBC scan;
+- **fan-out** (J7/J8) = changed-rows → affected fact ids, either a
+  column pluck or a broadcast semi-join through the bridge table —
+  stays distributed, nothing but the cursor row is ever collected;
+- **rebuild** = the gold builder restricted by the affected-id
+  semi-join (J6) — same code as the full build, so incremental ==
+  batch by construction;
+- **sink** = idempotent upsert by doc id (T3);
+- **commit** = offset advanced only after the sink returns (T2's
+  commit-after-sink ordering, daemon.py:118-129) ⇒ crash anywhere
+  re-delivers an already-upserted batch: no loss, no duplicates.
+
+Unlike the reference's one-batch-per-poll quirk (T8, max 500 rows/s),
+``run_to_completion`` drains the full backlog — a documented superset.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.operators.keyset import keyset_batch
+from etl_sprint_2_5_spark.streaming.sink import upsert_keyed_parquet
+from etl_sprint_2_5_spark.streaming.state import OffsetStore
+
+TableLoader = Callable[[str], DataFrame]  # table name -> current snapshot
+Rebuild = Callable[[TableLoader, DataFrame], DataFrame]  # (tables, ids) -> docs
+
+
+@dataclass
+class FanOut:
+    """Changed source rows → affected document ids (J7/J8).
+
+    ``id_field``: column of the changed row carrying the doc key
+    (identity for the fact table itself, the FK for bridge rows).
+    ``bridge``/``join_field``/``select_field``: for dimension changes,
+    route through the bridge: docs whose bridge row references a
+    changed dim id (get_table_ids_by_join, daemon.py:139-152).
+    """
+
+    id_field: str = "id"
+    bridge: str | None = None
+    join_field: str | None = None
+    select_field: str | None = None
+
+    def affected_ids(self, changed: DataFrame, load: TableLoader) -> DataFrame:
+        picked = changed.select(F.col(self.id_field).alias("id")).distinct()
+        if self.bridge is None:
+            return picked
+        b = load(self.bridge)
+        return (
+            b.join(F.broadcast(picked), b[self.join_field] == picked.id, "left_semi")
+            .select(F.col(self.select_field).alias("id"))
+            .distinct()
+        )
+
+
+@dataclass
+class Pipeline:
+    """One maintenance pipeline: source table → target doc view."""
+
+    name: str
+    source: str
+    cursor_field: str
+    id_field: str
+    fanout: FanOut
+    rebuild: Rebuild
+    sink_path: str
+    doc_key: str = "id"
+    batch_size: int = 1000
+
+
+def run_cycle(
+    spark: SparkSession,
+    p: Pipeline,
+    load: TableLoader,
+    offsets: OffsetStore,
+) -> int:
+    """One micro-batch for one pipeline; returns rows consumed."""
+    ts, last_id = offsets.get(p.name)
+    batch = keyset_batch(
+        load(p.source), p.cursor_field, p.id_field, ts, last_id, p.batch_size
+    )
+    # cache: the batch feeds the fan-out AND the cursor computation;
+    # bounded by batch_size so it is safely materializable
+    batch = batch.cache()
+    try:
+        tail = (
+            batch.select(
+                F.col(p.cursor_field).alias("ts"), F.col(p.id_field).alias("id")
+            )
+            .orderBy(F.desc("ts"), F.desc("id"))
+            .first()
+        )
+        if tail is None:
+            return 0
+        n = batch.count()
+        ids = p.fanout.affected_ids(batch, load)
+        docs = p.rebuild(load, ids)
+        upsert_keyed_parquet(spark, docs, p.sink_path, p.doc_key)
+        # T2: ONLY after the sink returned do we advance the cursor
+        ts_val = tail["ts"]
+        if isinstance(ts_val, str):
+            ts_val = dt.datetime.fromisoformat(ts_val)
+        offsets.set(p.name, ts_val, tail["id"])
+        return n
+    finally:
+        batch.unpersist()
+
+
+def run_to_completion(
+    spark: SparkSession,
+    pipelines: list[Pipeline],
+    load: TableLoader,
+    offsets: OffsetStore,
+    max_cycles: int = 10_000,
+) -> int:
+    """Drain every pipeline until all report an empty batch.
+
+    Equivalent to the daemon's poll loop (daemon.py:537-542) with
+    Trigger.AvailableNow semantics instead of one-batch-per-poll."""
+    total = 0
+    for _ in range(max_cycles):
+        moved = 0
+        for p in pipelines:
+            moved += run_cycle(spark, p, load, offsets)
+        total += moved
+        if moved == 0:
+            return total
+    raise RuntimeError("IVM did not converge within max_cycles")

@@ -1,0 +1,56 @@
+"""Structured Streaming wrapper for the IVM pipelines — SURVEY.md §7
+phase 5's second half: the same rebuild logic under Spark's own
+checkpointing instead of the hand-rolled offset store.
+
+Source: a change-feed directory per base table (each micro-batch =
+newly arrived files of changed rows — the file-source analog of the
+reference's keyset poll, daemon.py:90-129). Spark's
+``checkpointLocation`` persists which files were consumed, replacing
+OffsetStore; ``foreachBatch`` runs the identical fan-out → restricted
+rebuild → idempotent upsert, so the exactly-once-effect argument (T3)
+carries over unchanged: a replayed micro-batch re-upserts the same
+documents.
+
+``Trigger.AvailableNow`` drains the backlog then stops (batch-
+incremental mode); drop the trigger for a resident daemon with
+``processingTime`` polling (T1, daemon.py:537-542).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql.types import StructType
+
+from etl_sprint_2_5_spark.streaming.ivm import Pipeline, TableLoader
+from etl_sprint_2_5_spark.streaming.sink import upsert_keyed_parquet
+
+
+def stream_pipeline(
+    spark: SparkSession,
+    p: Pipeline,
+    feed_dir: str,
+    feed_schema: StructType,
+    load: TableLoader,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Run one pipeline as a Structured Streaming query over its
+    change-feed directory; returns the StreamingQuery."""
+
+    changed_stream = spark.readStream.schema(feed_schema).parquet(feed_dir)
+
+    def process(batch_df, batch_id: int) -> None:  # noqa: ANN001
+        if batch_df.isEmpty():
+            return
+        ids = p.fanout.affected_ids(batch_df, load)
+        docs = p.rebuild(load, ids)
+        upsert_keyed_parquet(spark, docs, p.sink_path, p.doc_key)
+
+    writer = (
+        changed_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1,0 +1,179 @@
+"""IVM driver tests — the properties SURVEY §5.3-5.4 says the
+reference most lacked:
+
+1. backfill (epoch-0 cursor) produces exactly the full batch build;
+2. after arbitrary mutations, incremental maintenance == from-scratch
+   rebuild (per affected view);
+3. re-delivering a committed batch (crash between sink and offset
+   commit) changes nothing — idempotent upsert + commit-after-sink;
+4. the T5 backdating blind spot behaves exactly like the reference
+   (a row updated with a ts at-or-before the cursor is missed).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.pipeline.movie_gold import movies_gold, persons_gold
+from etl_sprint_2_5_spark.pipeline.normalize import NormalizedTables, normalize
+from etl_sprint_2_5_spark.streaming.ivm import run_cycle, run_to_completion
+from etl_sprint_2_5_spark.streaming.movie_pipelines import movie_pipelines
+from etl_sprint_2_5_spark.streaming.sink import read_view
+from etl_sprint_2_5_spark.streaming.state import OffsetStore
+from tests.fixtures_legacy import as_dataframes
+
+T0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+TABLES = ("film_work", "genre", "person", "genre_film_work", "person_film_work")
+
+
+def write_base(spark, tmp, seed=42):
+    """Normalize the fixture and persist as the mutable base snapshot,
+    with deterministic timestamps (T0) instead of current_timestamp."""
+    t = normalize(*as_dataframes(spark, seed=seed))
+    for name in TABLES:
+        df = getattr(t, name)
+        for c in ("created_at", "updated_at"):
+            if c in df.columns:
+                df = df.withColumn(c, F.lit(T0).cast("timestamp"))
+        df.write.mode("overwrite").parquet(f"{tmp}/base/{name}.parquet")
+
+
+def loader(spark, tmp):
+    return lambda name: spark.read.parquet(f"{tmp}/base/{name}.parquet")
+
+
+def current(spark, tmp) -> NormalizedTables:
+    ld = loader(spark, tmp)
+    return NormalizedTables(**{n: ld(n) for n in TABLES})
+
+
+def rows_set(df, drop=("created_at", "updated_at")):
+    df = df.drop(*[c for c in drop if c in df.columns])
+    return {tuple(map(repr, r)) for r in df.collect()}
+
+
+@pytest.fixture()
+def env(spark, tmp_path):
+    tmp = str(tmp_path)
+    write_base(spark, tmp)
+    offsets = OffsetStore(f"{tmp}/offsets.json")
+    pipes = movie_pipelines(f"{tmp}/gold", batch_size=50)
+    return tmp, offsets, pipes
+
+
+def test_backfill_equals_batch_build(spark, env):
+    tmp, offsets, pipes = env
+    consumed = run_to_completion(spark, pipes, loader(spark, tmp), offsets)
+    assert consumed > 0
+    t = current(spark, tmp)
+    assert rows_set(read_view(spark, f"{tmp}/gold/movies_gold")) == rows_set(
+        movies_gold(t)
+    )
+    assert rows_set(read_view(spark, f"{tmp}/gold/persons_gold")) == rows_set(
+        persons_gold(t)
+    )
+
+
+def _mutate(spark, tmp):
+    """Title updates + a person rename + a new bridge row, all at T0+1h."""
+    t1 = T0 + dt.timedelta(hours=1)
+    ld = loader(spark, tmp)
+
+    fw = ld("film_work")
+    victim_ids = [r["id"] for r in fw.orderBy("id").limit(3).collect()]
+    fw = fw.withColumn(
+        "title",
+        F.when(F.col("id").isin(victim_ids), F.concat(F.col("title"), F.lit(" v2")))
+        .otherwise(F.col("title")),
+    ).withColumn(
+        "updated_at",
+        F.when(F.col("id").isin(victim_ids), F.lit(t1)).otherwise(F.col("updated_at")),
+    )
+    fw.write.mode("overwrite").parquet(f"{tmp}/base/film_work.parquet.new")
+
+    p = ld("person")
+    renamed = p.orderBy("id").first()["id"]
+    p = p.withColumn(
+        "full_name",
+        F.when(F.col("id") == renamed, F.lit("Renamed Person")).otherwise(
+            F.col("full_name")
+        ),
+    ).withColumn(
+        "updated_at",
+        F.when(F.col("id") == renamed, F.lit(t1)).otherwise(F.col("updated_at")),
+    )
+    p.write.mode("overwrite").parquet(f"{tmp}/base/person.parquet.new")
+
+    # new bridge row: renamed person becomes writer on some unrelated film
+    pfw = ld("person_film_work")
+    some_fw = spark.read.parquet(f"{tmp}/base/film_work.parquet.new") \
+        .orderBy(F.desc("id")).first()["id"]
+    new_row = spark.createDataFrame(
+        [("pfw-new-1", some_fw, renamed, "writer", t1)],
+        "id string, film_work_id string, person_id string, role string, "
+        "created_at timestamp",
+    )
+    pfw.unionByName(new_row).write.mode("overwrite").parquet(
+        f"{tmp}/base/person_film_work.parquet.new"
+    )
+
+    import shutil
+    for name in ("film_work", "person", "person_film_work"):
+        shutil.rmtree(f"{tmp}/base/{name}.parquet")
+        shutil.move(f"{tmp}/base/{name}.parquet.new", f"{tmp}/base/{name}.parquet")
+
+
+def test_incremental_equals_batch_after_mutations(spark, env):
+    tmp, offsets, pipes = env
+    ld = loader(spark, tmp)
+    run_to_completion(spark, pipes, ld, offsets)
+    _mutate(spark, tmp)
+    moved = run_to_completion(spark, pipes, ld, offsets)
+    assert 0 < moved < 20  # only the deltas, not a full re-scan
+    t = current(spark, tmp)
+    for view, build in (("movies_gold", movies_gold), ("persons_gold", persons_gold)):
+        assert rows_set(read_view(spark, f"{tmp}/gold/{view}")) == rows_set(build(t)), view
+
+
+def test_redelivery_is_idempotent(spark, env):
+    tmp, offsets, pipes = env
+    ld = loader(spark, tmp)
+    run_to_completion(spark, pipes, ld, offsets)
+    before = rows_set(read_view(spark, f"{tmp}/gold/movies_gold"))
+    # crash-before-commit simulation: rewind one pipeline's cursor and
+    # force the already-sunk batch through again
+    import datetime as dtm
+    offsets.set("film_work.movies", dtm.datetime(1970, 1, 1), "00000000-0000-0000-0000-000000000000")
+    run_cycle(spark, pipes[0], ld, offsets)
+    assert rows_set(read_view(spark, f"{tmp}/gold/movies_gold")) == before
+
+
+def test_backdated_update_is_missed_t5_parity(spark, env):
+    tmp, offsets, pipes = env
+    ld = loader(spark, tmp)
+    run_to_completion(spark, pipes, ld, offsets)
+    # backdate: change a title but move updated_at BEFORE the cursor
+    fw = ld("film_work")
+    victim = fw.orderBy("id").first()["id"]
+    fw.withColumn(
+        "title",
+        F.when(F.col("id") == victim, F.lit("GHOST EDIT")).otherwise(F.col("title")),
+    ).withColumn(
+        "updated_at",
+        F.when(F.col("id") == victim, F.lit(T0 - dt.timedelta(days=1))).otherwise(
+            F.col("updated_at")
+        ),
+    ).write.mode("overwrite").parquet(f"{tmp}/base/film_work.parquet.new")
+    import shutil
+    shutil.rmtree(f"{tmp}/base/film_work.parquet")
+    shutil.move(f"{tmp}/base/film_work.parquet.new", f"{tmp}/base/film_work.parquet")
+
+    assert run_to_completion(spark, pipes, ld, offsets) == 0  # nothing seen
+    titles = {
+        r["title"]
+        for r in read_view(spark, f"{tmp}/gold/movies_gold").collect()
+    }
+    assert "GHOST EDIT" not in titles  # reference semantics, documented

@@ -1,0 +1,78 @@
+"""Serving-layer tests (Q1-Q5) over gold views built from the fixture."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_sprint_2_5_spark.api.query import (
+    BadRequest,
+    ListParams,
+    admin_movie_list,
+    get_movie,
+    list_movies,
+)
+from etl_sprint_2_5_spark.pipeline.movie_gold import movies_gold
+from etl_sprint_2_5_spark.pipeline.normalize import normalize
+from tests.fixtures_legacy import as_dataframes
+
+
+@pytest.fixture(scope="module")
+def movies(spark):
+    return movies_gold(normalize(*as_dataframes(spark))).cache()
+
+
+def test_point_lookup_and_404(movies):
+    some_id = movies.limit(1).collect()[0]["id"]
+    assert get_movie(movies, some_id)["id"] == some_id
+    assert get_movie(movies, "no-such-id") is None
+
+
+def test_param_validation():
+    with pytest.raises(BadRequest):
+        ListParams(limit=0)
+    with pytest.raises(BadRequest):
+        ListParams(page=-1)
+    with pytest.raises(BadRequest):
+        ListParams(sort="plot")
+    with pytest.raises(BadRequest):
+        ListParams(sort_order="sideways")
+
+
+def test_list_sorted_pages_are_disjoint_and_ordered(movies):
+    p1 = list_movies(movies, ListParams(limit=10, page=1, sort="title"))
+    p2 = list_movies(movies, ListParams(limit=10, page=2, sort="title"))
+    t1 = [r["title"] for r in p1.collect()]
+    t2 = [r["title"] for r in p2.collect()]
+    assert t1 == sorted(t1) and t2 == sorted(t2)
+    assert max(t1) <= min(t2)
+    assert len(t1) == 10
+
+
+def test_sort_desc_by_rating(movies):
+    got = list_movies(
+        movies, ListParams(limit=5, sort="imdb_rating", sort_order="desc")
+    ).collect()
+    ratings = [r["imdb_rating"] for r in got]
+    assert ratings == sorted(ratings, reverse=True)
+
+
+def test_search_ranks_title_match_first(movies):
+    target = movies.limit(1).collect()[0]
+    term = target["title"].split()[-1].lower().strip("#")  # '#003' style token
+    got = list_movies(movies, ListParams(search=target["title"])).collect()
+    assert got, "search returned nothing"
+    assert any(r["id"] == target["id"] for r in got)
+    assert all(r["score"] > 0 for r in got)
+    del term
+
+
+def test_admin_envelope(movies):
+    env = admin_movie_list(movies, page=1, per_page=20)
+    n = movies.count()
+    assert env["count"] == n
+    assert env["total_pages"] == -(-n // 20)
+    assert env["prev"] is None and env["next"] == 2
+    titles = [r["title"] for r in env["results"].collect()]
+    assert titles == sorted(titles) and len(titles) == 20
+    last = admin_movie_list(movies, page=env["total_pages"], per_page=20)
+    assert last["next"] is None

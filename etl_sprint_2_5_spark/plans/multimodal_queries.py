@@ -1,0 +1,79 @@
+"""Multimodal extension queries over the documents table.
+
+The container has no real media corpus, so payloads are the documents'
+UTF-8 bytes treated as opaque blobs — which exercises exactly the same
+plumbing (binary column, JVM-side stats, Arrow-batched Python decode).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.operators import multimodal as M
+from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.sources.parquet import load_table
+
+
+@query(
+    "multimodal_blob_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS blob_md5
+    FROM documents
+    ORDER BY doc_id
+    LIMIT 100
+    """,
+    covers=("X-multimodal-stats",),
+)
+def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JVM-side blob routing stats (byte length + content fingerprint)
+    on binary payloads — the predicate layer that runs BEFORE any
+    Python decode at corpus scale. md5 over utf-8 bytes is identical
+    cross-engine."""
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    stats = M.attach_blob_stats(d, "payload")
+    return (
+        stats.select("doc_id", "byte_len", "blob_md5")
+        .orderBy("doc_id")
+        .limit(100)
+    )
+
+
+@query(
+    "multimodal_decode_features",
+    oracle=None,  # mapInPandas fake-codec path — rows-only check
+    covers=("X-multimodal-decode", "X-multimodal-features"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full multimodal path: blob → Arrow-batched decode (stubbed codec,
+    deterministic fake dims) → feature extraction (16-dim vector) →
+    JVM-side aggregation of the result. The shape under test is the
+    plan: binary never leaves the executors, Python sees Arrow batches,
+    output schemas are static."""
+    d = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    d = M.repartition_by_bytes(d, "payload")
+    decoded = M.decode_images(d, "doc_id", "payload")
+    feats = M.extract_features(d, "doc_id", "payload", dim=16)
+    return (
+        decoded.join(feats, "id")
+        .select(
+            "id",
+            "width",
+            "height",
+            F.round(
+                F.aggregate(
+                    "features", F.lit(0.0), lambda acc, x: acc + x * x
+                ),
+                4,
+            ).alias("feat_sq_norm"),
+        )
+        .orderBy("id")
+        .limit(200)
+    )

@@ -20,7 +20,7 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from pyspark.sql import SparkSession
 
     s = (
@@ -29,6 +29,10 @@ def spark():
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            str(tmp_path_factory.mktemp("warehouse")),
+        )
         .getOrCreate()
     )
     yield s

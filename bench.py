@@ -42,6 +42,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "text_quality_score",
     "fulltext_search",
+    "multimodal_blob_stats",
+    "multimodal_decode_features",
     "persons_gold_shape",
     "genres_gold_shape",
 ]

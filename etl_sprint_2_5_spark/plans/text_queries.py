@@ -183,3 +183,119 @@ def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+_DUCK_SHINGLES_T = (
+    "list_distinct(list_transform(generate_series(0, greatest(len(tk) - 3, 0)),"
+    " i -> array_to_string(tk[i+1:i+3], ' ')))"
+)
+
+
+@query(
+    "text_winnow_fingerprint",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES_T} AS shingles FROM toks
+    ), sampled AS (
+      SELECT doc_id,
+             len(shingles) AS n_shingles,
+             list_sort(list_filter(list_transform(shingles, s -> md5(s)),
+                       h -> ('0x' || substr(h, 1, 8))::BIGINT % 8 = 0)) AS keep
+      FROM sh
+    )
+    SELECT doc_id,
+           n_shingles,
+           len(keep) AS n_sampled,
+           CASE WHEN len(keep) > 0
+                THEN md5(array_to_string(keep, ',')) END AS fingerprint
+    FROM sampled
+    ORDER BY doc_id
+    """,
+    covers=("X-text-fingerprint",),
+)
+def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint: hash every 3-word shingle,
+    keep the deterministic mod-p sample (p=8, ~1/8 of shingles), digest
+    the sorted sample. Robust to small edits (unchanged regions keep
+    their sampled hashes — the MOSS/winnowing property), linear cost,
+    no shuffle until the final compare. Identical md5/mod arithmetic in
+    both engines."""
+    from etl_sprint_2_5_spark.functions.text import word_shingles
+
+    d = load_table(spark, "documents", sf_dir)
+    hashed = F.transform(
+        F.array_distinct(word_shingles(F.col("text"), n=3)), lambda s: F.md5(s)
+    )
+    keep = F.array_sort(
+        F.filter(
+            hashed,
+            lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 8 == 0,
+        )
+    )
+    return (
+        d.select(
+            "doc_id",
+            F.size(F.array_distinct(word_shingles(F.col("text"), n=3))).alias(
+                "n_shingles"
+            ),
+            keep.alias("keep"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.size("keep").alias("n_sampled"),
+            F.when(F.size("keep") > 0, F.md5(F.array_join("keep", ","))).alias(
+                "fingerprint"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_BPE_RE = "[a-zA-Z]+|[0-9]+|[^\\sa-zA-Z0-9]+"
+
+
+@query(
+    "text_bpe_token_count",
+    oracle=f"""
+    SELECT source,
+           count(*) AS n_docs,
+           sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS total_pieces,
+           round(avg(len(regexp_extract_all(text, '{_BPE_RE}'))), 4) AS avg_pieces,
+           round(avg(length(text)::DOUBLE /
+                 greatest(len(regexp_extract_all(text, '{_BPE_RE}')), 1)), 4)
+               AS chars_per_piece
+    FROM documents
+    GROUP BY source
+    ORDER BY source
+    """,
+    covers=("X-text-bpe",),
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pre-tokenizer regex
+    (letter runs | digit runs | punctuation runs) as the subword-count
+    estimator, rolled up per source. The regex is the pre-tokenize
+    stage of real BPE; per-merge vocab application would be a pandas
+    UDF over these pieces."""
+    d = load_table(spark, "documents", sf_dir)
+    pieces = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
+    per_doc = d.select(
+        "source",
+        F.size(pieces).alias("n_pieces"),
+        F.length("text").alias("n_chars"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_pieces").alias("total_pieces"),
+            F.round(F.avg("n_pieces"), 4).alias("avg_pieces"),
+            F.round(
+                F.avg(F.col("n_chars").cast("double") / F.greatest("n_pieces", F.lit(1))),
+                4,
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("source")
+    )

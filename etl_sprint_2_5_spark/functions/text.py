@@ -78,7 +78,45 @@ def hash_bucket(col: Column | str, seed: int, buckets: int) -> Column:
 def minhash_hex(shingles: Column, seed: int) -> Column:
     """One MinHash band value: lexicographic min of md5-hex of each
     seeded shingle. A string min over uniform hex hashes is an
-    order-statistic MinHash — identical in Spark and ANSI SQL."""
+    order-statistic MinHash — identical in Spark and ANSI SQL.
+
+    Cost: one md5 per (shingle, seed). Prefer the integer pipeline
+    (shingle_hash64 + minhash_int) for multi-hash signatures — one md5
+    per shingle total, then integer permutations."""
     return F.array_min(
         F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1, the classic universal-hash modulus
+
+# 12 fixed (a, b) permutation constants (odd multipliers < 2^31).
+# Hard-coded so the DuckDB oracle can inline the identical literals.
+MINHASH_PERMS: tuple[tuple[int, int], ...] = (
+    (1297321, 911), (2254397, 3571), (3376579, 7919), (4583561, 14593),
+    (5729743, 22571), (6834101, 31357), (7942907, 40253), (9123749, 51679),
+    (10456747, 63809), (11678923, 75691), (12895601, 88643), (14102723, 99991),
+)
+
+
+def shingle_hash64(shingles: Column) -> Column:
+    """One 60-bit integer hash per shingle: first 15 md5-hex chars
+    parsed base-16 (fits int64; identical arithmetic in DuckDB via
+    ('0x' || substr(md5(s),1,15))::BIGINT). The single expensive hash
+    per shingle — every downstream permutation is integer math."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+
+def minhash_int(hashes: Column, a: int, b: int) -> Column:
+    """min over (a·(h mod p) + b) mod p, p = 2^31-1 — a universal-hash
+    permutation MinHash over pre-hashed shingles. a·(h%p) < 2^62, no
+    int64 overflow."""
+    return F.array_min(
+        F.transform(
+            hashes,
+            lambda h: (F.lit(a) * (h % MERSENNE31) + F.lit(b)) % MERSENNE31,
+        )
     )

@@ -30,8 +30,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.functions.text import (
-    minhash_hex,
+    MINHASH_PERMS,
+    minhash_int,
     normalize_text,
+    shingle_hash64,
     tokenize,
     word_shingles,
 )
@@ -81,10 +83,26 @@ def shingle_sets(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataF
     )
 
 
+def hashed_shingle_sets(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Per-doc distinct shingle set as 60-bit integer hashes (array
+    <long>) — ONE md5 per shingle; signatures, postings and Jaccard
+    verification all run on the integers. ~8 bytes/shingle cached vs
+    a full shingle string, and integer intersections/joins instead of
+    string ones at corpus scale."""
+    return df.select(
+        F.col(id_col),
+        shingle_hash64(F.array_distinct(word_shingles(text_col, n))).alias("hs"),
+    )
+
+
 def minhash_signature(shingled: DataFrame, num_hashes: int = 12) -> DataFrame:
-    """MinHash signature as array<string> of length num_hashes —
-    computed entirely with array expressions per row."""
-    sig = F.array(*[minhash_hex(F.col("shingles"), s) for s in range(num_hashes)])
+    """MinHash signature as array<long> of length num_hashes over the
+    pre-hashed shingles (``hs``): integer universal-hash permutations
+    (functions.text.MINHASH_PERMS) — no per-seed rehash of the text."""
+    perms = MINHASH_PERMS[:num_hashes]
+    sig = F.array(*[minhash_int(F.col("hs"), a, b) for a, b in perms])
     return shingled.withColumn("sig", sig)
 
 
@@ -123,8 +141,12 @@ def lsh_candidate_pairs(
     n_bands = num_hashes // rows_per_band
     bands = F.array(
         *[
-            F.md5(
-                F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
             )
             for b in range(n_bands)
         ]
@@ -148,14 +170,16 @@ def verify_jaccard(
     shingled: DataFrame,
     id_col: str,
     threshold: float,
+    shingle_col: str = "hs",
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via array_intersect (the
-    verify step of MinHash-LSH; candidates ≪ corpus²)."""
+    verify step of MinHash-LSH; candidates ≪ corpus²). Runs on the
+    hashed shingle sets by default — integer intersection."""
     sa = shingled.select(
-        F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")
+        F.col(id_col).alias("id_a"), F.col(shingle_col).alias("sh_a")
     )
     sb = shingled.select(
-        F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")
+        F.col(id_col).alias("id_b"), F.col(shingle_col).alias("sh_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter

@@ -15,13 +15,14 @@ from pyspark.sql import functions as F
 from etl_sprint_2_5_spark.operators.dedup import (
     embedding_near_dups,
     exact_dedup,
+    hashed_shingle_sets,
     lsh_candidate_pairs,
     minhash_signature,
-    shingle_sets,
     simhash,
     token_fingerprint,
     verify_jaccard,
 )
+from etl_sprint_2_5_spark.functions.text import MINHASH_PERMS
 from etl_sprint_2_5_spark.plans.registry import query
 from etl_sprint_2_5_spark.sources.parquet import load_table
 
@@ -33,6 +34,9 @@ _DUCK_TOKS = (
 _DUCK_SHINGLES = (
     "list_distinct(list_transform(generate_series(0, greatest(len(tk) - 3, 0)),"
     " i -> array_to_string(tk[i+1:i+3], ' ')))"
+)
+_DUCK_PERMS = ", ".join(
+    f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS)
 )
 
 
@@ -96,13 +100,19 @@ def dedup_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
     ), sh AS (
       SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM toks
-    ), mh AS (                        -- minhash: per (doc, seed) min md5
-      SELECT doc_id, seed,
-             list_min(list_transform(shingles, s -> md5(seed::VARCHAR || ':' || s))) AS minh
-      FROM sh, unnest(generate_series(0, 11)) AS t(seed)
+    ), hsh AS (                       -- one 60-bit int hash per shingle
+      SELECT doc_id,
+             list_transform(shingles,
+                 s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+      FROM sh
+    ), mh AS (                        -- integer universal-hash minhash
+      SELECT doc_id, t.seed,
+             list_min(list_transform(hs,
+                 h -> (t.a * (h % 2147483647) + t.b) % 2147483647)) AS minh
+      FROM hsh, (VALUES {_DUCK_PERMS}) AS t(seed, a, b)
     ), bands AS (                     -- 4 bands x 3 rows
       SELECT doc_id, seed // 3 AS band,
-             md5(string_agg(minh, ',' ORDER BY seed)) AS band_key
+             string_agg(minh::VARCHAR, ',' ORDER BY seed) AS band_key
       FROM mh GROUP BY doc_id, seed // 3
     ), cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -110,29 +120,30 @@ def dedup_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
     )
     SELECT c.id_a, c.id_b,
-           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-                 (len(sa.shingles) + len(sb.shingles)
-                  - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+           round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+                 (len(sa.hs) + len(sb.hs)
+                  - len(list_intersect(sa.hs, sb.hs))), 4) AS jaccard
     FROM cand c
-    JOIN sh sa ON sa.doc_id = c.id_a
-    JOIN sh sb ON sb.doc_id = c.id_b
-    WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-                (len(sa.shingles) + len(sb.shingles)
-                 - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.5
+    JOIN hsh sa ON sa.doc_id = c.id_a
+    JOIN hsh sb ON sb.doc_id = c.id_b
+    WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+                (len(sa.hs) + len(sb.hs)
+                 - len(list_intersect(sa.hs, sb.hs))), 4) >= 0.5
     ORDER BY id_a, id_b
     """,
     covers=("X-dedup-minhash",),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(12 hashes) + LSH(4 bands × 3) + exact-Jaccard verify.
+    """MinHash(12 integer permutations over 60-bit shingle hashes) +
+    LSH(4 bands x 3) + exact-Jaccard verify on the hashed sets.
 
-    Signature is pure array math per row; the only shuffles are the
-    band-key equi-join and the final pair verify — the linear-cost
-    near-dup pattern that survives corpus scale."""
+    One md5 per shingle TOTAL (the old per-seed rehash did 12); the
+    only shuffles are the band-key bucketing and the final pair verify
+    - the linear-cost near-dup pattern that survives corpus scale."""
     d = load_table(spark, "documents", sf_dir)
-    # cache: the shingle sets feed the signature AND both sides of the
-    # verify join — without it the tokenize+md5 work runs three times
-    shingled = shingle_sets(d, "text", "doc_id").cache()
+    # cache: the hashed shingle sets feed the signature AND both sides
+    # of the verify join - 8 bytes/shingle, not the shingle strings
+    shingled = hashed_shingle_sets(d, "text", "doc_id").cache()
     signed = minhash_signature(shingled, num_hashes=12)
     pairs = lsh_candidate_pairs(signed, "doc_id", num_hashes=12, rows_per_band=3)
     return verify_jaccard(pairs, shingled, "doc_id", threshold=0.5).orderBy(
@@ -172,8 +183,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
     ), sh AS (
       SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM toks
+    ), hsh AS (
+      SELECT doc_id,
+             list_transform(shingles,
+                 s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+      FROM sh
     ), ex AS (
-      SELECT doc_id, unnest(shingles) AS s FROM sh
+      SELECT doc_id, unnest(hs) AS s FROM hsh
     ), co AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -182,8 +198,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT id_a, id_b,
            round(inter::DOUBLE / (la.n + lb.n - inter), 4) AS jaccard
     FROM co
-    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) la ON la.doc_id = co.id_a
-    JOIN (SELECT doc_id, len(shingles) AS n FROM sh) lb ON lb.doc_id = co.id_b
+    JOIN (SELECT doc_id, len(hs) AS n FROM hsh) la ON la.doc_id = co.id_a
+    JOIN (SELECT doc_id, len(hs) AS n FROM hsh) lb ON lb.doc_id = co.id_b
     WHERE round(inter::DOUBLE / (la.n + lb.n - inter), 4) >= 0.5
     ORDER BY id_a, id_b
     """,
@@ -196,12 +212,12 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sprint_2_5_spark.operators.dedup import pairs_within_bucket
 
     d = load_table(spark, "documents", sf_dir)
-    sh = shingle_sets(d, "text", "doc_id").cache()
-    # inverted index: shingle → sorted posting list → in-bucket pairs;
-    # counting pair occurrences across shingles = |A ∩ B| (no self-join,
-    # shingle sets computed once)
+    sh = hashed_shingle_sets(d, "text", "doc_id").cache()
+    # inverted index: shingle hash → sorted posting list → in-bucket
+    # pairs; counting pair occurrences = |A ∩ B| (no self-join; long
+    # keys shuffle ~5× lighter than shingle strings)
     postings = (
-        sh.select(F.explode("shingles").alias("s"), "doc_id")
+        sh.select(F.explode("hs").alias("s"), "doc_id")
         .groupBy("s")
         .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
     )
@@ -211,7 +227,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sizes = sh.select("doc_id", F.size("shingles").alias("n"))
+    sizes = sh.select("doc_id", F.size("hs").alias("n"))
     la = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
     lb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
     return (

@@ -33,7 +33,7 @@ def _corpus(spark):
 
 
 def test_lsh_finds_near_dup_pair(spark):
-    sh = D.shingle_sets(_corpus(spark), "text", "doc_id")
+    sh = D.hashed_shingle_sets(_corpus(spark), "text", "doc_id")
     signed = D.minhash_signature(sh, num_hashes=12)
     pairs = D.lsh_candidate_pairs(signed, "doc_id", num_hashes=12, rows_per_band=3)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
@@ -42,7 +42,7 @@ def test_lsh_finds_near_dup_pair(spark):
 
 
 def test_verify_jaccard_scores(spark):
-    sh = D.shingle_sets(_corpus(spark), "text", "doc_id")
+    sh = D.hashed_shingle_sets(_corpus(spark), "text", "doc_id")
     pairs = spark.createDataFrame([("d1", "d2")], ["id_a", "id_b"])
     out = D.verify_jaccard(pairs, sh, "doc_id", threshold=0.5).collect()
     assert len(out) == 1 and out[0]["jaccard"] > 0.5
@@ -52,7 +52,7 @@ def test_max_bucket_cap_drops_degenerate_keys(spark):
     # 5 identical docs → every band bucket has 5 ids; cap of 4 kills all pairs
     rows = [(f"d{i}", "same text everywhere repeated tokens here") for i in range(5)]
     df = spark.createDataFrame(rows, ["doc_id", "text"])
-    sh = D.shingle_sets(df, "text", "doc_id")
+    sh = D.hashed_shingle_sets(df, "text", "doc_id")
     signed = D.minhash_signature(sh, num_hashes=12)
     capped = D.lsh_candidate_pairs(
         signed, "doc_id", num_hashes=12, rows_per_band=3, max_bucket=4

@@ -56,3 +56,21 @@ def test_hash_bucket_range_and_determinism(spark):
     assert all(0 <= v < 8 for v in vals)
     again = [r["b"] for r in got.collect()]
     assert vals == again
+
+
+def test_minhash_int_matches_python(spark):
+    import hashlib
+
+    from etl_sprint_2_5_spark.functions.text import MERSENNE31, MINHASH_PERMS
+
+    shingles = ["a b c", "b c d", "x y z"]
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in shingles]
+    a, b = MINHASH_PERMS[3]
+    expected = min((a * (h % MERSENNE31) + b) % MERSENNE31 for h in hs)
+    got = one(
+        spark,
+        T.minhash_int(
+            T.shingle_hash64(F.array(*[F.lit(s) for s in shingles])), a, b
+        ),
+    )
+    assert got == expected

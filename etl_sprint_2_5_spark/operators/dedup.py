@@ -12,16 +12,16 @@ problem (never all-pairs over the corpus):
   (band, band_key) — the only shuffle is on the band key, and each
   band bucket is tiny. Candidates are then verified with exact
   Jaccard via array_intersect (no second explode).
-- SimHash: 32-bit signature via an in-array left fold (F.aggregate +
-  zip_with — whole-stage codegen, no explode, no shuffle until the
-  final grouping).
+- SimHash: one 32-bit hash per distinct token, then 32 codegen'd
+  bit-vote sums per doc (map-side combine — the shuffle carries 33
+  ints per doc, not tokens).
 - embedding cosine: blocked by a coarse key (label / IVF cell) so the
   pair space is per-block, then exact cosine on double precision.
 
-Cross-engine determinism: all hashing is md5-hex (identical in Spark
-and DuckDB); MinHash uses the lexicographic MIN of seeded md5 hex
-strings, which is a valid order-statistic MinHash and needs no
-int conversion.
+Cross-engine determinism: every hash bottoms out in md5-hex (identical
+in Spark and DuckDB) parsed to int64 once per token/shingle; MinHash
+and SimHash are then pure integer arithmetic with constants shared
+between the engine and the oracle SQL.
 """
 
 from __future__ import annotations
@@ -39,7 +39,6 @@ from etl_sprint_2_5_spark.functions.text import (
 )
 
 SIMHASH_BITS = 32
-HIGH_NIBBLES = ("8", "9", "a", "b", "c", "d", "e", "f")
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -195,32 +194,43 @@ def verify_jaccard(
     )
 
 
-def _simhash_token_bits(tok: Column) -> Column:
-    """±1 vector (length SIMHASH_BITS) from the md5 nibbles of a token:
-    bit i is the high bit of hex digit i."""
-    h = F.md5(tok)
-    return F.transform(
-        F.sequence(F.lit(1), F.lit(SIMHASH_BITS)),
-        lambda i: F.when(h.substr(i, F.lit(1)).isin(*HIGH_NIBBLES), 1).otherwise(-1),
-    )
-
-
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """32-bit SimHash as a bit string, via an in-array left fold:
-    aggregate(tokens, zeros, (acc, t) -> zip_with(acc, bits(t), +)).
+    """32-bit SimHash as a bit string: hash each distinct token ONCE
+    to a 32-bit int (md5-hex prefix), explode, and take 32 codegen'd
+    conditional sums per doc — bit i is set when the majority of token
+    hashes have bit i set (2·ones ≥ n ⟺ the classic ±1 vote ≥ 0).
 
-    Stays in whole-stage codegen — no explode, no shuffle, no UDF.
+    Explode + partial aggregation beats an in-array fold here: higher-
+    order array functions run interpreted per element, while the 32
+    bit-extraction sums run inside whole-stage codegen with map-side
+    combine — the shuffle carries 33 ints per doc, not the tokens.
+    Docs with zero tokens get the all-zero signature (oracle parity:
+    sum over an empty list is NULL → every vote fails).
     """
     toks = F.array_distinct(tokenize(text_col))
-    sums = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0), SIMHASH_BITS),
-        lambda acc, t: F.zip_with(acc, _simhash_token_bits(t), lambda a, b: a + b),
+    ex = df.select(F.col(id_col), F.explode(toks).alias("_t")).select(
+        F.col(id_col),
+        F.conv(F.substring(F.md5("_t"), 1, 8), 16, 10).cast("long").alias("_h"),
     )
-    bitstr = F.array_join(
-        F.transform(sums, lambda s: F.when(s >= 0, "1").otherwise("0")), ""
+    votes = [
+        F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(f"_b{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    g = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *votes)
+    bitstr = F.concat(
+        *[
+            F.when(2 * F.col(f"_b{i}") >= F.col("_n"), F.lit("1")).otherwise(
+                F.lit("0")
+            )
+            for i in range(SIMHASH_BITS)
+        ]
     )
-    return df.select(F.col(id_col), bitstr.alias("simhash"))
+    sigs = g.select(F.col(id_col), bitstr.alias("simhash"))
+    # keep zero-token docs (explode drops them): all-zero signature
+    return df.select(F.col(id_col)).join(sigs, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("simhash", F.lit("0" * SIMHASH_BITS)).alias("simhash"),
+    )
 
 
 def cosine(a: Column, b: Column) -> Column:

@@ -156,21 +156,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, list_distinct({_DUCK_TOKS}) AS tk FROM documents
+    ), hsh AS (
+      SELECT doc_id,
+             list_transform(tk, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT) AS hv
+      FROM toks
     )
     SELECT doc_id,
-           array_to_string(list_transform(generate_series(1, 32), i ->
-             CASE WHEN list_aggregate(list_transform(tk, t ->
-                    CASE WHEN substring(md5(t), i, 1) IN
-                         ('8','9','a','b','c','d','e','f')
-                    THEN 1 ELSE -1 END), 'sum') >= 0
+           array_to_string(list_transform(generate_series(0, 31), i ->
+             CASE WHEN list_aggregate(list_transform(hv, h ->
+                    CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END),
+                    'sum') >= 0
              THEN '1' ELSE '0' END), '') AS simhash
-    FROM toks
+    FROM hsh
     ORDER BY doc_id
     """,
     covers=("X-dedup-simhash",),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signature per document (md5-nibble bit votes),
+    """32-bit SimHash signature per document (md5-prefix bit votes),
     computed as an in-array fold — verified bit-for-bit by the oracle."""
     d = load_table(spark, "documents", sf_dir)
     return simhash(d, "text", "doc_id").orderBy("doc_id")

@@ -41,6 +41,10 @@ def persons_gold_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
     join broadcasts."""
     s = load_table(spark, "supplier", sf_dir)
     li = load_table(spark, "lineitem", sf_dir)
+    # n_films = size of the collected distinct set rather than
+    # countDistinct: mixing a distinct agg with collect_set makes
+    # Catalyst expand every input row per distinct-agg branch; reusing
+    # the one set is 2.6× faster at sf0.1
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy(F.col("s_suppkey").alias("id"), F.col("s_name").alias("full_name"))
@@ -48,13 +52,16 @@ def persons_gold_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias(
                 "roles"
             ),
-            F.countDistinct("l_orderkey").alias("n_films"),
-            F.md5(
-                F.array_join(
-                    F.array_sort(F.collect_set(F.col("l_orderkey").cast("string"))),
-                    ",",
-                )
-            ).alias("film_ids_digest"),
+            F.array_sort(F.collect_set(F.col("l_orderkey").cast("string"))).alias(
+                "_fids"
+            ),
+        )
+        .select(
+            "id",
+            "full_name",
+            "roles",
+            F.size("_fids").alias("n_films"),
+            F.md5(F.array_join("_fids", ",")).alias("film_ids_digest"),
         )
         .orderBy("id")
     )

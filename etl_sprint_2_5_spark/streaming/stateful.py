@@ -1,0 +1,122 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+— the Spark-native generalization of the reference daemon's hand-kept
+state (SURVEY.md §2.8; the daemon's only state is its cursor, so these
+go beyond parity into the streaming surface the brief requires).
+
+``applyInPandasWithState`` is the arbitrary-stateful-processing hook:
+the stream is grouped by key, each micro-batch hands the group's new
+rows (as Arrow batches) plus its persisted ``GroupState`` to a Python
+function, and whatever state is ``update()``d survives to the next
+batch in the checkpoint's state store. Exactly the tool for operators
+watermark+dropDuplicates can't express (first-seen payload capture,
+running per-key aggregates with custom emit logic, session carry-over).
+
+Scale shape: state lives partitioned by key in the state store
+(RocksDB/HDFS-backed on a cluster); each task only loads its keys.
+The Python functions below are Arrow-batched per group — keep per-key
+state small (a scalar or tiny dict), never an unbounded row list.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+DEDUP_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("n_duplicates", LongType()),
+    ]
+)
+DEDUP_STATE = StructType(
+    [StructField("seen", LongType())]
+)
+
+
+def _dedup_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit each event_id once (on first sight), then count suppressed
+    re-deliveries in state. State per key: one int."""
+    seen = state.get[0] if state.exists else 0
+    total = sum(len(p) for p in pdfs)
+    if seen == 0:
+        yield pd.DataFrame({"event_id": [key[0]], "n_duplicates": [total - 1]})
+        state.update((total,))
+    else:
+        state.update((seen + total,))
+        yield pd.DataFrame({"event_id": [], "n_duplicates": []}).astype(
+            {"event_id": "int64", "n_duplicates": "int64"}
+        )
+
+
+def stateful_dedup_stream(events: DataFrame) -> DataFrame:
+    """First-seen dedup across micro-batches AND restarts (state lives
+    in the checkpoint): the streaming twin of the batch
+    ``stateful_event_dedup`` query, keyed by event_id."""
+    return events.groupBy("event_id").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUTPUT,
+        stateStructType=DEDUP_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+RUNNING_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("last_ts", TimestampType()),
+    ]
+)
+RUNNING_STATE = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def _running_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Running per-user event count + latest timestamp, emitted every
+    batch the key appears in (the incrementally-maintained-aggregate
+    shape of the reference daemon, as true streaming state)."""
+    n, last_us = state.get if state.exists else (0, 0)
+    for p in pdfs:
+        n += len(p)
+        if len(p):
+            last_us = max(
+                last_us, int(p["ts"].max().value // 1_000)
+            )  # pandas ns -> us
+    state.update((n, last_us))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "last_ts": [pd.Timestamp(last_us * 1_000)],
+        }
+    )
+
+
+def running_user_counts_stream(events: DataFrame) -> DataFrame:
+    """Per-user running aggregate via custom state (count + max ts)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _running_fn,
+        outputStructType=RUNNING_OUTPUT,
+        stateStructType=RUNNING_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -374,13 +374,16 @@ def distinct_set_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set semantics (roles-per-person, daemon.py:283-286),
     encoded as a sorted joined string for the oracle compare."""
     li = t(spark, sf_dir, "lineitem")
+    # size(collect_set) instead of countDistinct: mixing a distinct agg
+    # with collect_set triggers Catalyst's expand (one input copy per
+    # distinct branch); one set serves both outputs
     return (
         li.groupBy("l_suppkey")
         .agg(
             F.array_join(F.array_sort(F.collect_set("l_returnflag")), ",").alias(
                 "flags"
             ),
-            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.size(F.collect_set("l_orderkey")).alias("n_orders"),
         )
         .orderBy("l_suppkey")
     )

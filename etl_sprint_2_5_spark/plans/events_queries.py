@@ -163,3 +163,42 @@ def late_data_rescan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "event_type")
         .orderBy("ts", "event_id")
     )
+
+
+@query(
+    "sliding_window_agg",
+    oracle="""
+    WITH ex AS (
+      SELECT ts, value,
+             time_bucket(INTERVAL '30 minutes', ts)
+               - s.k * INTERVAL '30 minutes' AS w_start
+      FROM events, (VALUES (0), (1)) AS s(k)
+    )
+    SELECT epoch_us(w_start)    AS window_start_us,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM ex
+    GROUP BY w_start
+    ORDER BY window_start_us
+    """,
+    covers=("X-stream-sliding",),
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) 1-hour window, 30-minute slide: every event
+    lands in exactly two windows (Spark expands this internally — the
+    oracle mirrors it with an explicit 2-row unnest). Same plan shape
+    as tumbling: one expand + one partial-aggregated shuffle."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_us")
+    )

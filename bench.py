@@ -33,6 +33,7 @@ HEADLINE = [
     "nested_doc_rollup",
     "topk_per_group",
     "tumbling_window_agg",
+    "sliding_window_agg",
     "session_windows",
     "dedup_minhash_lsh",
     "dedup_simhash",
@@ -41,6 +42,7 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "text_quality_score",
+    "text_winnow_fingerprint",
     "fulltext_search",
     "multimodal_blob_stats",
     "multimodal_decode_features",

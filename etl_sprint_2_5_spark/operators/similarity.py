@@ -60,10 +60,19 @@ def brute_force_topk(
 
 
 def assign_cells(
-    corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
 ) -> DataFrame:
-    """IVF build: nearest-centroid assignment via one broadcast join +
-    per-vector argmax (round(cos,6) DESC, centroid_id ASC tiebreak)."""
+    """IVF assignment via one broadcast join + per-vector top-nprobe
+    ranking (round(cos,6) DESC, centroid_id ASC tiebreak).
+
+    Corpus vectors use nprobe=1 (each lives in exactly one cell);
+    QUERY vectors use nprobe>1 for multi-probe search — a query row
+    per candidate cell, trading nprobe× probe work for recall on
+    vectors near cell boundaries (the standard IVF recall lever)."""
     cent = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("_cev")
     )
@@ -76,7 +85,7 @@ def assign_cells(
     w = Window.partitionBy(id_col).orderBy(F.desc("_cc"), F.asc("centroid_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+        .where(F.col("_rn") <= nprobe)
         .select(id_col, vec_col, "centroid_id")
     )
 

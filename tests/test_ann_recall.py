@@ -55,3 +55,31 @@ def test_ivf_recall_against_bruteforce(spark, corpus):
 
     # every approx hit must score <= the true best (sanity: no phantom scores)
     assert len(approx_pairs) <= N_QUERIES * K
+
+
+def test_multiprobe_recall_not_worse(spark, corpus):
+    queries = corpus.orderBy("vec_id").limit(N_QUERIES)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(corpus, queries, "vec_id", "embedding", K).collect()
+    }
+    centroids = (
+        corpus.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("label").orderBy("vec_id")),
+        )
+        .where(F.col("_rn") == 1)
+        .select(F.col("label").alias("vec_id"), "embedding")
+    )
+    corpus_cells = assign_cells(corpus, centroids, "vec_id", "embedding")
+
+    def recall(nprobe: int) -> float:
+        qc = assign_cells(queries, centroids, "vec_id", "embedding", nprobe=nprobe)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(corpus_cells, qc, "vec_id", "embedding", K).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    r1, r2 = recall(1), recall(2)
+    assert r2 >= r1, (r1, r2)  # probing more cells never loses neighbors

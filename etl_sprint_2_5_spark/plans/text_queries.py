@@ -225,21 +225,25 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sprint_2_5_spark.functions.text import word_shingles
 
     d = load_table(spark, "documents", sf_dir)
-    hashed = F.transform(
-        F.array_distinct(word_shingles(F.col("text"), n=3)), lambda s: F.md5(s)
+    # materialize the hashed shingle array once per row (a single
+    # select stage), then derive count + sample from it — inlining the
+    # shingle expression twice would tokenize every document twice
+    sh = d.select(
+        "doc_id",
+        F.transform(
+            F.array_distinct(word_shingles(F.col("text"), n=3)), lambda s: F.md5(s)
+        ).alias("_hashed"),
     )
     keep = F.array_sort(
         F.filter(
-            hashed,
+            F.col("_hashed"),
             lambda h: F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 8 == 0,
         )
     )
     return (
-        d.select(
+        sh.select(
             "doc_id",
-            F.size(F.array_distinct(word_shingles(F.col("text"), n=3))).alias(
-                "n_shingles"
-            ),
+            F.size("_hashed").alias("n_shingles"),
             keep.alias("keep"),
         )
         .select(

@@ -33,7 +33,8 @@ SESSION_GAP_MIN = 30
 def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time window aggregation — the
     Spark-native generalization of the daemon's poll cycle (T1).
-    Streaming twin: streaming/windows.py with a watermark."""
+    Streaming twin: streaming/windows.py watermarked_window_agg
+    (driven end-to-end in tests/test_watermark_streaming.py)."""
     ev = load_table(spark, "events", sf_dir)
     return (
         ev.groupBy(

@@ -18,18 +18,11 @@ def _m(minutes: float) -> dt.datetime:
 
 
 def _drain(spark, feed, ckpt, out):
-    from pyspark.sql import functions as F
+    from etl_sprint_2_5_spark.streaming.windows import watermarked_window_agg
 
     stream = spark.readStream.schema(SCHEMA).parquet(feed)
-    agg = (
-        stream.withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", "5 minutes").alias("w"))
-        .count()
-        .select(
-            F.col("w.start").alias("w_start"),
-            F.col("w.end").alias("w_end"),
-            F.col("count").alias("n"),
-        )
+    agg = watermarked_window_agg(
+        stream, "ts", lateness="10 minutes", window="5 minutes"
     )
     q = (
         agg.writeStream.format("parquet")

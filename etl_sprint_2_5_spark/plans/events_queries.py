@@ -69,8 +69,8 @@ def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ), sessions AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+             CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
       FROM gaps
     )
     SELECT user_id, session_seq,

@@ -41,10 +41,10 @@ def _duck_hits(lg: str) -> str:
     )
     SELECT source,
            count(*)                                   AS n_docs,
-           sum(len(tk))                               AS total_tokens,
+           CAST(sum(len(tk)) AS BIGINT)               AS total_tokens,
            round(avg(len(tk)), 4)                     AS avg_tokens,
            round(avg(len(list_distinct(tk))), 4)      AS avg_distinct,
-           sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS total_llm_tokens
+           CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS total_llm_tokens
     FROM toks
     GROUP BY source
     ORDER BY source
@@ -266,7 +266,7 @@ _BPE_RE = "[a-zA-Z]+|[0-9]+|[^\\sa-zA-Z0-9]+"
     oracle=f"""
     SELECT source,
            count(*) AS n_docs,
-           sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS total_pieces,
+           CAST(sum(len(regexp_extract_all(text, '{_BPE_RE}'))) AS BIGINT) AS total_pieces,
            round(avg(len(regexp_extract_all(text, '{_BPE_RE}'))), 4) AS avg_pieces,
            round(avg(length(text)::DOUBLE /
                  greatest(len(regexp_extract_all(text, '{_BPE_RE}')), 1)), 4)

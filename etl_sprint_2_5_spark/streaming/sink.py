@@ -23,11 +23,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def recover_swap(path: str) -> None:
+    """Heal an interrupted swap so no crash window loses data.
+
+    States a crash can leave behind (see ``upsert_keyed_parquet``):
+    - target + ``.swap``: write finished but swap never started →
+      discard the ``.swap`` (its offset was never committed; the batch
+      will be re-delivered and the upsert is idempotent).
+    - no target, ``.swap`` present: the old dir was renamed aside but
+      the new one not yet moved in → promote the ``.swap`` (it is the
+      complete merged dataset).
+    - no target, only ``.old``: restore the backup.
+    - target + ``.old``: swap completed, cleanup didn't → drop ``.old``.
+    """
+    tmp, bak = path + ".swap", path + ".old"
+    if not os.path.exists(path):
+        if os.path.exists(tmp):
+            os.replace(tmp, path)
+        elif os.path.exists(bak):
+            os.replace(bak, path)
+    if os.path.exists(bak):
+        shutil.rmtree(bak, ignore_errors=True)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def upsert_keyed_parquet(
     spark: SparkSession, batch: DataFrame, path: str, key: str
 ) -> None:
-    """Upsert ``batch`` into the parquet dir at ``path`` by ``key``."""
-    tmp = path + ".swap"
+    """Upsert ``batch`` into the parquet dir at ``path`` by ``key``.
+
+    Crash-safe swap: the previous version is renamed aside (never
+    deleted before the new one is in place), so at every instant either
+    the target or a recoverable copy exists on disk. ``recover_swap``
+    heals any leftover intermediate state on the next call.
+    """
+    tmp, bak = path + ".swap", path + ".old"
+    recover_swap(path)
     if os.path.exists(path):
         old = spark.read.parquet(path)
         keys = batch.select(key).distinct()
@@ -37,9 +69,11 @@ def upsert_keyed_parquet(
     # materialize BEFORE touching the target (merged reads the target)
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.exists(path):
-        shutil.rmtree(path)
+        os.replace(path, bak)  # crash here → recover_swap promotes tmp
     os.replace(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
 
 
 def read_view(spark: SparkSession, path: str) -> DataFrame:
+    recover_swap(path)
     return spark.read.parquet(path)

@@ -1,0 +1,116 @@
+"""Crash-window safety of the keyed parquet upsert sink.
+
+The swap protocol must never lose previously-upserted rows: at every
+instant either the target dir or a recoverable copy (``.old`` backup
+or complete ``.swap``) exists. Each test constructs the exact on-disk
+state a crash at one point of ``upsert_keyed_parquet`` leaves behind,
+then asserts ``recover_swap`` / the next call heals it with no loss.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from etl_sprint_2_5_spark.streaming.sink import (
+    read_view,
+    recover_swap,
+    upsert_keyed_parquet,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "id string, v int")
+
+
+def _rows(spark, path):
+    return {(r["id"], r["v"]) for r in read_view(spark, path).collect()}
+
+
+def _seed(spark, path):
+    upsert_keyed_parquet(spark, _df(spark, [("a", 1), ("b", 2)]), path, "id")
+    assert _rows(spark, path) == {("a", 1), ("b", 2)}
+
+
+def test_crash_between_rename_aside_and_swap_in(spark, tmp_path):
+    """Old dir renamed to .old, new dir still at .swap, no target.
+
+    The pre-fix rmtree-based swap would leave NO copy at all here; the
+    recovery must promote the complete merged .swap.
+    """
+    path = str(tmp_path / "view")
+    _seed(spark, path)
+    # build the merged .swap exactly as the sink would, then "crash"
+    # after os.replace(path, bak) and before os.replace(tmp, path)
+    merged = _df(spark, [("a", 1), ("b", 20), ("c", 3)])
+    merged.write.mode("overwrite").parquet(path + ".swap")
+    os.replace(path, path + ".old")
+
+    recover_swap(path)
+    assert _rows(spark, path) == {("a", 1), ("b", 20), ("c", 3)}
+    assert not os.path.exists(path + ".old")
+    assert not os.path.exists(path + ".swap")
+
+
+def test_crash_with_only_backup_left(spark, tmp_path):
+    """No target, no .swap, only .old → restore the backup verbatim."""
+    path = str(tmp_path / "view")
+    _seed(spark, path)
+    os.replace(path, path + ".old")
+
+    recover_swap(path)
+    assert _rows(spark, path) == {("a", 1), ("b", 2)}
+    assert not os.path.exists(path + ".old")
+
+
+def test_stale_swap_with_target_is_discarded(spark, tmp_path):
+    """Write finished but swap never started → target wins, .swap is
+    dropped (its offset was never committed; redelivery re-merges)."""
+    path = str(tmp_path / "view")
+    _seed(spark, path)
+    _df(spark, [("z", 99)]).write.mode("overwrite").parquet(path + ".swap")
+
+    recover_swap(path)
+    assert _rows(spark, path) == {("a", 1), ("b", 2)}
+    assert not os.path.exists(path + ".swap")
+    # and the next real upsert proceeds normally
+    upsert_keyed_parquet(spark, _df(spark, [("b", 20)]), path, "id")
+    assert _rows(spark, path) == {("a", 1), ("b", 20)}
+
+
+def test_leftover_backup_after_completed_swap(spark, tmp_path):
+    """Swap completed but .old cleanup didn't run → .old is dropped,
+    target untouched."""
+    path = str(tmp_path / "view")
+    _seed(spark, path)
+    shutil.copytree(path, path + ".old")
+    upsert_keyed_parquet(spark, _df(spark, [("c", 3)]), path, "id")
+    assert _rows(spark, path) == {("a", 1), ("b", 2), ("c", 3)}
+    assert not os.path.exists(path + ".old")
+
+
+def test_no_deletion_before_replacement_exists(spark, tmp_path, monkeypatch):
+    """The sink never rmtree's the live target: inject a failure into
+    the post-write rename and assert the original data is recoverable."""
+    path = str(tmp_path / "view")
+    _seed(spark, path)
+
+    real_replace = os.replace
+    calls = {"n": 0}
+
+    def flaky_replace(src, dst):
+        real_replace(src, dst)
+        calls["n"] += 1
+        if calls["n"] == 1:  # crash right after renaming target aside
+            raise RuntimeError("simulated crash")
+
+    monkeypatch.setattr(os, "replace", flaky_replace)
+    try:
+        upsert_keyed_parquet(spark, _df(spark, [("b", 20)]), path, "id")
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(os, "replace", real_replace)
+
+    # target is gone, but recovery restores the merged result
+    recover_swap(path)
+    assert _rows(spark, path) == {("a", 1), ("b", 20)}

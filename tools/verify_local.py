@@ -46,15 +46,30 @@ def normalize(df) -> list[tuple]:
 
 
 def _norm_val(v):
+    """Normalize a scalar, KEEPING its numeric kind.
+
+    The driver's hash gate distinguishes int from float (DuckDB
+    HUGEINT sums surface as float64 in pandas while Spark emits
+    BIGINT), so a type-blind compare here would print ALL GREEN for
+    queries the driver fails.  Tag every numeric value with its kind
+    so 1435 != 1435.0 locally too.
+    """
     import math
+
+    import numpy as np
 
     if v is None:
         return None
-    if isinstance(v, float):
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    if isinstance(v, (float, np.floating)):
+        v = float(v)
         if math.isnan(v):
-            return "NaN"
+            return ("f", "NaN")
         # kill -0.0 and representation jitter after upstream rounding
-        return round(v, 9) + 0.0
+        return ("f", round(v, 9) + 0.0)
     return v
 
 

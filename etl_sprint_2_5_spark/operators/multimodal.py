@@ -75,16 +75,88 @@ def attach_blob_stats(df: DataFrame, blob_col: str) -> DataFrame:
     ).withColumn("sniffed_mime", mime)
 
 
+def _residue_keys(spark, m: int):
+    """Tiny mapping DataFrame ``residue r -> int key k`` such that
+    Spark's hash-repartitioning sends key ``k`` to partition ``r`` of
+    ``m``. Lets us place row groups into *chosen* partitions through
+    the plain DataFrame API (no RDD custom partitioner, no Python
+    round-trip): generated from ``spark.range`` — O(m log m) ints, no
+    data scan — and small enough to broadcast.
+    """
+    cand = spark.range(0, 64 * m).select(
+        F.col("id").alias("_pkey"), F.pmod(F.hash("id"), F.lit(m)).alias("_r")
+    )
+    return cand.groupBy("_r").agg(F.min("_pkey").alias("_pkey"))
+
+
 def repartition_by_bytes(
     df: DataFrame, blob_col: str, target_partition_bytes: int = 128 << 20
 ) -> DataFrame:
-    """Balance heavy-tailed payloads: shard rows so each partition
-    carries ~target bytes (salt = running bytes ÷ target within a hash
-    bucket). At local scale this is a plain repartition; the point is
-    the plan survives a corpus where sizes span 6 orders of magnitude."""
-    n = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    salt = (F.crc32(F.col(blob_col)) % n).alias("_salt")
-    return df.repartition(n, salt)
+    """Balance heavy-tailed payloads: shard rows so each output
+    partition carries ≈``target_partition_bytes`` of blob data.
+
+    Mechanism (distributed throughout — no global single-task window):
+    1. hash rows into ``n_buckets`` independent buckets;
+    2. within each bucket, a window computes the RUNNING SUM of
+       ``length(blob)`` in hash order; the salt is
+       ``floor(running_bytes / target)`` — consecutive rows fill a
+       shard up to ~target bytes, and an oversized blob advances the
+       counter past several shard ids, isolating itself;
+    3. per-bucket shard counts (``n_buckets`` rows — trivially
+       collected) give each (bucket, shard) cell a dense global id,
+       and a broadcast residue-key mapping places every cell in its
+       OWN output partition — hash collisions can't stack two full
+       cells into one task.
+
+    Guarantee: partition payload ≤ target + max(blob) (≤ 2×target when
+    no single blob exceeds the target) — one 4 GB video no longer
+    serializes behind 10k thumbnails in the same Arrow task. (The AQE
+    alternative is ``hint("REBALANCE")`` with
+    ``spark.sql.adaptive.advisoryPartitionSizeInBytes``; this operator
+    gives the same shape without depending on session-global config.)
+    """
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    n_buckets = max(spark.sparkContext.defaultParallelism, 8)
+
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    salted = (
+        df.withColumn("_h", F.xxhash64(F.col(blob_col)))
+        .withColumn("_bucket", F.pmod(F.col("_h"), F.lit(n_buckets)))
+        .withColumn("_len", F.length(F.col(blob_col)).cast("long"))
+        .withColumn(
+            "_shard",
+            (F.sum("_len").over(w) / F.lit(target_partition_bytes)).cast("long"),
+        )
+    )
+
+    # dense global cell id = per-bucket shard offset + shard
+    counts = {
+        r["_bucket"]: r["n"]
+        for r in salted.groupBy("_bucket").agg(F.max("_shard").alias("mx"))
+        .select("_bucket", (F.col("mx") + 1).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(counts):
+        offsets[b] = acc
+        acc += counts[b]
+    m = max(acc, 1)
+    offset_expr = F.element_at(
+        F.create_map(*[F.lit(x) for b, o in offsets.items() for x in (b, o)]),
+        F.col("_bucket"),
+    ) if offsets else F.lit(0)
+
+    cells = salted.withColumn("_r", (offset_expr + F.col("_shard")).cast("int"))
+    placed = cells.join(F.broadcast(_residue_keys(spark, m)), "_r", "left")
+    return (
+        placed.repartition(m, "_pkey")
+        .drop("_r", "_pkey", "_h", "_bucket", "_len", "_shard")
+    )
 
 
 # ------------------------------------------------------------- fakes/hooks
@@ -104,11 +176,16 @@ def _fake_dims(payload: bytes) -> tuple[int, int, int]:
 
 def _fake_vector(payload: bytes, dim: int) -> list[float]:
     """DETERMINISTIC FAKE feature vector: md5-counter expansion → floats
-    in [-1, 1). Replaces the embedding model forward pass."""
+    in [-1, 1). Replaces the embedding model forward pass.
+
+    The counter suffix is ASCII (``:v0``, ``:v1`` …) rather than raw
+    bytes so the same hash chain is expressible in a VARCHAR-only
+    ``md5()`` (the DuckDB oracle mirrors it as ``md5(text || ':v0')``).
+    """
     out: list[float] = []
     counter = 0
     while len(out) < dim:
-        h = hashlib.md5(payload + counter.to_bytes(4, "big")).digest()
+        h = hashlib.md5(payload + b":v%d" % counter).digest()
         out.extend(b / 127.5 - 1.0 for b in h)
         counter += 1
     return out[:dim]

@@ -43,9 +43,40 @@ def multimodal_blob_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The deterministic fake codec is pure md5 arithmetic, so the oracle
+# can reproduce it in SQL:
+# - dims: first/second byte of md5(payload) → 16 + b % 240;
+# - 16-dim feature vector: bytes of md5(payload || ':v0'), each mapped
+#   b/127.5 - 1.0 and quantized to float32 (Spark stores array<float>);
+# - feat_sq_norm: Spark's F.aggregate folds acc + x*x left-to-right
+#   with a DOUBLE acc but a FLOAT multiply, so each term is
+#   CAST(x*x AS REAL)::DOUBLE and the sum is written left-associative
+#   in the same element order.
+def _feat_sq_norm_sql() -> str:
+    terms = []
+    for i in range(16):
+        x = f"CAST(('0x'||substr(fh, {2 * i + 1}, 2))::INT / 127.5 - 1.0 AS REAL)"
+        terms.append(f"CAST({x} * {x} AS REAL)::DOUBLE")
+    return " + ".join(["0.0", *terms])
+
+
 @query(
     "multimodal_decode_features",
-    oracle=None,  # mapInPandas fake-codec path — rows-only check
+    oracle=f"""
+    WITH hashed AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id,
+             md5(text)               AS dh,
+             md5(text || ':v0')      AS fh
+      FROM documents
+    )
+    SELECT id,
+           16 + ('0x'||substr(dh, 1, 2))::INT % 240 AS width,
+           16 + ('0x'||substr(dh, 3, 2))::INT % 240 AS height,
+           round({_feat_sq_norm_sql()}, 4)          AS feat_sq_norm
+    FROM hashed
+    ORDER BY id
+    LIMIT 200
+    """,
     covers=("X-multimodal-decode", "X-multimodal-features"),
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:

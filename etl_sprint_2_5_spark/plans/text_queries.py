@@ -141,6 +141,31 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# fulltext oracle: mirrors fulltext_score's tf·idf exactly —
+# idf = round(ln(1 + (N - df + 0.5)/(df + 0.5)), 6) from corpus doc
+# frequencies, per-term contribution = (w · idf) · tf, summed in the
+# written field-major/term-major order.
+_FT_TERMS = ("spark", "window", "merge")
+_FT_FIELDS = (("tk", "3.0"), ("srctk", "1.0"))
+
+
+def _ft_df_aggs() -> str:
+    return ",\n             ".join(
+        f"sum(CASE WHEN list_contains({c}, '{t}') THEN 1 ELSE 0 END) AS df_{c}_{t}"
+        for c, _ in _FT_FIELDS
+        for t in _FT_TERMS
+    )
+
+
+def _ft_score_sql() -> str:
+    return "\n                 + ".join(
+        f"{w} * round(ln(1 + (n - df_{c}_{t} + 0.5)/(df_{c}_{t} + 0.5)), 6)"
+        f" * len(list_filter({c}, x -> x = '{t}'))"
+        for c, w in _FT_FIELDS
+        for t in _FT_TERMS
+    )
+
+
 @query(
     "fulltext_search",
     oracle=f"""
@@ -149,15 +174,14 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(string_split(trim(regexp_replace(lower(source),
                '[^a-z0-9]+', ' ', 'g')), ' '), t -> len(t) > 0) AS srctk
       FROM documents
+    ), stats AS (
+      SELECT count(*) AS n,
+             {_ft_df_aggs()}
+      FROM toks
     ), scored AS (
       SELECT doc_id,
-             round(3.0 * (len(list_filter(tk, t -> t = 'spark'))
-                        + len(list_filter(tk, t -> t = 'window'))
-                        + len(list_filter(tk, t -> t = 'merge')))
-                 + 1.0 * (len(list_filter(srctk, t -> t = 'spark'))
-                        + len(list_filter(srctk, t -> t = 'window'))
-                        + len(list_filter(srctk, t -> t = 'merge'))), 2) AS score
-      FROM toks
+             round({_ft_score_sql()}, 2) AS score
+      FROM toks, stats
     )
     SELECT doc_id, score
     FROM scored

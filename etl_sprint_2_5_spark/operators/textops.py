@@ -2,8 +2,10 @@
 counting, full-text scoring (BASELINE.json extension surface +
 SURVEY.md §2.7 F11/F12).
 
-All pure Column expressions (codegen'd, no UDFs). The same formulas
-are mirrored in the DuckDB oracles, so scores are hash-verified.
+Pure Column expressions (codegen'd) throughout; the one sanctioned
+Python stage is the OPT-IN Porter stemming pass (functions/stem.py,
+``stem=True``) — the default chain stays UDF-free, so the same
+formulas are mirrored in the DuckDB oracles and hash-verified.
 """
 
 from __future__ import annotations
@@ -94,6 +96,7 @@ def corpus_term_stats(
     df: DataFrame,
     terms: tuple[str, ...],
     fields: tuple[str, ...],
+    stem: bool = False,
 ) -> dict:
     """Corpus statistics for idf weighting: one aggregate pass over the
     tokenized fields → ``{"n": N, "df": {(field, term): doc_freq}}``.
@@ -101,9 +104,12 @@ def corpus_term_stats(
     |fields|×|terms| counters in a single-row agg — the "small
     broadcast" of the scoring design. In a serving deployment this is
     computed once at index-build time and reused per query."""
+    from etl_sprint_2_5_spark.functions.stem import tokenize_stemmed
+
+    analyzer = tokenize_stemmed if stem else tokenize
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, field in enumerate(fields):
-        toks = tokenize(field)
+        toks = analyzer(field)
         for j, term in enumerate(terms):
             aggs.append(
                 F.sum(F.array_contains(toks, term).cast("int")).alias(f"_df_{i}_{j}")
@@ -133,6 +139,7 @@ def fulltext_score(
     terms: tuple[str, ...],
     fields: dict[str, float],
     stats: dict | None = None,
+    stem: bool = False,
 ) -> DataFrame:
     """Weighted multi-field tf·idf score — the in-engine approximation
     of the reference's ES multi_match with per-field boosts
@@ -153,8 +160,14 @@ def fulltext_score(
     (k1) and no field-length normalization (b)."""
     from functools import reduce
 
+    from etl_sprint_2_5_spark.functions.stem import porter_stem, stem_token
+
+    if stem:
+        # stem the query terms with the same algorithm the token
+        # stream goes through, so 'running' matches 'runs'
+        terms = tuple(dict.fromkeys(porter_stem(t) for t in terms))
     if stats is None:
-        stats = corpus_term_stats(df, terms, tuple(fields))
+        stats = corpus_term_stats(df, terms, tuple(fields), stem=stem)
     n = stats["n"]
 
     parts = [
@@ -165,9 +178,10 @@ def fulltext_score(
         )
         for field in fields
     ]
-    tokens = reduce(lambda a, b: a.unionByName(b), parts).where(
-        F.col("_t").isin(*terms)
-    )
+    tokens = reduce(lambda a, b: a.unionByName(b), parts)
+    if stem:
+        tokens = tokens.withColumn("_t", stem_token("_t"))
+    tokens = tokens.where(F.col("_t").isin(*terms))
     weight_entries = []
     for field, w in fields.items():
         for term in terms:

@@ -29,6 +29,7 @@ Unlike the reference's one-batch-per-poll quirk (T8, max 500 rows/s),
 from __future__ import annotations
 
 import datetime as dt
+import time
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -86,6 +87,32 @@ class Pipeline:
     batch_size: int = 1000
 
 
+def with_backoff(
+    fn: Callable[[], None],
+    retries: int = 5,
+    start: float = 0.1,
+    factor: float = 2.0,
+    border: float = 10.0,
+) -> None:
+    """Capped exponential backoff around a remote call — the bounded
+    version of the reference's retry wrapper (postgres_to_es/
+    utils.py:19-53: 0.1 s start, ×2, 10 s cap; infinite there, bounded
+    here so a dead sink fails the cycle loudly instead of hanging the
+    daemon). Safe to combine with commit-after-sink: a retried
+    delivery re-runs the idempotent upsert, so effects stay
+    exactly-once and the offset still advances exactly once."""
+    delay = start
+    for attempt in range(retries + 1):
+        try:
+            return fn()
+        except Exception:  # noqa: BLE001 — transient sink/IO errors
+            if attempt == retries:
+                raise
+            time.sleep(min(delay, border))
+            delay *= factor
+    return None
+
+
 def run_cycle(
     spark: SparkSession,
     p: Pipeline,
@@ -113,7 +140,11 @@ def run_cycle(
         n = batch.count()
         ids = p.fanout.affected_ids(batch, load)
         docs = p.rebuild(load, ids)
-        upsert_keyed_parquet(spark, docs, p.sink_path, p.doc_key)
+        # T6: transient sink failures are retried with capped backoff;
+        # only a still-failing sink aborts the cycle (offset unmoved)
+        with_backoff(
+            lambda: upsert_keyed_parquet(spark, docs, p.sink_path, p.doc_key)
+        )
         # T2: ONLY after the sink returned do we advance the cursor
         ts_val = tail["ts"]
         if isinstance(ts_val, str):

@@ -177,3 +177,60 @@ def test_backdated_update_is_missed_t5_parity(spark, env):
         for r in read_view(spark, f"{tmp}/gold/movies_gold").collect()
     }
     assert "GHOST EDIT" not in titles  # reference semantics, documented
+
+
+def test_flaky_sink_retried_offset_advances_once(spark, env, monkeypatch):
+    """T6: two transient sink failures → backoff retries inside the
+    SAME cycle; the offset advances exactly once and the view equals
+    the clean batch build (no loss, no duplicates)."""
+    import etl_sprint_2_5_spark.streaming.ivm as ivm_mod
+    from etl_sprint_2_5_spark.streaming.sink import upsert_keyed_parquet
+
+    tmp, offsets, pipes = env
+    ld = loader(spark, tmp)
+    calls = {"n": 0}
+
+    def flaky(spark_, batch, path, key):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise OSError("simulated transient sink failure")
+        return upsert_keyed_parquet(spark_, batch, path, key)
+
+    monkeypatch.setattr(ivm_mod, "upsert_keyed_parquet", flaky)
+    monkeypatch.setattr(ivm_mod.time, "sleep", lambda s: None)
+
+    before_ts, before_id = offsets.get(pipes[0].name)
+    n = run_cycle(spark, pipes[0], ld, offsets)
+    assert n > 0 and calls["n"] == 3  # 2 failures + 1 success
+    after = offsets.get(pipes[0].name)
+    assert after != (before_ts, before_id)  # committed exactly once
+
+    monkeypatch.setattr(ivm_mod, "upsert_keyed_parquet", upsert_keyed_parquet)
+    run_to_completion(spark, pipes, ld, offsets)
+    t = current(spark, tmp)
+    assert rows_set(read_view(spark, f"{tmp}/gold/movies_gold")) == rows_set(
+        movies_gold(t)
+    )
+
+
+def test_dead_sink_aborts_cycle_offset_unmoved(spark, env, monkeypatch):
+    """A sink that never recovers exhausts the bounded retries, the
+    cycle raises, and the offset does NOT advance — the batch will be
+    re-delivered on the next cycle."""
+    import pytest as _pytest
+
+    import etl_sprint_2_5_spark.streaming.ivm as ivm_mod
+
+    tmp, offsets, pipes = env
+    ld = loader(spark, tmp)
+
+    def dead(*a, **k):
+        raise OSError("sink permanently down")
+
+    monkeypatch.setattr(ivm_mod, "upsert_keyed_parquet", dead)
+    monkeypatch.setattr(ivm_mod.time, "sleep", lambda s: None)
+
+    before = offsets.get(pipes[0].name)
+    with _pytest.raises(OSError):
+        run_cycle(spark, pipes[0], ld, offsets)
+    assert offsets.get(pipes[0].name) == before

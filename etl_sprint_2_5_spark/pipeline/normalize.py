@@ -110,17 +110,23 @@ def _role_universe(
         .select("movie_id", F.col("name").alias("full_name"), F.lit(ROLE_ACTOR).alias("role"))
     )
 
-    # writers: union of the single legacy `writer` id column and the
-    # JSON `writers` array (etl.py:96-108), deduped per movie
+    # writers: the JSON `writers` array when present, else the single
+    # legacy `writer` id column as FALLBACK (etl.py:95-101: `if
+    # movie["writers"]: ... else: [movie["writer"]]` — a movie with
+    # both populated must NOT gain a credit from the legacy column);
+    # writers_json is sentinel-cleaned to NULL, so isNotNull() is
+    # exactly the reference's truthiness test. Deduped per movie.
     writer_ids = movies.select(
         "movie_id",
         F.explode(
             F.array_distinct(
-                F.concat(
+                F.when(
+                    F.col("writers_json").isNotNull(),
                     F.coalesce(json_ids("writers_json"), F.array()),
+                ).otherwise(
                     F.when(
                         F.col("writer_id").isNotNull(), F.array("writer_id")
-                    ).otherwise(F.array()),
+                    ).otherwise(F.array())
                 )
             )
         ).alias("writer_id"),

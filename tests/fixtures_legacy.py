@@ -52,12 +52,19 @@ def make_legacy(seed: int = 42, n_movies: int = 60):
         rating = f"{rng.uniform(1, 10):.1f}"
         if rng.random() < 0.1:
             rating = "N/A"
-        if rng.random() < 0.5:
+        roll = rng.random()
+        if roll < 0.4:
             writer, writers_json = rng.choice(writers)[0], ""
-        else:
+        elif roll < 0.85:
             ids = [rng.choice(writers)[0] for _ in range(rng.randint(1, 3))]
             ids += ids[:1]  # duplicate id inside the JSON (etl.py:102-103)
             writer = ""
+            writers_json = json.dumps([{"id": w} for w in ids])
+        else:
+            # BOTH populated: the JSON array must win and the legacy
+            # writer column be ignored (etl.py:95-101 fallback shape)
+            ids = [rng.choice(writers)[0] for _ in range(rng.randint(1, 2))]
+            writer = rng.choice(writers)[0]
             writers_json = json.dumps([{"id": w} for w in ids])
         movies.append(
             (mid, genre, director, writer, title_of(i), plot, None, rating, writers_json)

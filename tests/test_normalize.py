@@ -44,11 +44,14 @@ def python_oracle(seed=42, n_movies=60):
         if director not in SENTINELS:
             for d in dict.fromkeys(director.split(", ")):
                 roles.add((mid, d, "director"))
-        wids = []
+        # etl.py:95-101: JSON array wins when truthy; the legacy
+        # writer column is only the fallback
         if writers_json not in SENTINELS:
-            wids += [w["id"] for w in json.loads(writers_json)]
-        if writer not in SENTINELS:
-            wids.append(writer)
+            wids = [w["id"] for w in json.loads(writers_json)]
+        elif writer not in SENTINELS:
+            wids = [writer]
+        else:
+            wids = []
         for w in dict.fromkeys(wids):
             if w in writer_name:
                 roles.add((mid, writer_name[w], "writer"))

@@ -93,6 +93,49 @@ def assign_cells(
     )
 
 
+def train_ivf_centroids(
+    corpus: DataFrame,
+    init_centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    iters: int = 2,
+) -> DataFrame:
+    """Deterministic Lloyd (k-means) refinement of the IVF centroids.
+
+    Init comes from FIXED corpus rows (the mod-key seeds), so there is
+    no RNG anywhere; each iteration re-assigns by the same
+    round(cos,6)+id rule as search and recomputes every centroid as
+    the element-wise mean of its members, ROUNDED TO 6 DECIMALS — the
+    rounding pins the trained centroids to values the DuckDB oracle's
+    unrolled-CTE mirror reproduces exactly, so assignment boundaries
+    cannot drift between engines.
+
+    Shapes at scale: assignment is the broadcast join of
+    ``assign_cells``; the mean is posexplode → (cell, pos) partial-agg
+    — both shuffle O(corpus·dim) ints/doubles, no all-pairs anywhere.
+    Cells that lose all members drop out (standard k-means dying-cell
+    behavior, mirrored identically in the oracle)."""
+    cent = init_centroids.select(id_col, vec_col)
+    for _ in range(iters):
+        assigned = assign_cells(corpus, cent, id_col, vec_col)
+        cent = (
+            assigned.select(
+                "centroid_id", F.posexplode(F.col(vec_col)).alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("v").alias("v"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "v"))),
+                    lambda s: F.round(s["v"], 6),
+                ).alias(vec_col)
+            )
+            .select(F.col("centroid_id").alias(id_col), vec_col)
+        )
+    return cent
+
+
 def ivf_topk(
     corpus_cells: DataFrame,
     queries_cells: DataFrame,

@@ -11,6 +11,7 @@ from etl_sprint_2_5_spark.operators.similarity import (
     assign_cells,
     brute_force_topk,
     ivf_topk,
+    train_ivf_centroids,
 )
 from etl_sprint_2_5_spark.plans.registry import query
 from etl_sprint_2_5_spark.sources.parquet import load_table
@@ -54,21 +55,54 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
-    WITH centroids AS (
-      SELECT vec_id AS centroid_id, embedding FROM embeddings
+_IVF_ITERS = 2  # Lloyd refinement rounds (mirrored in the oracle CTEs)
+
+
+def _ivf_trained_ctes(iters: int) -> str:
+    """Unrolled k-means: cent0 = mod-key seeds; each round re-assigns
+    by round(cos,6)+centroid_id and averages members element-wise,
+    rounding components to 6 decimals (the cross-engine pin)."""
+    parts = [
+        f"""cent0 AS (
+      SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS emb FROM embeddings
       WHERE vec_id % {_CENTROID_MOD} = 0
-    ), assigned AS (
+    )"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f"""asg{i} AS (
       SELECT vec_id, embedding, centroid_id FROM (
         SELECT a.vec_id, a.embedding, c.centroid_id,
                row_number() OVER (
                  PARTITION BY a.vec_id
                  ORDER BY round(list_cosine_similarity(
-                   a.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) DESC,
+                   a.embedding::DOUBLE[], c.emb), 6) DESC, c.centroid_id) AS rn
+        FROM embeddings a, cent{i - 1} c
+      ) WHERE rn = 1
+    )""")
+        parts.append(f"""cent{i} AS (
+      SELECT centroid_id, list(round(v, 6) ORDER BY i) AS emb FROM (
+        SELECT centroid_id, i, avg(v) AS v FROM (
+          SELECT centroid_id, unnest(embedding::DOUBLE[]) AS v,
+                 generate_subscripts(embedding, 1) AS i
+          FROM asg{i})
+        GROUP BY centroid_id, i)
+      GROUP BY centroid_id
+    )""")
+    return ", ".join(parts)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_ivf_trained_ctes(_IVF_ITERS)}, assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT a.vec_id, a.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], c.emb), 6) DESC,
                    c.centroid_id) AS rn
-        FROM embeddings a, centroids c
+        FROM embeddings a, cent{_IVF_ITERS} c
       ) WHERE rn = 1
     ), scored AS (
       SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
@@ -87,11 +121,16 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers=("X-ann-ivf",),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed ANN: fixed centroids (vec_id % 100 == 0), nearest-
-    cell assignment at build, probe restricted to the query's cell —
-    the partition-pruned scale path (approximate by construction)."""
+    """IVF-bucketed ANN with TRAINED centroids: mod-key seed rows
+    (vec_id % 100 == 0) refined by deterministic k-means
+    (train_ivf_centroids, 2 Lloyd rounds — mirrored in the oracle's
+    unrolled CTEs), nearest-cell assignment at build, probe restricted
+    to the query's cell — the partition-pruned scale path. At 100 TB
+    training runs once offline; the query-time cost here is the local
+    test convenience."""
     e = load_table(spark, "embeddings", sf_dir)
-    centroids = e.where(F.col("vec_id") % _CENTROID_MOD == 0)
+    seeds = e.where(F.col("vec_id") % _CENTROID_MOD == 0)
+    centroids = train_ivf_centroids(e, seeds, "vec_id", "embedding", _IVF_ITERS)
     assigned = assign_cells(e, centroids, "vec_id", "embedding")
     q_cells = assigned.where(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(assigned, q_cells, "vec_id", "embedding", _K).orderBy(

@@ -83,3 +83,50 @@ def test_multiprobe_recall_not_worse(spark, corpus):
 
     r1, r2 = recall(1), recall(2)
     assert r2 >= r1, (r1, r2)  # probing more cells never loses neighbors
+
+
+def test_trained_centroids_recall(spark, corpus):
+    """k-means-trained centroids (train_ivf_centroids) recall bars.
+
+    Why the bars are 0.85@nprobe=2 / 0.9@nprobe=3 and not higher:
+    this fixture's embeddings have NO planted cluster structure
+    (measured: same-label vs cross-label mean cos 0.003 vs 0.002; no
+    truth pair above cos 0.49), so recall on background neighbors is
+    Voronoi-coverage-bound — with 10 balanced cells, ideal label-MEAN
+    centroids reach only 0.375@nprobe=2. The trained cells beat that
+    by a wide margin because directional neighbors co-locate in
+    Voronoi cells (the actual IVF mechanism), but ≥0.9 at nprobe=2 is
+    structurally out of reach at this cell count/coverage. All inputs
+    and the training are deterministic (round(6) pins), so exact
+    thresholds are stable.
+    """
+    from etl_sprint_2_5_spark.operators.similarity import train_ivf_centroids
+
+    queries = corpus.orderBy("vec_id").limit(N_QUERIES)
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(corpus, queries, "vec_id", "embedding", K).collect()
+    }
+    seeds = (
+        corpus.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("label").orderBy("vec_id")),
+        )
+        .where(F.col("_rn") == 1)
+        .select(F.col("label").alias("vec_id"), "embedding")
+    )
+    trained = train_ivf_centroids(corpus, seeds, "vec_id", "embedding", iters=4)
+    trained = trained.cache()
+    corpus_cells = assign_cells(corpus, trained, "vec_id", "embedding")
+
+    def recall(nprobe: int) -> float:
+        qc = assign_cells(queries, trained, "vec_id", "embedding", nprobe=nprobe)
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_topk(corpus_cells, qc, "vec_id", "embedding", K).collect()
+        }
+        return len(truth & got) / len(truth)
+
+    r2, r3 = recall(2), recall(3)
+    assert r2 >= 0.85, f"trained recall@{K} nprobe=2 = {r2:.3f}"
+    assert r3 >= 0.90, f"trained recall@{K} nprobe=3 = {r3:.3f}"

@@ -47,3 +47,55 @@ def test_write_es_raises_clear_error_without_connector(spark):
     df = spark.createDataFrame([("a",)], ["id"])
     with pytest.raises(RuntimeError, match="upsert_keyed_parquet"):
         write_es(df, **es_options("localhost:9200", "t"))
+
+
+def test_index_bootstrap_payloads_match_reference_schemas():
+    """S7 search-side DDL: the StructType-derived PUT bodies must equal
+    the reference's three *.es.schema.json files (run.sh:25-29) —
+    checked against the files when the reference tree is present, and
+    against embedded invariants always (so the repo stays standalone)."""
+    import json
+    import os
+
+    from etl_sprint_2_5_spark.streaming.es_sink import index_bootstrap_payloads
+
+    payloads = index_bootstrap_payloads()
+    assert set(payloads) == {"movies", "persons", "genres"}
+
+    for name, body in payloads.items():
+        assert body["mappings"]["dynamic"] == "strict"
+        an = body["settings"]["analysis"]["analyzer"]["ru_en"]
+        assert an["filter"][:2] == ["lowercase", "english_stop"]
+        assert "russian_stemmer" in an["filter"]
+        assert body["settings"]["refresh_interval"] == "1s"
+        assert body["mappings"]["properties"]["id"] == {"type": "keyword"}
+
+    m = payloads["movies"]["mappings"]["properties"]
+    assert m["title"] == {
+        "type": "text", "analyzer": "ru_en",
+        "fields": {"raw": {"type": "keyword"}},
+    }
+    assert m["imdb_rating"] == {"type": "float"}
+    assert m["actors"] == {
+        "type": "nested", "dynamic": "strict",
+        "properties": {
+            "id": {"type": "keyword"},
+            "name": {"type": "text", "analyzer": "ru_en"},
+        },
+    }
+
+    ref = "/root/reference"
+    if os.path.isdir(ref):  # full byte-parity when the reference exists
+        for name in payloads:
+            want = json.load(open(f"{ref}/{name}.es.schema.json"))
+            assert payloads[name] == want, name
+
+
+def test_es_options_auto_create_gate():
+    from etl_sprint_2_5_spark.streaming.es_sink import es_options
+
+    assert es_options("es:9200", "movies")["es.index.auto.create"] == "true"
+    assert (
+        es_options("es:9200", "movies", auto_create=False)["es.index.auto.create"]
+        == "false"
+    )

@@ -108,9 +108,13 @@ def repartition_by_bytes(
        OWN output partition — hash collisions can't stack two full
        cells into one task.
 
-    Guarantee: partition payload ≤ target + max(blob) (≤ 2×target when
-    no single blob exceeds the target) — one 4 GB video no longer
-    serializes behind 10k thumbnails in the same Arrow task. (The AQE
+    Guarantee (salted path): partition payload ≤ target + max(blob)
+    (≤ 2×target when no single blob exceeds the target) — one 4 GB
+    video no longer serializes behind 10k thumbnails in the same Arrow
+    task. Batches whose TOTAL bytes fit n_buckets × target take a
+    plain hash-spread fast path instead (average load ≤ target by
+    construction; byte-aware splitting can't improve it, so the window
+    + cell machinery and their extra jobs are skipped). (The AQE
     alternative is ``hint("REBALANCE")`` with
     ``spark.sql.adaptive.advisoryPartitionSizeInBytes``; this operator
     gives the same shape without depending on session-global config.)
@@ -119,6 +123,15 @@ def repartition_by_bytes(
 
     spark = df.sparkSession
     n_buckets = max(spark.sparkContext.defaultParallelism, 8)
+
+    # Fast path: when the whole corpus fits n_buckets × target (the
+    # common case for small/medium batches), byte-aware salting cannot
+    # improve on plain hash spreading — skip the window + cell
+    # machinery and their extra jobs. The one cheap aggregate reads
+    # only blob lengths.
+    total = df.agg(F.sum(F.length(F.col(blob_col))).alias("b")).first()["b"] or 0
+    if total <= n_buckets * target_partition_bytes:
+        return df.repartition(n_buckets, F.xxhash64(F.col(blob_col)))
 
     w = (
         Window.partitionBy("_bucket")

@@ -85,6 +85,27 @@ def assign_cells(
         F.col("centroid_id"),
         F.round(cosine_pandas(F.col(vec_col), F.col("_cev")), 6).alias("_cc"),
     )
+    if nprobe == 1:
+        # top-1 as a partial-aggregating min(struct): map-side combine
+        # collapses the C candidate rows per vector BEFORE the shuffle
+        # (the window variant sorts the whole corpus×C expansion).
+        # min of (-cc, centroid_id, vec) == (cc DESC, centroid_id ASC);
+        # centroid_id is unique per group so the vec field never
+        # participates in the comparison.
+        packed = scored.groupBy(id_col).agg(
+            F.min(
+                F.struct(
+                    (-F.col("_cc")).alias("nc"),
+                    F.col("centroid_id").alias("cid"),
+                    F.col(vec_col).alias("v"),
+                )
+            ).alias("_m")
+        )
+        return packed.select(
+            F.col(id_col),
+            F.col("_m.v").alias(vec_col),
+            F.col("_m.cid").alias("centroid_id"),
+        )
     w = Window.partitionBy(id_col).orderBy(F.desc("_cc"), F.asc("centroid_id"))
     return (
         scored.withColumn("_rn", F.row_number().over(w))
@@ -93,12 +114,48 @@ def assign_cells(
     )
 
 
+def _round_half_up6(x):
+    """round(x, 6) with HALF_UP ties — matches Spark's BigDecimal
+    ROUND and DuckDB's round(), unlike numpy's half-even."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
+def _train_numpy(rows, vec_key, init_rows, id_key, iters):
+    """Driver-side Lloyd — bit-compatible with the distributed path:
+    cosine rounded to 6 (HALF_UP), first-max == smallest centroid id
+    tie-break (columns pre-sorted by id), means rounded to 6. Seed
+    vectors come from the init rows themselves (their ids need not
+    exist in the corpus — e.g. label-keyed seeds)."""
+    import numpy as np
+
+    V = np.array([r[vec_key] for r in rows], dtype="float64")
+    vnorm = np.sqrt((V * V).sum(1))
+    init_sorted = sorted(init_rows, key=lambda r: r[id_key])
+    cids = [r[id_key] for r in init_sorted]
+    C = np.array([r[vec_key] for r in init_sorted], dtype="float64")
+    for _ in range(iters):
+        cnorm = np.sqrt((C * C).sum(1))
+        sim = _round_half_up6((V @ C.T) / np.outer(vnorm, cnorm))
+        cell = np.argmax(sim, axis=1)  # first max == smallest cid
+        keep, newc = [], []
+        for j, cid in enumerate(cids):
+            members = V[cell == j]
+            if len(members):
+                keep.append(cid)
+                newc.append(_round_half_up6(members.mean(axis=0)))
+        cids, C = keep, np.array(newc, dtype="float64")
+    return cids, C
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     init_centroids: DataFrame,
     id_col: str,
     vec_col: str,
     iters: int = 2,
+    driver_limit: int = 200_000,
 ) -> DataFrame:
     """Deterministic Lloyd (k-means) refinement of the IVF centroids.
 
@@ -114,7 +171,40 @@ def train_ivf_centroids(
     ``assign_cells``; the mean is posexplode → (cell, pos) partial-agg
     — both shuffle O(corpus·dim) ints/doubles, no all-pairs anywhere.
     Cells that lose all members drop out (standard k-means dying-cell
-    behavior, mirrored identically in the oracle)."""
+    behavior, mirrored identically in the oracle).
+
+    Execution: corpora up to ``driver_limit`` vectors train DRIVER-SIDE
+    in numpy (the faiss convention — IVF training is a sample-bounded
+    offline step; 200k × 768 doubles ≈ 1.2 GB is the practical driver
+    ceiling, and Spark-job latency would dominate below that). Larger
+    corpora fall back to the distributed Lloyd below, which computes
+    the identical rounded values (property-tested equal). Either way
+    the result is a small LOCAL DataFrame: centroids are tiny, and
+    chaining the training plan under every downstream assignment would
+    re-execute the Lloyd subtree per consumer and blow up plan depth."""
+    probe = corpus.select(
+        F.col(id_col), F.col(vec_col)
+    ).limit(driver_limit + 1).collect()
+    if len(probe) <= driver_limit:
+        init_rows = init_centroids.select(id_col, vec_col).collect()
+        cids, C = _train_numpy(probe, vec_col, init_rows, id_col, iters)
+        from pyspark.sql.types import (
+            ArrayType,
+            DoubleType,
+            StructField,
+            StructType,
+        )
+
+        schema = StructType(
+            [
+                StructField(id_col, init_centroids.schema[id_col].dataType),
+                StructField(vec_col, ArrayType(DoubleType())),
+            ]
+        )
+        return corpus.sparkSession.createDataFrame(
+            [(c, [float(x) for x in vec]) for c, vec in zip(cids, C)], schema
+        )
+
     cent = init_centroids.select(id_col, vec_col)
     for _ in range(iters):
         assigned = assign_cells(corpus, cent, id_col, vec_col)
@@ -133,7 +223,8 @@ def train_ivf_centroids(
             )
             .select(F.col("centroid_id").alias(id_col), vec_col)
         )
-    return cent
+    schema = cent.schema
+    return corpus.sparkSession.createDataFrame(cent.collect(), schema)
 
 
 def ivf_topk(

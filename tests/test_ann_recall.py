@@ -130,3 +130,26 @@ def test_trained_centroids_recall(spark, corpus):
     r2, r3 = recall(2), recall(3)
     assert r2 >= 0.85, f"trained recall@{K} nprobe=2 = {r2:.3f}"
     assert r3 >= 0.90, f"trained recall@{K} nprobe=3 = {r3:.3f}"
+
+
+def test_trained_centroids_driver_and_distributed_agree(spark, corpus):
+    """The numpy (driver, faiss-style) and distributed Lloyd paths must
+    produce IDENTICAL centroids — the round(6) HALF_UP pins make the
+    arithmetic agree despite different summation orders."""
+    from etl_sprint_2_5_spark.operators.similarity import train_ivf_centroids
+
+    seeds = (
+        corpus.withColumn(
+            "_rn",
+            F.row_number().over(Window.partitionBy("label").orderBy("vec_id")),
+        )
+        .where(F.col("_rn") == 1)
+        .select(F.col("label").alias("vec_id"), "embedding")
+    )
+    fast = train_ivf_centroids(corpus, seeds, "vec_id", "embedding", iters=2)
+    slow = train_ivf_centroids(
+        corpus, seeds, "vec_id", "embedding", iters=2, driver_limit=0
+    )
+    f = {r["vec_id"]: list(r["embedding"]) for r in fast.collect()}
+    s = {r["vec_id"]: list(r["embedding"]) for r in slow.collect()}
+    assert f == s

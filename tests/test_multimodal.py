@@ -98,8 +98,10 @@ def test_repartition_by_bytes_heavy_tail(spark):
     import os
 
     target = 64 << 10
-    rows = [(f"small-{i}", os.urandom(7) * 147) for i in range(400)]  # ~1 KB each
-    rows += [(f"big-{i}", os.urandom(13) * 4736) for i in range(6)]  # ~60 KB each
+    # total ~7.6 MB >> n_buckets*target (2 MB) so the salted path (the
+    # one carrying the strict bound) is exercised, not the fast path
+    rows = [(f"small-{i}", os.urandom(7) * 147) for i in range(4000)]  # ~1 KB each
+    rows += [(f"big-{i}", os.urandom(13) * 4736) for i in range(60)]  # ~60 KB each
     df = spark.createDataFrame(rows, "id string, payload binary")
 
     out = M.repartition_by_bytes(df, "payload", target_partition_bytes=target)

@@ -278,6 +278,14 @@ def cosine_pandas(a_col, b_col):  # noqa: ANN201
     return pandas_udf(_cos, "double")(a, b)
 
 
+def round_half_up6(x):
+    """round(x, 6) with HALF_UP ties in numpy — matches Spark's
+    BigDecimal ROUND and DuckDB's round(), unlike numpy's half-even."""
+    import numpy as np
+
+    return np.sign(x) * np.floor(np.abs(x) * 1e6 + 0.5) / 1e6
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str,
@@ -288,26 +296,37 @@ def embedding_near_dups(
     """Blocked cosine near-dup pairs: all-pairs only WITHIN a block
     (label / IVF cell / LSH bucket), never corpus-wide.
 
-    The self-join shuffles both sides on the block key; pair explosion
-    is bounded per block. Scoring uses the Arrow-vectorized cosine.
+    Execution: ONE shuffle of the vectors on the block key into
+    ``applyInPandas``, which computes the whole block's cosine matrix
+    with a single BLAS gemm and emits only the i<j pairs at/above the
+    threshold. Contrast the pair-join formulation, whose exchange
+    carries BOTH vectors for every candidate pair — O(block²·dim)
+    shuffle bytes vs O(block·dim) here. cos = dot/(|a||b|) rounded to
+    6 HALF_UP, identical to the expression/oracle formulation. Block
+    sizes are bounded by construction (label / IVF cell / LSH bucket);
+    corpora with unbounded blocks belong in minhash-LSH instead.
     Output: id_a, id_b, cos (rounded)."""
-    left = df.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).alias("_va"),
-    )
-    right = df.select(
-        F.col(block_col).alias("_blk"),
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).alias("_vb"),
-    )
-    return (
-        left.join(right, "_blk")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cosine_pandas("_va", "_vb"), 6).alias("cos"),
+    import numpy as np
+    import pandas as pd
+
+    id_type = df.schema[id_col].dataType.simpleString()
+    out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        V = np.stack(pdf[vec_col].to_numpy())[order].astype("float64")
+        dots = V @ V.T
+        n = np.sqrt(np.einsum("ij,ij->i", V, V))
+        cos = round_half_up6(dots / np.outer(n, n))
+        ia, ib = np.triu_indices(len(ids), k=1)
+        keep = cos[ia, ib] >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cos": cos[ia, ib][keep]}
         )
-        .where(F.col("cos") >= threshold)
+
+    return (
+        df.select(F.col(block_col).alias("_blk"), F.col(id_col), F.col(vec_col))
+        .groupBy("_blk")
+        .applyInPandas(block, out_schema)
     )

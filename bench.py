@@ -46,6 +46,7 @@ HEADLINE = [
     "fulltext_search",
     "multimodal_blob_stats",
     "multimodal_decode_features",
+    "contamination_check",
     "persons_gold_shape",
     "genres_gold_shape",
 ]

@@ -4,6 +4,7 @@ from etl_sprint_2_5_spark.plans.registry import REGISTRY, Query, query  # noqa: 
 def load_all() -> None:
     """Import every plan module so its @query registrations run."""
     import etl_sprint_2_5_spark.plans.core_queries  # noqa: F401
+    import etl_sprint_2_5_spark.plans.curation_queries  # noqa: F401
     import etl_sprint_2_5_spark.plans.dedup_queries  # noqa: F401
     import etl_sprint_2_5_spark.plans.events_queries  # noqa: F401
     import etl_sprint_2_5_spark.plans.gold_queries  # noqa: F401

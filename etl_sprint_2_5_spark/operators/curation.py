@@ -59,25 +59,35 @@ def contamination_overlap(
     """Per-document count of word n-grams that also appear in the
     benchmark set (train/test contamination detection).
 
-    Shape: the benchmark's distinct shingles are aggregated into ONE
-    broadcast array; the corpus side computes, per row,
-    ``size(array_intersect(doc_shingles, benchmark_shingles))`` —
-    map-side only, no shuffle of the corpus. At real scale the
+    Shape: the benchmark's distinct shingles form a small table that
+    BROADCASTS; the corpus explodes its distinct shingles and counts
+    hits through a broadcast hash semi-join — the hash set is built
+    ONCE per executor (an array_intersect against a literal array
+    would rebuild it per row), and the corpus is never shuffled on
+    content, only on doc_id for the final count. At real scale the
     blocklist is shingle HASHES (a few GB for all public benchmarks);
     the join stays a broadcast."""
-    bench_shingles = benchmark.select(
-        F.explode(word_shingles(text_col, n)).alias("s")
-    ).distinct().agg(F.array_sort(F.collect_set("s")).alias("_bench"))
+    bench_shingles = (
+        benchmark.select(F.explode(word_shingles(text_col, n)).alias("_s"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    # single pass over the corpus: shingle array built once, size
+    # carried through the explode so no second scan/codegen of the
+    # shingle tree is needed for the totals
+    exploded = corpus.select(
+        F.col(id_col), F.array_distinct(word_shingles(text_col, n)).alias("_sh")
+    ).select(
+        F.col(id_col),
+        F.size("_sh").alias("n_shingles"),
+        F.explode_outer("_sh").alias("_s"),
+    )
     return (
-        corpus.crossJoin(F.broadcast(bench_shingles))
-        .select(
-            F.col(id_col),
-            F.size(F.array_distinct(word_shingles(text_col, n))).alias("n_shingles"),
-            F.size(
-                F.array_intersect(
-                    F.array_distinct(word_shingles(text_col, n)), F.col("_bench")
-                )
-            ).alias("n_contaminated"),
+        exploded.join(F.broadcast(bench_shingles), "_s", "left")
+        .groupBy(id_col)
+        .agg(
+            F.first("n_shingles").alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).alias("n_contaminated"),
         )
     )
 

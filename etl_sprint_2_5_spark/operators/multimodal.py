@@ -270,6 +270,50 @@ def extract_features(
     return df.select(id_col, blob_col).mapInPandas(run, FEATURES_SCHEMA)
 
 
+DECODE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("channels", IntegerType()),
+        StructField("decode_ok", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def decode_and_features(
+    df: DataFrame, id_col: str, blob_col: str, dim: int = 16
+) -> DataFrame:
+    """Fused decode + feature-extract: ONE Arrow pass produces dims and
+    the feature vector together. The unfused composition
+    (decode_images ⋈ extract_features) serializes the same blobs into
+    Python twice and shuffles both outputs for the re-join — at 100 TB
+    the blob bytes are the dominant I/O, so stages that consume the
+    same payload belong in the same mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[blob_col]):
+                payload = bytes(payload)
+                try:
+                    w, h, c = _decode_image_real(payload)
+                    mode = "real"
+                except NotImplementedError:
+                    w, h, c = _fake_dims(payload)
+                    mode = "fake"
+                rows.append((i, w, h, c, mode, _fake_vector(payload, dim)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "width", "height", "channels", "decode_ok", "features",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, DECODE_FEATURES_SCHEMA)
+
+
 RESIZED_SCHEMA = StructType(
     [
         StructField("id", StringType()),

@@ -90,10 +90,9 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode("text", "utf-8").alias("payload"),
     )
     d = M.repartition_by_bytes(d, "payload")
-    decoded = M.decode_images(d, "doc_id", "payload")
-    feats = M.extract_features(d, "doc_id", "payload", dim=16)
+    fused = M.decode_and_features(d, "doc_id", "payload", dim=16)
     return (
-        decoded.join(feats, "id")
+        fused
         .select(
             "id",
             "width",

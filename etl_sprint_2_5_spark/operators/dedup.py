@@ -330,3 +330,65 @@ def embedding_near_dups(
         .groupBy("_blk")
         .applyInPandas(block, out_schema)
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over a pair list → (id, label), label =
+    min id in the component. Completes the dedup story: the pair
+    queries say WHO overlaps; clustering says which docs to KEEP
+    (one representative per component).
+
+    Min-label propagation: each round every node takes the min of its
+    own and its neighbors' labels — converges in O(component diameter)
+    rounds; near-dup components are dense and shallow, so a handful.
+    Each round is one join + one partial-aggregating groupBy; lineage
+    is cut with localCheckpoint per round (25 chained joins would
+    otherwise stack into one giant plan). Raises if ``max_iter``
+    rounds don't converge rather than returning silently-wrong labels.
+    At web scale with adversarial chain-shaped components, switch to
+    the large-star/small-star algorithm (same join primitives,
+    O(log n) rounds).
+    """
+    sym = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()  # also detaches the (possibly huge) pair plan
+    )
+    labels = (
+        sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nmin = (
+            sym.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("_dl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_dl").alias("_nmin"))
+            .select(F.col("src").alias("id"), "_nmin")
+        )
+        new = (
+            labels.join(nmin, "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce("_nmin", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("label", "_old"), "id")
+            .where(F.col("label") != F.col("_old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")

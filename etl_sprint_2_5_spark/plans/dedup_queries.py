@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.operators.dedup import (
+    connected_components,
     embedding_near_dups,
     exact_dedup,
     hashed_shingle_sets,
@@ -93,10 +94,10 @@ def dedup_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_minhash_lsh",
-    oracle=f"""
-    WITH toks AS (
+# Shared CTE chain: tokenize -> shingle -> 60-bit hash -> minhash ->
+# LSH bands -> candidate pairs -> exact-Jaccard verified pairs. Used by
+# the pair query AND the cluster query.
+_MINHASH_VERIFIED_CTES = f"""toks AS (
       SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
     ), sh AS (
       SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM toks
@@ -118,17 +119,25 @@ def dedup_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
-    )
-    SELECT c.id_a, c.id_b,
-           round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
-                 (len(sa.hs) + len(sb.hs)
-                  - len(list_intersect(sa.hs, sb.hs))), 4) AS jaccard
-    FROM cand c
-    JOIN hsh sa ON sa.doc_id = c.id_a
-    JOIN hsh sb ON sb.doc_id = c.id_b
-    WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
-                (len(sa.hs) + len(sb.hs)
-                 - len(list_intersect(sa.hs, sb.hs))), 4) >= 0.5
+    ), verified AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+                   (len(sa.hs) + len(sb.hs)
+                    - len(list_intersect(sa.hs, sb.hs))), 4) AS jaccard
+      FROM cand c
+      JOIN hsh sa ON sa.doc_id = c.id_a
+      JOIN hsh sb ON sb.doc_id = c.id_b
+      WHERE round(len(list_intersect(sa.hs, sb.hs))::DOUBLE /
+                  (len(sa.hs) + len(sb.hs)
+                   - len(list_intersect(sa.hs, sb.hs))), 4) >= 0.5
+    )"""
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_MINHASH_VERIFIED_CTES}
+    SELECT id_a, id_b, jaccard FROM verified
     ORDER BY id_a, id_b
     """,
     covers=("X-dedup-minhash",),
@@ -271,3 +280,53 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dups(
         e, "vec_id", "embedding", "label", threshold=0.4
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_VERIFIED_CTES}, sym AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ), reach AS (
+      SELECT a AS src, b AS dst FROM sym
+      UNION
+      SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a
+    ), labels AS (
+      SELECT src AS doc_id, least(min(dst), src) AS label
+      FROM reach GROUP BY src
+    )
+    SELECT label AS cluster_rep,
+           count(*) AS n_docs,
+           string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS members
+    FROM labels
+    GROUP BY label
+    ORDER BY cluster_rep
+    """,
+    covers=("X-dedup-clusters",),
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the verified
+    minhash-LSH pairs, one row per component with the min-id
+    representative (the doc a pipeline keeps) and the sorted member
+    list. The oracle computes the same components via a recursive
+    transitive-closure CTE."""
+    d = load_table(spark, "documents", sf_dir)
+    shingled = hashed_shingle_sets(d, "text", "doc_id").cache()
+    signed = minhash_signature(shingled, num_hashes=12)
+    pairs = lsh_candidate_pairs(signed, "doc_id", num_hashes=12, rows_per_band=3)
+    verified = verify_jaccard(pairs, shingled, "doc_id", threshold=0.5)
+    cc = connected_components(verified.select("id_a", "id_b"))
+    return (
+        cc.groupBy(F.col("label").alias("cluster_rep"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("id")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("members"),
+        )
+        .orderBy("cluster_rep")
+    )

@@ -66,3 +66,21 @@ def test_cosine_pandas_matches_math(spark):
     )
     got = df.select(D.cosine_pandas("a", "b").alias("c")).first()["c"]
     assert math.isclose(got, 0.5, rel_tol=1e-9)
+
+
+def test_connected_components_shapes(spark):
+    """Chain, triangle, and isolated pair — labels are the component
+    minimum; a chain needs multiple propagation rounds."""
+    from etl_sprint_2_5_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5),      # chain 1-2-3-4-5
+         (10, 11), (11, 12), (10, 12),        # triangle
+         (20, 21)],                            # pair
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["label"] for r in connected_components(edges).collect()}
+    assert {got[i] for i in (1, 2, 3, 4, 5)} == {1}
+    assert {got[i] for i in (10, 11, 12)} == {10}
+    assert got[20] == 20 and got[21] == 20
+    assert len(got) == 10  # only nodes that appear in edges

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    DoubleType,
     LongType,
     StructField,
     StructType,
@@ -118,5 +119,66 @@ def running_user_counts_stream(events: DataFrame) -> DataFrame:
         outputStructType=RUNNING_OUTPUT,
         stateStructType=RUNNING_STATE,
         outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ASOF_OUTPUT = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("value", DoubleType()),
+        StructField("last_error_ts", TimestampType()),
+        StructField("last_error_value", DoubleType()),
+    ]
+)
+ASOF_STATE = StructType(
+    [
+        StructField("err_ts_us", LongType()),
+        StructField("err_value", DoubleType()),
+    ]
+)
+
+
+def _asof_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming as-of: carry the latest error (ts, value) per user in
+    state; annotate every click with it. Rows are processed in ts
+    order WITHIN the group's micro-batch; cross-batch ordering is the
+    stream's arrival order (the batch asof_join is the exact-order
+    reference for reconciliation)."""
+    err_us, err_v = (tuple(state.get) if state.exists else (None, None))
+    rows = pd.concat(list(pdfs)).sort_values("ts")
+    out = {c: [] for c in ("event_id", "user_id", "ts", "value",
+                           "last_error_ts", "last_error_value")}
+    for r in rows.itertuples():
+        if r.event_type == "error":
+            err_us, err_v = int(r.ts.value // 1_000), float(r.value)
+        else:
+            out["event_id"].append(r.event_id)
+            out["user_id"].append(key[0])
+            out["ts"].append(r.ts)
+            out["value"].append(r.value)
+            out["last_error_ts"].append(
+                pd.to_datetime(err_us, unit="us") if err_us is not None else pd.NaT
+            )
+            out["last_error_value"].append(err_v)
+    if err_us is not None:
+        state.update((err_us, err_v))
+    yield pd.DataFrame(out)
+
+
+def asof_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators/temporal.asof_join: clicks annotated
+    with the user's most recent error, state = ONE (ts, value) pair per
+    user in the checkpointed state store — constant per key, restart-
+    safe. Expects columns (event_id, ts, user_id, event_type, value)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _asof_fn,
+        outputStructType=ASOF_OUTPUT,
+        stateStructType=ASOF_STATE,
+        outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -79,3 +79,75 @@ def test_running_user_counts_accumulate(spark, tmp_path):
     got = {r["user_id"]: (r["n"], r["ts"]) for r in latest.collect()}
     assert got[10] == (3, t1)  # 2 in batch 1 + 1 in batch 2, ts advanced
     assert got[11] == (1, T0)
+
+
+def test_asof_state_stream_matches_batch_asof(spark, tmp_path):
+    """Streaming as-of (state-carried last error) equals the batch
+    asof_join when events arrive in ts order, across micro-batches AND
+    a checkpoint restart."""
+    from etl_sprint_2_5_spark.operators.temporal import asof_join
+    from etl_sprint_2_5_spark.streaming.stateful import asof_state_stream
+
+    tmp = str(tmp_path)
+    feed, ckpt, out = f"{tmp}/feed", f"{tmp}/ckpt", f"{tmp}/out"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def t(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    batch1 = [
+        (1, t(0), 10, "error", 1.5),
+        (2, t(5), 10, "click", 2.0),   # sees error@0
+        (3, t(3), 11, "click", 3.0),   # no error yet for user 11
+    ]
+    batch2 = [
+        (4, t(10), 10, "error", 4.5),
+        (5, t(12), 10, "click", 5.0),  # sees error@10 (state replaced)
+        (6, t(15), 11, "click", 6.0),  # user 11 still has no error
+    ]
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(feed)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(feed)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            asof_state_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    write(batch1, "overwrite")
+    drain()
+    write(batch2, "append")
+    drain()  # restart from checkpoint picks up only batch2
+
+    got = {
+        r["event_id"]: (r["last_error_ts"], r["last_error_value"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[2] == (t(0), 1.5)
+    assert got[3] == (None, None)
+    assert got[5] == (t(10), 4.5)
+    assert got[6] == (None, None)
+
+    # parity with the batch operator on the full feed
+    ev = spark.createDataFrame(batch1 + batch2, schema)
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error").select("user_id", "ts", "value")
+    want = {
+        r["event_id"]: (r["last_error_ts"], r["last_error_value"])
+        for r in asof_join(
+            clicks, errors, ["user_id"], "ts", ["value"], prefix="last_error_"
+        ).collect()
+    }
+    assert got == want

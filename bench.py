@@ -64,8 +64,21 @@ def main() -> None:
     spark = get_spark("bench")
     sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
 
-    # warmup: JVM + codegen + parquet footer caches
+    # warmup: JVM + codegen + parquet footer caches, plus the Arrow
+    # Python worker pool (point_lookup is pure-JVM; without this the
+    # first pandas-UDF query pays worker startup and measurements
+    # jitter by seconds run-to-run)
     force(plans.REGISTRY["point_lookup"].fn(spark, SF_DIR))
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _noop(s):  # noqa: ANN001, ANN202
+        return s
+
+    spark.range(0, 1024, 1, 8).select(_noop(F.col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_start = time.time()

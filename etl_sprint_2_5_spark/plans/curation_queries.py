@@ -211,3 +211,130 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---- end-to-end curation funnel -------------------------------------
+# Composes language-ID, quality scoring, and near-dup clustering into
+# the decision a training-data pipeline actually makes per document:
+# keep = (pred_lang = en) AND (quality >= 0.65) AND (not a non-keeper
+# member of a near-dup cluster). Reported as a per-source funnel so
+# every stage's effect is visible (and the output is small + stable).
+_QUALITY_MIN = 0.65
+
+
+def _curation_oracle() -> str:
+    from etl_sprint_2_5_spark.plans.dedup_queries import _MINHASH_VERIFIED_CTES
+    from etl_sprint_2_5_spark.plans.text_queries import _DUCK_TOKS, _duck_hits
+
+    return f"""
+    WITH RECURSIVE {_MINHASH_VERIFIED_CTES}, sym AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ), reach AS (
+      SELECT a AS src, b AS dst FROM sym
+      UNION
+      SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a
+    ), labels AS (
+      SELECT src AS doc_id, least(min(dst), src) AS label
+      FROM reach GROUP BY src
+    ), nonkeepers AS (
+      SELECT doc_id FROM labels WHERE doc_id <> label
+    ), ltoks AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS tk FROM documents
+    ), scorecard AS (
+      SELECT doc_id, source,
+             CASE WHEN greatest({_duck_hits('de')}, {_duck_hits('en')},
+                                {_duck_hits('es')}, {_duck_hits('fr')}) = 0 THEN 'und'
+                  WHEN {_duck_hits('de')} = greatest({_duck_hits('de')}, {_duck_hits('en')},
+                                {_duck_hits('es')}, {_duck_hits('fr')}) THEN 'de'
+                  WHEN {_duck_hits('en')} = greatest({_duck_hits('de')}, {_duck_hits('en')},
+                                {_duck_hits('es')}, {_duck_hits('fr')}) THEN 'en'
+                  WHEN {_duck_hits('es')} = greatest({_duck_hits('de')}, {_duck_hits('en')},
+                                {_duck_hits('es')}, {_duck_hits('fr')}) THEN 'es'
+                  ELSE 'fr' END AS pred_lang,
+             round(0.4 * least(length(text) / 400.0, 1.0)
+                 + 0.4 * (CASE WHEN len(tk) > 0
+                          THEN len(list_distinct(tk))::DOUBLE / len(tk) ELSE 0 END)
+                 + 0.2 * (1 - (CASE WHEN len(tk) > 0
+                          THEN {_duck_hits('en')}::DOUBLE / len(tk) ELSE 0 END)),
+                 4) AS quality
+      FROM ltoks
+    ), flags AS (
+      SELECT s.source,
+             (s.pred_lang = 'en')                        AS ok_lang,
+             (s.quality >= {_QUALITY_MIN})               AS ok_q,
+             (nk.doc_id IS NULL)                         AS ok_uniq
+      FROM scorecard s LEFT JOIN nonkeepers nk USING (doc_id)
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN ok_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+           CAST(sum(CASE WHEN ok_lang AND ok_q THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_quality,
+           CAST(sum(CASE WHEN ok_lang AND ok_q AND ok_uniq THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """
+
+
+@query(
+    "corpus_curation_pipeline",
+    oracle=_curation_oracle(),
+    covers=("X-curation-pipeline",),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation decision, as a per-source funnel:
+    documents → English (marker-vote language ID) → quality ≥ 0.65 →
+    not a redundant near-dup (connected-component non-keepers from
+    minhash-LSH pairs are dropped). Composes the individual operators
+    exactly as a 100 TB ingestion job would chain them; every stage is
+    a doc_id-keyed join of an already-verified operator output."""
+    from etl_sprint_2_5_spark.operators.dedup import (
+        connected_components,
+        hashed_shingle_sets,
+        lsh_candidate_pairs,
+        minhash_signature,
+        verify_jaccard,
+    )
+    from etl_sprint_2_5_spark.operators.textops import language_id, quality_score
+
+    d = load_table(spark, "documents", sf_dir)
+    lang = language_id(d, "text", "doc_id").select("doc_id", "pred_lang")
+    qual = quality_score(d, "text", "doc_id").select("doc_id", "quality")
+
+    shingled = hashed_shingle_sets(d, "text", "doc_id").cache()
+    signed = minhash_signature(shingled, num_hashes=12)
+    pairs = lsh_candidate_pairs(signed, "doc_id", num_hashes=12, rows_per_band=3)
+    verified = verify_jaccard(pairs, shingled, "doc_id", threshold=0.5)
+    cc = connected_components(verified.select("id_a", "id_b"))
+    nonkeepers = cc.where(F.col("id") != F.col("label")).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("_dup")
+    )
+
+    flags = (
+        d.select("doc_id", "source")
+        .join(lang, "doc_id")
+        .join(qual, "doc_id")
+        .join(F.broadcast(nonkeepers), "doc_id", "left")
+        .select(
+            "source",
+            (F.col("pred_lang") == "en").alias("ok_lang"),
+            (F.col("quality") >= _QUALITY_MIN).alias("ok_q"),
+            F.col("_dup").isNull().alias("ok_uniq"),
+        )
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("ok_lang"), 1).otherwise(0)).alias("n_lang"),
+            F.sum(
+                F.when(F.col("ok_lang") & F.col("ok_q"), 1).otherwise(0)
+            ).alias("n_lang_quality"),
+            F.sum(
+                F.when(F.col("ok_lang") & F.col("ok_q") & F.col("ok_uniq"), 1)
+                .otherwise(0)
+            ).alias("n_keep"),
+        )
+        .orderBy("source")
+    )

@@ -47,6 +47,9 @@ HEADLINE = [
     "multimodal_blob_stats",
     "multimodal_decode_features",
     "contamination_check",
+    "dedup_clusters",
+    "asof_last_error",
+    "interval_burst_join",
     "persons_gold_shape",
     "genres_gold_shape",
 ]

@@ -123,3 +123,39 @@ def repetition_stats(
             4,
         ).alias("dup_char_frac"),
     )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    salt: str = "split-v1",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test): bucket =
+    md5(salt || id) as an integer mod ``buckets``; splits own
+    contiguous cumulative-fraction ranges of the bucket space.
+
+    Properties a training pipeline needs and random() can't give:
+    stable across runs/retries/engines (md5 is the repo's cross-engine
+    hash — the DuckDB oracle reproduces the exact assignment), stable
+    under corpus growth (a doc's split never changes when others are
+    added), and re-saltable for fresh splits. Adds a ``split`` column.
+    """
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8), 16, 10)
+        .cast("long") % buckets
+    )
+    expr = None
+    acc = 0.0
+    items = list(fractions.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)

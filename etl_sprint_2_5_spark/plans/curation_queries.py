@@ -338,3 +338,38 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "dataset_split",
+    oracle="""
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN ('0x' || substr(md5('split-v1' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 10000 < 8000 THEN 'train'
+                  WHEN ('0x' || substr(md5('split-v1' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       % 10000 < 9000 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM assigned
+    GROUP BY source, split
+    ORDER BY source, split
+    """,
+    covers=("X-curation-split",),
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test split via salted-md5
+    bucketing, rolled up per (source, split). Assignment is stable
+    across runs, engines, and corpus growth — the properties random()
+    sampling can't give a reproducible pipeline."""
+    from etl_sprint_2_5_spark.operators.curation import hash_split
+
+    d = load_table(spark, "documents", sf_dir)
+    s = hash_split(d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        s.groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("source", "split")
+    )

@@ -65,3 +65,35 @@ def test_repetition_stats_flags_boilerplate(spark):
     assert got["spam"]["n_lines"] == 4 and got["spam"]["n_dup_lines"] == 2
     assert got["spam"]["dup_line_frac"] == 0.5
     assert got["spam"]["dup_char_frac"] > 0.4
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from etl_sprint_2_5_spark.operators.curation import hash_split
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", fr).collect()}
+    b = {r["doc_id"]: r["split"] for r in hash_split(df, "doc_id", fr).collect()}
+    assert a == b  # stable across runs
+    # stable under corpus growth: the first 5000 keep their split
+    bigger = spark.range(0, 8000).withColumnRenamed("id", "doc_id")
+    c = {r["doc_id"]: r["split"] for r in hash_split(bigger, "doc_id", fr).collect()}
+    assert all(c[k] == v for k, v in a.items())
+    # proportions within a few percent at n=5000
+    from collections import Counter
+
+    counts = Counter(a.values())
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.03
+    assert abs(counts["test"] / 5000 - 0.1) < 0.03
+    # different salt reshuffles
+    d = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df, "doc_id", fr, salt="other").collect()
+    }
+    assert d != a
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", {"train": 0.5})

@@ -101,7 +101,8 @@ def corpus_term_stats(
     """Corpus statistics for idf weighting: one aggregate pass over the
     tokenized fields → ``{"n": N, "df": {(field, term): doc_freq}}``.
 
-    |fields|×|terms| counters in a single-row agg — the "small
+    |fields|×|terms| counters (plus one token-length sum per field, for
+    BM25 length normalization) in a single-row agg — the "small
     broadcast" of the scoring design. In a serving deployment this is
     computed once at index-build time and reused per query."""
     from etl_sprint_2_5_spark.functions.stem import tokenize_stemmed
@@ -110,19 +111,36 @@ def corpus_term_stats(
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, field in enumerate(fields):
         toks = analyzer(field)
+        aggs.append(F.sum(F.size(toks)).alias(f"_len_{i}"))
         for j, term in enumerate(terms):
             aggs.append(
                 F.sum(F.array_contains(toks, term).cast("int")).alias(f"_df_{i}_{j}")
             )
     row = df.agg(*aggs).first()
+    n = row["_n"]
     return {
-        "n": row["_n"],
+        "n": n,
         "df": {
             (field, term): row[f"_df_{i}_{j}"] or 0
             for i, field in enumerate(fields)
             for j, term in enumerate(terms)
         },
+        # avg field length, rounded HALF_UP to 6 (matches the oracle's
+        # round(CAST(sum .. AS DOUBLE)/count, 6) — DuckDB rounds half up,
+        # Python's round() is half-even, so don't use it here)
+        "avglen": {
+            field: _round_half_up6((row[f"_len_{i}"] or 0) / n) if n else 0.0
+            for i, field in enumerate(fields)
+        },
     }
+
+
+def _round_half_up6(x: float) -> float:
+    """Scalar HALF_UP rounding to 6 decimals — the cross-engine pin
+    (DuckDB/Spark round() are HALF_UP; Python round() is half-even)."""
+    import math
+
+    return math.copysign(math.floor(abs(x) * 1e6 + 0.5) / 1e6, x)
 
 
 def idf_weight(n: int, df_count: int) -> float:
@@ -140,6 +158,8 @@ def fulltext_score(
     fields: dict[str, float],
     stats: dict | None = None,
     stem: bool = False,
+    k1: float | None = None,
+    b: float = 0.75,
 ) -> DataFrame:
     """Weighted multi-field tf·idf score — the in-engine approximation
     of the reference's ES multi_match with per-field boosts
@@ -156,8 +176,20 @@ def fulltext_score(
     can never be re-inlined per term by projection collapse. Only docs
     with ≥1 term hit are returned (both consumers filter score > 0).
 
-    Remaining divergence from full BM25 (documented): no tf saturation
-    (k1) and no field-length normalization (b)."""
+    With ``k1=None`` (default) the score is plain tf·idf — no tf
+    saturation, no length normalization. Pass ``k1`` (e.g. 1.2) to get
+    the FULL BM25 formula the reference's ES deployment runs:
+
+    score(doc) = Σ_f Σ_t w_f · idf_{f,t} ·
+                 tf·(k1+1) / (tf + k1·(1 − b + b·len_f/avglen_f))
+
+    where len_f is the doc's token count in field f and avglen_f the
+    corpus mean (from the same single stats pass). Still pure Column
+    expressions: tokenize once per field, filter to query terms before
+    the shuffle (the exchange carries only matching tokens plus one
+    int field-length), hash-aggregate tf per (doc, field, term), then
+    one literal-map lookup per group computes the saturated
+    contribution."""
     from functools import reduce
 
     from etl_sprint_2_5_spark.functions.stem import porter_stem, stem_token
@@ -169,6 +201,45 @@ def fulltext_score(
     if stats is None:
         stats = corpus_term_stats(df, terms, tuple(fields), stem=stem)
     n = stats["n"]
+
+    if k1 is not None:
+        from etl_sprint_2_5_spark.functions.stem import tokenize_stemmed
+
+        analyzer = tokenize_stemmed if stem else tokenize
+        parts = []
+        for field in fields:
+            toks = analyzer(field)
+            parts.append(
+                df.select(
+                    F.col(id_col),
+                    F.lit(field).alias("_f"),
+                    F.size(toks).alias("_len"),
+                    F.explode(toks).alias("_t"),
+                ).where(F.col("_t").isin(*terms))
+            )
+        tokens = reduce(lambda a, b_: a.unionByName(b_), parts)
+        tf = tokens.groupBy(id_col, "_f", "_t", "_len").agg(
+            F.count(F.lit(1)).alias("_tf")
+        )
+        wk_entries, avglen_entries = [], []
+        for field, w in fields.items():
+            avglen_entries += [F.lit(field), F.lit(stats["avglen"][field])]
+            for term in terms:
+                wk_entries += [
+                    F.lit(f"{field}|{term}"),
+                    F.lit(w * idf_weight(n, stats["df"][(field, term)])),
+                ]
+        wk = F.element_at(
+            F.create_map(*wk_entries), F.concat(F.col("_f"), F.lit("|"), F.col("_t"))
+        )
+        avglen = F.element_at(F.create_map(*avglen_entries), F.col("_f"))
+        # operand order mirrors the oracle SQL exactly (IEEE doubles are
+        # deterministic per-op; only the order must match)
+        denom = F.col("_tf") + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_len") / avglen
+        )
+        contrib = wk * (F.col("_tf") * F.lit(k1 + 1.0)) / denom
+        return tf.groupBy(id_col).agg(F.round(F.sum(contrib), 2).alias("score"))
 
     parts = [
         df.select(

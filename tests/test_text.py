@@ -74,3 +74,66 @@ def test_minhash_int_matches_python(spark):
         ),
     )
     assert got == expected
+
+
+def test_fulltext_bm25_matches_python_oracle(spark):
+    """Full BM25 (k1/b) path of fulltext_score vs a pure-Python mirror,
+    plus the saturation property tf·idf lacks."""
+    import re
+
+    from etl_sprint_2_5_spark.operators.textops import (
+        _round_half_up6,
+        fulltext_score,
+        idf_weight,
+    )
+
+    rows = [
+        ("d1", "spark spark spark spark", "logs"),
+        ("d2", "spark window", "logs"),
+        ("d3", "window merge window spark extra words here", "spark"),
+        ("d4", "nothing relevant", "misc"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string, source string")
+    terms, fields, k1, b = ("spark", "window"), {"text": 3.0, "source": 1.0}, 1.2, 0.75
+    got = {
+        r["id"]: r["score"]
+        for r in fulltext_score(df, "id", terms, fields, k1=k1, b=b).collect()
+    }
+
+    def toks(s):
+        return [t for t in re.sub("[^a-z0-9]+", " ", s.lower()).split() if t]
+
+    docs = [(i, {"text": toks(tx), "source": toks(src)}) for i, tx, src in rows]
+    n = len(docs)
+    avglen = {
+        f: _round_half_up6(sum(len(d[f]) for _, d in docs) / n) for f in fields
+    }
+    want = {}
+    for i, d in docs:
+        score = 0.0
+        for f, w in fields.items():
+            for t in terms:
+                tf = d[f].count(t)
+                if not tf:
+                    continue
+                dfc = sum(1 for _, dd in docs if t in dd[f])
+                wk = w * idf_weight(n, dfc)
+                score += wk * (tf * (k1 + 1.0)) / (
+                    tf + k1 * (1.0 - b + b * len(d[f]) / avglen[f])
+                )
+        if score:
+            want[i] = round(score, 2)
+    assert got == want
+    assert "d4" not in got
+
+    # saturation: 4× the tf must yield well under 4× the contribution
+    flat = {
+        r["id"]: r["score"]
+        for r in fulltext_score(df, "id", ("spark",), {"text": 1.0}).collect()
+    }
+    sat = {
+        r["id"]: r["score"]
+        for r in fulltext_score(df, "id", ("spark",), {"text": 1.0}, k1=k1, b=b).collect()
+    }
+    assert abs(flat["d1"] - 4 * flat["d2"]) < 0.03  # tf-linear (± round-2 noise)
+    assert sat["d1"] < 2.5 * sat["d2"]

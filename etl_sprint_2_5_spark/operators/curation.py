@@ -125,6 +125,119 @@ def repetition_stats(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    rate: Column,
+    salt: str = "mix-v1",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Domain mixing: deterministic weighted up/down-sampling.
+
+    ``rate`` is a per-row Column (e.g. a CASE over the source column):
+    rate 0.5 keeps half the rows, 2.5 emits each row twice plus a half
+    chance of a third copy. copies = floor(rate) + [md5-bucket <
+    frac·buckets]; each kept row is exploded into ``copy_id`` ∈
+    [1..copies]. Same md5 bucketing as hash_split, so the SAME salt
+    gives correlated keep-decisions and a fresh salt decorrelates them.
+
+    Deterministic (retry/engine-stable) unlike rand()-based
+    df.sample(); no shuffle at all — the explode is a map-side
+    generator, which is what lets it run over 100 TB as a pure scan.
+    Use binary-exact fractional parts (.5, .25, ...) so the
+    frac·buckets comparison can't straddle a float ulp across engines.
+    """
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % buckets
+    )
+    copies = F.floor(rate).cast("long") + (
+        bucket < (rate - F.floor(rate)) * buckets
+    ).cast("long")
+    return (
+        df.withColumn("_copies", copies)
+        .where(F.col("_copies") >= 1)
+        .withColumn("copy_id", F.explode(F.sequence(F.lit(1), F.col("_copies"))))
+        .drop("_copies")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    part_cols: tuple[str, ...] = ("source",),
+    shards: int = 8,
+    salt: str = "pack-v1",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: stream documents in a
+    deterministic order and cut the stream every ``budget`` tokens; a
+    document belongs to the pack where it STARTS (the standard
+    pre-tokenization packing for LLM training shards).
+
+    Shape: docs are sharded by md5 (``shards`` per partition group) so
+    the window sort parallelism is |part_cols groups| × shards, never
+    one global sort; within a shard the order is md5-of-id (stable
+    across runs and engines, independent of input row order). One
+    shuffle (the window partition), cumulative sum, integer division.
+    Adds ``shard``, ``pack_id`` (per shard), ``pack_offset`` (token
+    offset where the doc starts inside its pack)."""
+    from pyspark.sql import Window
+
+    okey = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(okey, 1, 8), 16, 10).cast("long") % shards
+    )
+    out = df.withColumn("_okey", okey).withColumn("shard", shard)
+    w = (
+        Window.partitionBy(*part_cols, "shard")
+        .orderBy("_okey", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(token_col).over(w)
+    start = cum - F.col(token_col)
+    return (
+        out.withColumn("pack_id", F.floor(start / budget))
+        .withColumn("pack_offset", start - F.col("pack_id") * budget)
+        .drop("_okey")
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: tuple[str, ...],
+    id_col: str,
+    k: int,
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Exactly min(k, |stratum|) rows per stratum, chosen by md5 order
+    — deterministic stratified sampling (eval-set carving, per-domain
+    inspection samples).
+
+    The window input is the NARROW (strata, id) projection — at scale
+    you join the k·|strata| winners back to the payload instead of
+    sorting wide rows; callers that need more columns than the keys do
+    exactly that. Returns strata + id + ``sample_rank``."""
+    from pyspark.sql import Window
+
+    okey = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*strata_cols).orderBy("_okey", id_col)
+    return (
+        df.select(*strata_cols, id_col)
+        .withColumn("_okey", okey)
+        .withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+        .drop("_okey")
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,

@@ -373,3 +373,164 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("source", "split")
     )
+
+
+@query(
+    "domain_mixing",
+    oracle="""
+    WITH rated AS (
+      SELECT doc_id, source,
+             CASE CAST(substr(source, 4, 10) AS INT) % 4
+                  WHEN 0 THEN 2.5 WHEN 1 THEN 1.0
+                  WHEN 2 THEN 0.5 ELSE 0.25 END AS rate
+      FROM documents
+    ), assigned AS (
+      SELECT doc_id, source, rate,
+             ('0x' || substr(md5('mix-v1' || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 10000 AS bucket
+      FROM rated
+    ), copies AS (
+      SELECT doc_id, source,
+             CAST(floor(rate) AS BIGINT)
+             + (CASE WHEN bucket < (rate - floor(rate)) * 10000
+                     THEN 1 ELSE 0 END) AS n_copies
+      FROM assigned
+    ), exploded AS (
+      SELECT doc_id, source,
+             unnest(generate_series(1, n_copies)) AS copy_id
+      FROM copies WHERE n_copies >= 1
+    )
+    SELECT source,
+           count(*)                      AS n_rows,
+           count(DISTINCT doc_id)        AS n_docs,
+           CAST(max(copy_id) AS BIGINT)  AS max_copies
+    FROM exploded
+    GROUP BY source
+    ORDER BY source
+    """,
+    covers=("X-curation-mixing",),
+)
+def domain_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic domain mixing: per-source sampling rates
+    {2.5, 1.0, 0.5, 0.25} by source number mod 4 — sources are
+    up-sampled (repeated with copy_id) or down-sampled via md5
+    bucketing, then rolled up per source. The mixing decision is a
+    map-side generator: no shuffle touches the corpus until the
+    reporting aggregate."""
+    from etl_sprint_2_5_spark.operators.curation import weighted_sample
+
+    d = load_table(spark, "documents", sf_dir)
+    n = F.substring("source", 4, 10).cast("int") % 4
+    rate = (
+        F.when(n == 0, 2.5)
+        .when(n == 1, 1.0)
+        .when(n == 2, 0.5)
+        .otherwise(0.25)
+    )
+    mixed = weighted_sample(d.select("doc_id", "source"), "doc_id", rate)
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.max("copy_id").alias("max_copies"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "sequence_packing",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS tok,
+             md5('pack-v1' || doc_id::VARCHAR) AS okey
+      FROM documents
+    ), sharded AS (
+      SELECT *, ('0x' || substr(okey, 1, 8))::BIGINT % 4 AS shard FROM toks
+    ), packed AS (
+      SELECT source, shard, tok,
+             sum(tok) OVER (PARTITION BY source, shard
+                            ORDER BY okey, doc_id
+                            ROWS UNBOUNDED PRECEDING) - tok AS start
+      FROM sharded
+    ), assigned AS (
+      SELECT source, shard, tok,
+             CAST(floor(start / 512) AS BIGINT) AS pack_id
+      FROM packed
+    ), packs AS (
+      SELECT source, shard, pack_id,
+             count(*) AS n_docs,
+             CAST(sum(tok) AS BIGINT) AS pack_tokens
+      FROM assigned GROUP BY source, shard, pack_id
+    )
+    SELECT source,
+           count(*)                          AS n_packs,
+           CAST(sum(n_docs) AS BIGINT)       AS n_docs,
+           CAST(sum(pack_tokens) AS BIGINT)  AS total_tokens,
+           CAST(max(pack_tokens) AS BIGINT)  AS max_pack_tokens
+    FROM packs
+    GROUP BY source
+    ORDER BY source
+    """,
+    covers=("X-curation-packing",),
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (budget 512 approx-LLM
+    tokens, 4 shards per source), reported as per-source pack
+    statistics. The window sort is per (source, shard) — parallelism
+    scales with shard count, never a global sort."""
+    from etl_sprint_2_5_spark.operators.curation import pack_sequences
+
+    d = load_table(spark, "documents", sf_dir)
+    d2 = d.select(
+        "doc_id",
+        "source",
+        F.ceil(F.length("text") / 4.0).cast("long").alias("tok"),
+    )
+    packed = pack_sequences(
+        d2, "doc_id", "tok", budget=512, part_cols=("source",), shards=4
+    )
+    packs = packed.groupBy("source", "shard", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("pack_tokens"),
+    )
+    return (
+        packs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_packs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("pack_tokens").alias("total_tokens"),
+            F.max("pack_tokens").alias("max_pack_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "stratified_eval_sample",
+    oracle="""
+    WITH ranked AS (
+      SELECT source, lang, doc_id,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY md5('strat-v1' || doc_id::VARCHAR),
+                                         doc_id) AS sample_rank
+      FROM documents
+    )
+    SELECT source, lang, doc_id, sample_rank
+    FROM ranked WHERE sample_rank <= 3
+    ORDER BY source, lang, sample_rank
+    """,
+    covers=("X-curation-stratified",),
+)
+def stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly min(3, |stratum|) docs
+    per (source, lang) in md5 order — the eval-set carving / manual
+    inspection sampler. The window runs on the narrow key projection
+    only (payload would be joined back on doc_id at scale)."""
+    from etl_sprint_2_5_spark.operators.curation import stratified_sample
+
+    d = load_table(spark, "documents", sf_dir)
+    s = stratified_sample(d, ("source", "lang"), "doc_id", k=3)
+    return s.orderBy("source", "lang", "sample_rank")

@@ -97,3 +97,68 @@ def test_hash_split_deterministic_and_proportional(spark):
 
     with _pytest.raises(ValueError):
         hash_split(df, "doc_id", {"train": 0.5})
+
+
+def test_weighted_sample_properties(spark):
+    from etl_sprint_2_5_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b") for i in range(2000)], ["id", "dom"]
+    )
+    rate = F.when(F.col("dom") == "a", 2.5).otherwise(0.25)
+    out = weighted_sample(df, "id", rate).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r["dom"], []).append((r["id"], r["copy_id"]))
+    # upsampled domain: every doc present at least twice, some thrice
+    a_copies = {}
+    for i, c in by_dom["a"]:
+        a_copies[i] = max(a_copies.get(i, 0), c)
+    assert set(a_copies.values()) <= {2, 3}
+    assert len(a_copies) == 1000  # no doc dropped at rate 2.5
+    frac3 = sum(1 for v in a_copies.values() if v == 3) / 1000
+    assert abs(frac3 - 0.5) < 0.06
+    # downsampled domain: ~25% kept, single copies
+    b_ids = {i for i, c in by_dom["b"]}
+    assert all(c == 1 for _, c in by_dom["b"])
+    assert abs(len(b_ids) / 1000 - 0.25) < 0.06
+    # determinism across runs
+    again = weighted_sample(df, "id", rate).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_pack_sequences_properties(spark):
+    from etl_sprint_2_5_spark.operators.curation import pack_sequences
+
+    rows = [(i, "s", 10 + (i * 7) % 90) for i in range(500)]
+    df = spark.createDataFrame(rows, ["id", "source", "tok"])
+    out = pack_sequences(df, "id", "tok", budget=256, shards=4).collect()
+    assert len(out) == 500
+    for r in out:
+        # a doc STARTS inside its pack's budget window
+        assert 0 <= r["pack_offset"] < 256
+        assert r["pack_id"] >= 0
+        assert 0 <= r["shard"] < 4
+    # packs are dense per shard: ids 0..max with no gaps
+    per_shard = {}
+    for r in out:
+        per_shard.setdefault(r["shard"], set()).add(r["pack_id"])
+    for ids in per_shard.values():
+        assert ids == set(range(max(ids) + 1))
+
+
+def test_stratified_sample_exact_k(spark):
+    from etl_sprint_2_5_spark.operators.curation import stratified_sample
+
+    rows = [(i, f"g{i % 7}") for i in range(200)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, ["id", "g"])
+    out = stratified_sample(df, ("g",), "id", k=5).collect()
+    per_g = {}
+    for r in out:
+        per_g.setdefault(r["g"], []).append(r["sample_rank"])
+    for g, ranks in per_g.items():
+        want = 1 if g == "tiny" else 5
+        assert sorted(ranks) == list(range(1, want + 1))
+    # deterministic: same ids both runs
+    again = stratified_sample(df, ("g",), "id", k=5).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))

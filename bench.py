@@ -44,6 +44,10 @@ HEADLINE = [
     "text_quality_score",
     "text_winnow_fingerprint",
     "fulltext_search",
+    "fulltext_bm25",
+    "quality_classifier",
+    "sequence_packing",
+    "zorder_layout",
     "multimodal_blob_stats",
     "multimodal_decode_features",
     "contamination_check",

@@ -62,6 +62,79 @@ def brute_force_topk(
     )
 
 
+def brute_force_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+) -> DataFrame:
+    """brute_force_topk with the two scale levers applied (property-
+    tested equal output):
+
+    - scoring is one V·Qᵀ gemm per Arrow batch (queries ride the task
+      closure — they are small by contract, same size bound as the
+      broadcast in the pairwise variant);
+    - PARTIAL top-k: each batch emits only its own top-k rows per
+      query, so the ranking shuffle carries (N/batch)·Q·k rows instead
+      of N·Q — the distributed-top-k pattern that keeps the final
+      window trivial at any corpus size.
+
+    Same determinism contract (round(cos,6) DESC, neighbor_id ASC);
+    the per-batch cut uses the identical ordering, so the global
+    winners are exactly the pairwise variant's winners."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qrows = sorted(queries.select(id_col, vec_col).collect(), key=lambda r: r[id_col])
+    qids = [r[id_col] for r in qrows]
+    Q = np.array([r[vec_col] for r in qrows], dtype="float64")
+    qnorm = np.sqrt((Q * Q).sum(1))
+
+    narrow = corpus.select(id_col, vec_col)
+    id_type = narrow.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("query_id", id_type),
+            StructField("neighbor_id", id_type),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].values).astype("float64")
+            vnorm = np.sqrt((V * V).sum(1))
+            sim = _round_half_up6((V @ Q.T) / np.outer(vnorm, qnorm))
+            nids = pdf[id_col].values
+            out = []
+            for j, qid in enumerate(qids):
+                keep = nids != qid
+                order = np.lexsort((nids[keep], -sim[keep, j]))[:k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            "neighbor_id": nids[keep][order],
+                            "cos": sim[keep, j][order],
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    partial = narrow.mapInPandas(part, schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos", "rank")
+    )
+
+
 def assign_cells(
     corpus: DataFrame,
     centroids: DataFrame,
@@ -112,6 +185,66 @@ def assign_cells(
         .where(F.col("_rn") <= nprobe)
         .select(id_col, vec_col, "centroid_id")
     )
+
+
+def assign_cells_gemm(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str,
+    vec_col: str,
+    nprobe: int = 1,
+) -> DataFrame:
+    """IVF assignment as ONE Arrow gemm pass — no row expansion, no
+    shuffle. Produces exactly what assign_cells produces (property-
+    tested equal): the centroid matrix is tiny by construction (it
+    rode the broadcast join in the pairwise variant), so it ships in
+    the task closure; each Arrow batch computes all batch×C cosines as
+    a single V·Cᵀ matmul and takes the per-row argmax (or stable-sorted
+    top-nprobe).
+
+    Same determinism contract: cosine rounded to 6 HALF_UP, ties break
+    to the smallest centroid_id (columns sorted by id + first-max /
+    stable sort). Replaces a C×-row broadcast-join expansion PLUS a
+    min-struct shuffle with zero shuffles — at 100 TB the corpus is
+    scanned once and nothing moves."""
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import StructField, StructType
+
+    rows = sorted(centroids.select(id_col, vec_col).collect(), key=lambda r: r[id_col])
+    cids = np.array([r[id_col] for r in rows])
+    C = np.array([r[vec_col] for r in rows], dtype="float64")
+    cnorm = np.sqrt((C * C).sum(1))
+
+    narrow = corpus.select(id_col, vec_col)
+    schema = StructType(
+        list(narrow.schema.fields)
+        + [StructField("centroid_id", narrow.schema[id_col].dataType)]
+    )
+
+    def part(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(pdf[vec_col].values).astype("float64")
+            vnorm = np.sqrt((V * V).sum(1))
+            sim = _round_half_up6((V @ C.T) / np.outer(vnorm, cnorm))
+            if nprobe == 1:
+                sel = np.argmax(sim, axis=1)  # first max == smallest cid
+                out = pdf[[id_col, vec_col]].copy()
+                out["centroid_id"] = cids[sel]
+                yield out
+            else:
+                order = np.argsort(-sim, axis=1, kind="stable")[:, :nprobe]
+                reps = []
+                for j in range(order.shape[1]):
+                    o = pdf[[id_col, vec_col]].copy()
+                    o["centroid_id"] = cids[order[:, j]]
+                    reps.append(o)
+                yield pd.concat(reps)
+
+    return narrow.mapInPandas(part, schema)
 
 
 def _round_half_up6(x):

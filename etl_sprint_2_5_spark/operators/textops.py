@@ -92,6 +92,54 @@ def token_stats(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def hashed_linear_score(
+    df: DataFrame, text_col: str, id_col: str, salt: str = "qclf-v1"
+) -> DataFrame:
+    """fastText-style linear classifier over hashed token features:
+    logit(doc) = Σ_t w(h(t)) / (1000 · n_tokens).
+
+    The Spark-side plumbing is the real thing — explode, per-token
+    weight lookup, one integer-sum shuffle per doc — while the weight
+    table is a deterministic md5 stand-in (w_int(t) = md5₆₀(salt‖t)
+    mod 2001 − 1000 ∈ [−1000, 1000]), the same fake-but-pinned
+    convention as the multimodal codecs: swap in a trained
+    id→weight table (broadcast join instead of the md5 expression)
+    without touching the dataflow.
+
+    The whole computation stays in INTEGERS — weight sums are exact
+    and order-independent (double summation would make the shuffle
+    order observable), and the score ships as fixed-point
+    parts-per-million (``logit_ppm`` = logit·10⁶, truncated): a
+    float division + round() here would hit decimal-halfway ties
+    where Spark (shortest-repr BigDecimal) and other engines (binary
+    value) legitimately disagree by 1 ulp of the rounding grid. The
+    offset-then-divide keeps the integer division on positive values,
+    where floor and truncate agree across engines."""
+    toks = tokenize(text_col)
+    exploded = df.select(
+        F.col(id_col), F.size(toks).alias("_n"), F.explode(toks).alias("_t")
+    )
+    w_int = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.col("_t"))), 1, 15), 16, 10
+        ).cast("long")
+        % 2001
+        - 1000
+    )
+    return (
+        exploded.groupBy(id_col, "_n")
+        .agg(F.sum(w_int).alias("_sw"))
+        .select(
+            F.col(id_col),
+            F.col("_n").alias("n_tokens"),
+            (
+                F.expr("((_sw + 1000 * _n) * 1000000) div (1000 * _n)")
+                - F.lit(1000000)
+            ).alias("logit_ppm"),
+        )
+    )
+
+
 def corpus_term_stats(
     df: DataFrame,
     terms: tuple[str, ...],

@@ -623,3 +623,66 @@ def json_extract_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("k"), 4).alias("avg_k"), F.count(F.lit(1)).alias("n"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (X-infra-zorder)
+
+
+def _zorder_sql(cols: tuple[str, str], bits: int) -> str:
+    """DuckDB mirror of zorder_key: OR of per-bit shifted terms."""
+    n = len(cols)
+    terms = [
+        f"(({c} & {1 << b}) << {b * n + i - b})"
+        for b in range(bits)
+        for i, c in enumerate(cols)
+    ]
+    return " | ".join(terms)
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH dims AS (
+      SELECT l_partkey % 256 AS dx, l_suppkey % 256 AS dy, l_quantity
+      FROM lineitem
+    ), keyed AS (
+      SELECT {_zorder_sql(('dx', 'dy'), 8)} AS zkey, l_quantity FROM dims
+    )
+    SELECT zkey >> 10 AS zbucket,
+           count(*) AS n_rows,
+           CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(min(zkey) AS BIGINT) AS z_min,
+           CAST(max(zkey) AS BIGINT) AS z_max
+    FROM keyed
+    GROUP BY zbucket
+    ORDER BY zbucket
+    """,
+    covers=("X-infra-zorder",),
+)
+def zorder_layout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (z-order) clustering key over two bucketed dimensions of
+    lineitem, rolled up per z-bucket — the write-layout primitive that
+    makes row-group min/max stats prune multi-dimensional predicates.
+    The rollup's tight per-bucket z ranges ARE the locality property
+    the layout exists for."""
+    from etl_sprint_2_5_spark.operators.layout import zorder_key
+
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_partkey") % 256).alias("dx"),
+        (F.col("l_suppkey") % 256).alias("dy"),
+        "l_quantity",
+    )
+    keyed = li.select(
+        zorder_key(["dx", "dy"], bits=8).alias("zkey"), "l_quantity"
+    )
+    return (
+        keyed.groupBy(F.shiftright("zkey", 10).alias("zbucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("long")).alias("sum_qty"),
+            F.min("zkey").alias("z_min"),
+            F.max("zkey").alias("z_max"),
+        )
+        .orderBy("zbucket")
+    )

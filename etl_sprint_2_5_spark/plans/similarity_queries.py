@@ -8,8 +8,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.operators.similarity import (
-    assign_cells,
-    brute_force_topk,
+    assign_cells_gemm,
+    brute_force_topk_gemm,
     ivf_topk,
     train_ivf_centroids,
 )
@@ -46,11 +46,12 @@ _DUCK_COS = (
     covers=("X-ann-brute",),
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact cosine top-k: broadcast the query set, score map-side,
-    rank per query. The O(Q·N) correctness baseline for ANN."""
+    """Exact cosine top-k: the query set rides the task closure, each
+    Arrow batch gemm-scores and emits only its local top-k, the final
+    rank sees (N/batch)·Q·k rows. The O(Q·N) correctness baseline."""
     e = load_table(spark, "embeddings", sf_dir)
     queries = e.where(F.col("vec_id") < _N_QUERIES)
-    return brute_force_topk(e, queries, "vec_id", "embedding", _K).orderBy(
+    return brute_force_topk_gemm(e, queries, "vec_id", "embedding", _K).orderBy(
         "query_id", "rank"
     )
 
@@ -131,7 +132,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, "embeddings", sf_dir)
     seeds = e.where(F.col("vec_id") % _CENTROID_MOD == 0)
     centroids = train_ivf_centroids(e, seeds, "vec_id", "embedding", _IVF_ITERS)
-    assigned = assign_cells(e, centroids, "vec_id", "embedding")
+    assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding")
     q_cells = assigned.where(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(assigned, q_cells, "vec_id", "embedding", _K).orderBy(
         "query_id", "rank"

@@ -209,6 +209,39 @@ def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), ex AS (
+      SELECT doc_id, len(tk) AS n, unnest(tk) AS t
+      FROM toks WHERE len(tk) > 0
+    ), w AS (
+      SELECT doc_id, n,
+             ('0x' || substr(md5('qclf-v1' || t), 1, 15))::BIGINT % 2001 - 1000 AS wi
+      FROM ex
+    ), agg AS (
+      SELECT doc_id, n, CAST(sum(wi) AS BIGINT) AS sw
+      FROM w GROUP BY doc_id, n
+    )
+    SELECT doc_id, n AS n_tokens,
+           ((sw + 1000 * n) * 1000000) // (1000 * n) - 1000000 AS logit_ppm
+    FROM agg
+    ORDER BY doc_id
+    """,
+    covers=("X-text-classifier",),
+)
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc hashed-linear-classifier logit (fastText-style scoring
+    plumbing with deterministic stand-in weights) — the model-based
+    quality filter stage of a curation pipeline."""
+    from etl_sprint_2_5_spark.operators.textops import hashed_linear_score
+
+    d = load_table(spark, "documents", sf_dir)
+    return hashed_linear_score(d, "text", "doc_id").orderBy("doc_id")
+
+
 # BM25 oracle: full formula mirror of fulltext_score(k1=1.2, b=0.75).
 # All float constants use e0 notation so DuckDB parses them as DOUBLE
 # (bare 1.2 would be DECIMAL and change the arithmetic); operand order

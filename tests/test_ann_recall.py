@@ -153,3 +153,44 @@ def test_trained_centroids_driver_and_distributed_agree(spark, corpus):
     f = {r["vec_id"]: list(r["embedding"]) for r in fast.collect()}
     s = {r["vec_id"]: list(r["embedding"]) for r in slow.collect()}
     assert f == s
+
+
+def test_assign_cells_gemm_equals_pairwise(spark):
+    """The gemm assignment must reproduce the broadcast-join variant
+    bit-for-bit under the round(6)+id contract, for nprobe 1 and 2."""
+    from etl_sprint_2_5_spark.operators.similarity import (
+        assign_cells,
+        assign_cells_gemm,
+    )
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    cent = e.where(F.col("vec_id") % 100 == 0)
+    for nprobe in (1, 2):
+        a = sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in assign_cells(e, cent, "vec_id", "embedding", nprobe).collect()
+        )
+        b = sorted(
+            (r["vec_id"], r["centroid_id"])
+            for r in assign_cells_gemm(e, cent, "vec_id", "embedding", nprobe).collect()
+        )
+        assert a == b
+
+
+def test_brute_force_gemm_equals_pairwise(spark):
+    """Partial-top-k gemm brute force must emit exactly the pairwise
+    variant's winners (same round(6)+neighbor_id contract)."""
+    from etl_sprint_2_5_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_gemm,
+    )
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    q = e.where(F.col("vec_id") < 5)
+    a = sorted(map(tuple, brute_force_topk(e, q, "vec_id", "embedding", 4).collect()))
+    b = sorted(
+        map(tuple, brute_force_topk_gemm(e, q, "vec_id", "embedding", 4).collect())
+    )
+    assert a == b

@@ -129,3 +129,29 @@ def test_whole_stage_codegen_active(spark):
         assert "*(1)" in plan and "*(3)" in plan, plan
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+def test_zorder_key_interleave_and_locality(spark):
+    from etl_sprint_2_5_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(3, 1), (0, 0), (255, 255), (1, 0), (0, 1)], ["x", "y"]
+    )
+    got = {
+        (r["x"], r["y"]): r["z"]
+        for r in df.select("x", "y", zorder_key(["x", "y"], bits=8).alias("z")).collect()
+    }
+
+    def morton(x, y, bits=8):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y, z)
+    # locality: all points in a 16x16 tile share their high z-bits
+    tile = [(x, y) for x in range(16, 32) for y in range(48, 64)]
+    zs = [morton(x, y) for x, y in tile]
+    assert max(zs) - min(zs) < 16 * 16 * 4  # tile spans a bounded z range
+    assert len(set(z >> 8 for z in zs)) == 1  # one 256-wide z block prefix

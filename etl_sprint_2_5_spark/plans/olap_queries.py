@@ -1,0 +1,132 @@
+"""OLAP analytics queries — exact percentiles, ROLLUP grouping sets,
+and ntile bucketing — with exact DuckDB oracles.
+
+These widen the engine's reporting surface beyond the reference's
+operator set (the reference serves point/list/search queries; a
+warehouse consumer of the same gold tables runs exactly these shapes).
+
+Determinism notes baked into the oracles:
+- exact percentile interpolation: both engines compute linear
+  interpolation between 2-decimal prices, so the ideal result has ≤ 3
+  decimals; round(4) is therefore ulp-safe on both sides.
+- ntile needs a TOTAL order (ties broken by key) or bucket membership
+  would be engine-dependent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.sources.parquet import load_table
+
+
+@query(
+    "revenue_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_orders,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 4)  AS p90,
+           round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    covers=("X-olap-percentiles",),
+)
+def revenue_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order-price percentiles per priority class. Exact
+    percentile is the oracle-able correctness baseline; the 100 TB
+    path swaps in approx_percentile (t-digest, mergeable partial
+    aggregation) with the same call shape."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "sales_rollup",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL')   AS status,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT)
+             AS grp_id,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    ORDER BY grp_id, priority, status
+    """,
+    covers=("X-olap-rollup",),
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals via ROLLUP(priority, status): detail
+    rows, per-priority subtotals, and the grand total in one pass —
+    Spark plans grouping sets as a single expand + hash aggregate
+    (one shuffle), not one job per level."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "grp_id",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("grp_id", "priority", "status")
+    )
+
+
+@query(
+    "customer_balance_deciles",
+    oracle="""
+    WITH tiled AS (
+      SELECT c_mktsegment, c_acctbal,
+             ntile(10) OVER (PARTITION BY c_mktsegment
+                             ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer
+    )
+    SELECT c_mktsegment, decile,
+           count(*) AS n_customers,
+           round(min(c_acctbal), 2) AS bal_min,
+           round(max(c_acctbal), 2) AS bal_max
+    FROM tiled
+    GROUP BY c_mktsegment, decile
+    ORDER BY c_mktsegment, decile
+    """,
+    covers=("X-olap-ntile",),
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance deciles per market segment (ntile over a TOTAL
+    order — c_custkey tiebreak keeps bucket membership engine-
+    independent), reported as per-decile count and balance range."""
+    c = load_table(spark, "customer", sf_dir)
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    tiled = c.select(
+        "c_mktsegment", "c_acctbal", F.ntile(10).over(w).alias("decile")
+    )
+    return (
+        tiled.groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("bal_min"),
+            F.round(F.max("c_acctbal"), 2).alias("bal_max"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )

@@ -101,3 +101,41 @@ def interval_join_binned(
         (F.col(point_ts) >= F.col(start_col)) & (F.col(point_ts) <= F.col(end_col))
     )
     return joined.drop("_bin")
+
+
+def scd2_compact(
+    df,
+    key_cols: tuple[str, ...],
+    attr_cols: tuple[str, ...],
+    ts_col: str,
+    tiebreak_col: str,
+):
+    """Type-2 slowly-changing-dimension build from an event/change
+    log: per key, consecutive rows with identical tracked attributes
+    collapse into one VERSION with [valid_from, valid_to) bounds;
+    the open version has valid_to NULL and ``is_current`` true.
+
+    Two windows over the same (key, order) partitioning — change
+    detection via lag, interval close via lead — so Catalyst plans ONE
+    shuffle + sort and both window frames run on it. Order is total
+    (``tiebreak_col`` breaks ts ties) or version boundaries would be
+    engine-dependent."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak_col)
+    attrs = F.struct(*[F.col(c) for c in attr_cols])
+    changes = (
+        df.select(*key_cols, ts_col, tiebreak_col, *attr_cols)
+        .withColumn("_prev", F.lag(attrs).over(w))
+        .where(F.col("_prev").isNull() | ~F.col("_prev").eqNullSafe(attrs))
+        .drop("_prev")
+    )
+    out = changes.withColumn("_valid_to", F.lead(F.col(ts_col)).over(w))
+    return out.select(
+        *key_cols,
+        *attr_cols,
+        F.col(ts_col).alias("valid_from"),
+        F.col("_valid_to").alias("valid_to"),
+        F.col("_valid_to").isNull().alias("is_current"),
+    )

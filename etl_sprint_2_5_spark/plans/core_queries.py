@@ -686,3 +686,73 @@ def zorder_layout_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("zbucket")
     )
+
+
+@query(
+    "snapshot_reconciliation",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 7 <> 0
+    ), new AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.5
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 5 <> 0
+    ), diff AS (
+      SELECT coalesce(n.o_orderstatus, o.o_orderstatus) AS status,
+             CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                  WHEN n.o_orderkey IS NULL THEN 'removed'
+                  WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+                        AND o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                       THEN 'changed'
+                  ELSE 'unchanged' END AS change_type,
+             coalesce(n.o_totalprice, 0) - coalesce(o.o_totalprice, 0) AS delta
+      FROM old o FULL JOIN new n USING (o_orderkey)
+    )
+    SELECT change_type, status,
+           count(*) AS n_orders,
+           round(sum(delta), 2) AS revenue_delta
+    FROM diff
+    GROUP BY change_type, status
+    ORDER BY change_type, status
+    """,
+    covers=("X-infra-diff",),
+)
+def snapshot_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff audit: yesterday's orders (keys % 7 removed) vs
+    today's (keys % 5 removed, prices bumped on % 11), classified
+    added/removed/changed/unchanged with revenue deltas — the backfill
+    / CDC sign-off primitive, one full-outer hash join."""
+    from etl_sprint_2_5_spark.operators.diff import snapshot_diff
+
+    o = t(spark, sf_dir, "orders")
+    old = o.select("o_orderkey", "o_orderstatus", "o_totalprice").where(
+        F.col("o_orderkey") % 7 != 0
+    )
+    new = o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") + 1.5
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+    ).where(F.col("o_orderkey") % 5 != 0)
+    d = snapshot_diff(
+        old, new, ("o_orderkey",), ("o_orderstatus", "o_totalprice")
+    )
+    return (
+        d.select(
+            F.coalesce("new_o_orderstatus", "old_o_orderstatus").alias("status"),
+            "change_type",
+            (
+                F.coalesce("new_o_totalprice", F.lit(0))
+                - F.coalesce("old_o_totalprice", F.lit(0))
+            ).alias("delta"),
+        )
+        .groupBy("change_type", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("delta"), 2).alias("revenue_delta"),
+        )
+        .orderBy("change_type", "status")
+    )

@@ -120,3 +120,46 @@ def interval_burst_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events WHERE user_id % 10 = 0
+    ), changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev IS NULL OR prev <> event_type
+    ), versions AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS valid_from_us,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS valid_to_us
+      FROM changes
+    )
+    SELECT user_id, event_type, valid_from_us, valid_to_us,
+           (valid_to_us IS NULL) AS is_current
+    FROM versions
+    ORDER BY user_id, valid_from_us
+    """,
+    covers=("X-temporal-scd2",),
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD build over the event log (user_id % 10 cohort):
+    consecutive same-type events collapse into versions with
+    [valid_from, valid_to) bounds and an is_current flag — the
+    dimension-history primitive of every warehouse load."""
+    from etl_sprint_2_5_spark.operators.temporal import scd2_compact
+
+    ev = load_table(spark, "events", sf_dir).where(F.col("user_id") % 10 == 0)
+    scd = scd2_compact(ev, ("user_id",), ("event_type",), "ts", "event_id")
+    return scd.select(
+        "user_id",
+        "event_type",
+        F.unix_micros("valid_from").alias("valid_from_us"),
+        F.unix_micros("valid_to").alias("valid_to_us"),
+        "is_current",
+    ).orderBy("user_id", "valid_from_us")

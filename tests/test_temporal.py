@@ -94,3 +94,56 @@ def test_interval_join_binned_matches_naive_theta(spark):
         .collect()
     }
     assert binned == naive and len(binned) > 0
+
+
+def test_scd2_compact_versions(spark):
+    from etl_sprint_2_5_spark.operators.temporal import scd2_compact
+
+    rows = [
+        # key, ts, seq, attr — runs: a,a -> b -> a ; second key constant
+        (1, "2024-01-01 00:00:00", 1, "a"),
+        (1, "2024-01-01 01:00:00", 2, "a"),
+        (1, "2024-01-01 02:00:00", 3, "b"),
+        (1, "2024-01-01 03:00:00", 4, "a"),
+        (2, "2024-01-01 00:30:00", 5, "x"),
+        (2, "2024-01-01 05:00:00", 6, "x"),
+    ]
+    df = spark.createDataFrame(
+        rows, "k int, ts string, seq int, attr string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = scd2_compact(df, ("k",), ("attr",), "ts", "seq").collect()
+    by_key = {}
+    for r in sorted(out, key=lambda r: (r["k"], r["valid_from"])):
+        by_key.setdefault(r["k"], []).append(
+            (r["attr"], r["valid_to"] is None, r["is_current"])
+        )
+    assert by_key[1] == [("a", False, False), ("b", False, False), ("a", True, True)]
+    assert by_key[2] == [("x", True, True)]
+    # version intervals chain: valid_to of v_i == valid_from of v_{i+1}
+    k1 = sorted((r for r in out if r["k"] == 1), key=lambda r: r["valid_from"])
+    for a, b in zip(k1, k1[1:]):
+        assert a["valid_to"] == b["valid_from"]
+
+
+def test_snapshot_diff_classification(spark):
+    from etl_sprint_2_5_spark.operators.diff import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 20.0), (3, "C", None), (4, "D", 40.0)],
+        "k int, s string, p double",
+    )
+    new = spark.createDataFrame(
+        [(1, "A", 10.0), (2, "B", 25.0), (3, "C", None), (5, "E", 50.0)],
+        "k int, s string, p double",
+    )
+    got = {
+        r["k"]: r["change_type"]
+        for r in snapshot_diff(old, new, ("k",), ("s", "p")).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "unchanged",  # NULL <=> NULL is unchanged
+        4: "removed",
+        5: "added",
+    }

@@ -756,3 +756,42 @@ def snapshot_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type", "status")
     )
+
+
+@query(
+    "fuzzy_supplier_pairs",
+    oracle="""
+    WITH s AS (
+      SELECT s_suppkey, lower(s_name) AS nm FROM supplier
+    ), pairs AS (
+      SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b,
+             levenshtein(a.nm, b.nm) AS dist
+      FROM s a JOIN s b
+        ON substr(a.nm, 1, 16) = substr(b.nm, 1, 16)
+       AND length(a.nm) = length(b.nm)
+       AND a.s_suppkey < b.s_suppkey
+    )
+    SELECT id_a, id_b, CAST(dist AS INT) AS dist
+    FROM pairs WHERE dist <= 1
+    ORDER BY id_a, id_b
+    """,
+    covers=("X-infra-fuzzy",),
+)
+def fuzzy_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution candidate pairs over supplier names:
+    block on (16-char prefix, length), verify with Levenshtein ≤ 1 —
+    the blocked fuzzy-join that replaces an all-pairs comparison.
+    Integer edit distance keeps the oracle engine-exact."""
+    from etl_sprint_2_5_spark.operators.fuzzy import blocked_fuzzy_pairs
+
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", F.lower("s_name").alias("nm")
+    )
+    out = blocked_fuzzy_pairs(
+        s,
+        "s_suppkey",
+        "nm",
+        [F.substring("nm", 1, 16), F.length("nm")],
+        max_dist=1,
+    )
+    return out.orderBy("id_a", "id_b")

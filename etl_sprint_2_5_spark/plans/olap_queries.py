@@ -130,3 +130,63 @@ def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "decile")
     )
+
+
+@query(
+    "regional_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           count(*) AS n_items,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+                    AND c.c_nationkey = s.s_nationkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, nation
+    """,
+    covers=("X-olap-q5",),
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table snowflake join (local-supplier
+    revenue by nation, ASIA, 2 years). The plan the optimizer should
+    find — and the plan audit asserts — is: date + region filters
+    pushed into the scans, region/nation/supplier/customer broadcast
+    up the chain, ONE shuffle for the final aggregate."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    j = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .where(
+            (F.col("r_name") == "ASIA")
+            & (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+    )
+    return (
+        j.groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )

@@ -137,3 +137,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(assigned, q_cells, "vec_id", "embedding", _K).orderBy(
         "query_id", "rank"
     )
+
+
+@query(
+    "embedding_quantization",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x * (127.0 / list_max(
+                      list_transform(embedding::DOUBLE[], y -> abs(y))))
+                    + 0.5) AS INT)) AS qv
+      FROM embeddings
+    )
+    SELECT vec_id,
+           CAST(list_min(qv) AS INT)  AS q_min,
+           CAST(list_max(qv) AS INT)  AS q_max,
+           CAST(list_sum(qv) AS BIGINT) AS q_sum,
+           CAST(len(list_filter(qv, x -> abs(x) = 127)) AS INT) AS n_saturated
+    FROM q
+    ORDER BY vec_id
+    """,
+    covers=("X-ann-quantize",),
+)
+def embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding, reported as
+    per-vector integer stats (min/max/checksum/saturation count) so
+    the oracle comparison is engine-exact. The 4× memory lever for
+    the ANN family."""
+    from etl_sprint_2_5_spark.operators.quantize import quantize_embeddings
+
+    e = load_table(spark, "embeddings", sf_dir)
+    q = quantize_embeddings(e, "vec_id", "embedding")
+    return q.select(
+        "vec_id",
+        F.array_min("qvec").alias("q_min"),
+        F.array_max("qvec").alias("q_max"),
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.size(F.filter("qvec", lambda x: F.abs(x) == 127)).alias("n_saturated"),
+    ).orderBy("vec_id")

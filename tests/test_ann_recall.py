@@ -194,3 +194,25 @@ def test_brute_force_gemm_equals_pairwise(spark):
         map(tuple, brute_force_topk_gemm(e, q, "vec_id", "embedding", 4).collect())
     )
     assert a == b
+
+
+def test_quantization_reconstruction_quality(spark):
+    """Dequantized vectors must preserve cosine geometry: cos(x, deq(x))
+    > 0.999 and q values bounded in [-127, 127]."""
+    import numpy as np
+
+    from etl_sprint_2_5_spark.operators.quantize import quantize_embeddings
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    e = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    rows = quantize_embeddings(e, "vec_id", "embedding").select(
+        "embedding", "qvec", "qvec_scale"
+    ).collect()
+    assert rows
+    for r in rows:
+        x = np.array(r["embedding"], dtype="float64")
+        q = np.array(r["qvec"], dtype="float64")
+        assert np.abs(q).max() <= 127
+        deq = q * r["qvec_scale"]
+        cos = (x @ deq) / (np.linalg.norm(x) * np.linalg.norm(deq))
+        assert cos > 0.999, cos

@@ -190,3 +190,100 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("revenue"), F.asc("nation"))
     )
+
+
+@query(
+    "status_priority_pivot",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+           round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0 END), 2) AS rev_f,
+           round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0 END), 2) AS rev_o,
+           round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0 END), 2) AS rev_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    covers=("X-olap-pivot",),
+)
+def status_priority_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Status×priority pivot with EXPLICIT pivot values — df.pivot with
+    declared values compiles to one hash aggregate (no extra pass to
+    discover columns, which is what implicit pivot costs at scale)."""
+    o = load_table(spark, "orders", sf_dir)
+    p = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("o_totalprice").alias("rev"),
+        )
+    )
+    totals = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        p.join(totals, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_total",
+            F.coalesce("F_n", F.lit(0)).alias("n_f"),
+            F.coalesce("O_n", F.lit(0)).alias("n_o"),
+            F.coalesce("P_n", F.lit(0)).alias("n_p"),
+            F.round(F.coalesce("F_rev", F.lit(0.0)), 2).alias("rev_f"),
+            F.round(F.coalesce("O_rev", F.lit(0.0)), 2).alias("rev_o"),
+            F.round(F.coalesce("P_rev", F.lit(0.0)), 2).alias("rev_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "monthly_revenue_trend",
+    oracle="""
+    WITH monthly AS (
+      SELECT date_trunc('month', o_orderdate) AS mon,
+             count(*) AS n_orders,
+             round(sum(o_totalprice), 2) AS revenue
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1999-01-01'
+      GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT epoch_us(mon) AS month_us, n_orders, revenue,
+           round(revenue - lag(revenue) OVER (ORDER BY mon), 2) AS revenue_delta
+    FROM monthly
+    ORDER BY month_us
+    """,
+    covers=("X-olap-trend",),
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue with lag deltas (2 years) — the
+    reporting time-series shape. The lag window is over the ALREADY
+    AGGREGATED 24 monthly rows, so the global window is trivially
+    single-partition by construction, not a scale hazard."""
+    o = load_table(spark, "orders", sf_dir)
+    monthly = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("month", "o_orderdate").alias("mon"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    w = Window.orderBy("mon")
+    return (
+        monthly.select(
+            F.unix_micros("mon").alias("month_us"),
+            "n_orders",
+            "revenue",
+            F.round(F.col("revenue") - F.lag("revenue").over(w), 2).alias(
+                "revenue_delta"
+            ),
+        )
+        .orderBy("month_us")
+    )

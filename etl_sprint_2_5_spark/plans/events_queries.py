@@ -203,3 +203,108 @@ def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_start_us")
     )
+
+
+@query(
+    "conversion_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT v.user_id % 5 AS cohort,
+           count(*) AS n_viewed,
+           count(c.user_id) AS n_clicked,
+           count(p.user_id) AS n_purchased
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id
+    GROUP BY v.user_id % 5
+    ORDER BY cohort
+    """,
+    covers=("X-events-funnel",),
+)
+def conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel (each step strictly after
+    the previous step's FIRST occurrence), reported per user cohort.
+    Three user-keyed min-aggregates + two left joins — every shuffle
+    is on user_id, so at scale all five stages co-partition and AQE
+    collapses the exchanges."""
+    ev = load_table(spark, "events", sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .where((F.col("event_type") == "click") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .where((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t2")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.join(c.select("user_id", F.lit(1).alias("_c")), "user_id", "left")
+        .join(p.select("user_id", F.lit(1).alias("_p")), "user_id", "left")
+        .groupBy((F.col("user_id") % 5).alias("cohort"))
+        .agg(
+            F.count(F.lit(1)).alias("n_viewed"),
+            F.count("_c").alias("n_clicked"),
+            F.count("_p").alias("n_purchased"),
+        )
+        .orderBy("cohort")
+    )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH weekly AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ), firsts AS (
+      SELECT user_id, min(wk) AS cohort_wk FROM weekly GROUP BY user_id
+    )
+    SELECT epoch_us(f.cohort_wk) AS cohort_week_us,
+           CAST((epoch_us(w.wk) - epoch_us(f.cohort_wk))
+                // 604800000000 AS BIGINT) AS offset_weeks,
+           count(*) AS n_active_users
+    FROM weekly w JOIN firsts f ON w.user_id = f.user_id
+    GROUP BY f.cohort_wk, offset_weeks
+    ORDER BY cohort_week_us, offset_weeks
+    """,
+    covers=("X-events-retention",),
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohort matrix: users grouped by first-active
+    week, counted in each subsequent week — the product-analytics
+    staple. One distinct (user, week) pass feeds both the cohort
+    assignment and the activity matrix; epoch-microsecond integer
+    arithmetic keeps week offsets engine-exact."""
+    ev = load_table(spark, "events", sf_dir)
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    firsts = weekly.groupBy("user_id").agg(F.min("wk").alias("cohort_wk"))
+    j = weekly.join(firsts, "user_id").select(
+        F.unix_micros("cohort_wk").alias("cohort_week_us"),
+        F.expr(
+            "(unix_micros(wk) - unix_micros(cohort_wk)) div 604800000000"
+        ).alias("offset_weeks"),
+    )
+    return (
+        j.groupBy("cohort_week_us", "offset_weeks")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .orderBy("cohort_week_us", "offset_weeks")
+    )

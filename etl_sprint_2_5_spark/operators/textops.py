@@ -314,3 +314,53 @@ def fulltext_score(
     return tokens.groupBy(id_col).agg(
         F.round(F.sum(token_weight), 2).alias("score")
     )
+
+
+def unigram_nll(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Unigram language-model surprisal per document — the CCNet/Dolma
+    'perplexity filter' shape with the corpus's own unigram stats as
+    the model.
+
+    Three declarative stages, all bounded:
+    1. token counts (one shuffle on token; vocab-sized result);
+    2. add-one-smoothed per-token cost, fixed-pointed to ppm:
+       cost_ppm = floor(-ln((c+1)/(N+V)) · 1e6 + 0.5) — BIGINT per
+       token, so the later per-doc sum is order-independent (a raw
+       double sum would be association-ordered and engine-unstable);
+    3. broadcast the vocab-sized cost table back onto the token
+       stream and aggregate per document (one shuffle on doc id).
+
+    At 100 TB the vocab table is the only state that must fit in
+    memory; past broadcast size the same plan degrades to a shuffle
+    hash join without changing semantics.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    consts = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
+    )
+    costs = vocab.crossJoin(F.broadcast(consts)).select(
+        "tok",
+        F.floor(
+            -F.log(
+                (F.col("c") + 1)
+                / (F.col("n_total") + F.col("v")).cast("double")
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("cost_ppm"),
+    )
+    scored = toks.join(F.broadcast(costs), "tok").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum("cost_ppm").alias("total_nll_ppm"),
+    )
+    return scored.select(
+        F.col(id_col),
+        "n_tokens",
+        "total_nll_ppm",
+        F.expr("total_nll_ppm div n_tokens").alias("avg_nll_ppm"),
+    )

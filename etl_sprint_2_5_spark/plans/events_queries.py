@@ -308,3 +308,97 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_active_users"))
         .orderBy("cohort_week_us", "offset_weeks")
     )
+
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM seq
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    ORDER BY prev_type, next_type
+    """,
+    covers=("X-events-transitions",),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix over per-user event sequences: lag one
+    step within each user's timeline (event_id tiebreak keeps the
+    order total), count (prev, next) pairs. One shuffle on user_id
+    for the window, then a map-side-combinable 25-row aggregate —
+    the window state is a single row, so memory stays O(1) per key
+    at any scale."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+@query(
+    "decayed_user_engagement",
+    oracle="""
+    WITH scored AS (
+      SELECT user_id,
+             CAST(floor(
+               value
+               * power(0.5e0,
+                       CAST((epoch_us(TIMESTAMP '2024-02-01')
+                             - epoch_us(ts)) // 604800000000 AS BIGINT))
+               * 1e6 + 0.5e0
+             ) AS BIGINT) AS decayed_ppm
+      FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-02-01'
+    )
+    SELECT user_id, count(*) AS n_purchases,
+           CAST(sum(decayed_ppm) AS BIGINT) AS engagement_ppm
+    FROM scored
+    GROUP BY user_id
+    ORDER BY engagement_ppm DESC, user_id
+    LIMIT 50
+    """,
+    covers=("X-events-decay",),
+)
+def decayed_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed engagement score: purchase values weighted by a
+    one-week half-life (0.5^weeks_ago from a fixed anchor), summed
+    per user. Decay uses power(0.5, integer-weeks) — exact in IEEE
+    on both engines — and each term is fixed-pointed to ppm BEFORE
+    the sum, so the aggregate is an order-independent BIGINT sum
+    (double sums are association-ordered and would not hash-match).
+    Single shuffle on user_id with map-side partial aggregation."""
+    ev = load_table(spark, "events", sf_dir)
+    anchor = F.lit("2024-02-01").cast("timestamp")
+    weeks = F.expr(
+        "(unix_micros(timestamp'2024-02-01') - unix_micros(ts))"
+        " div 604800000000"
+    )
+    decayed = F.floor(
+        F.col("value") * F.pow(F.lit(0.5), weeks) * F.lit(1e6) + F.lit(0.5)
+    ).alias("decayed_ppm")
+    return (
+        ev.where((F.col("event_type") == "purchase") & (F.col("ts") < anchor))
+        .select("user_id", decayed)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("decayed_ppm").alias("engagement_ppm"),
+        )
+        .orderBy(F.desc("engagement_ppm"), F.asc("user_id"))
+        .limit(50)
+    )

@@ -193,6 +193,211 @@ def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "order_count_distribution",
+    oracle="""
+    WITH per_cust AS (
+      SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT n_orders, count(*) AS n_customers
+    FROM per_cust
+    GROUP BY n_orders
+    ORDER BY n_customers DESC, n_orders DESC
+    """,
+    covers=("X-olap-q13",),
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: orders-per-customer distribution INCLUDING
+    zero-order customers — the left outer join + count-of-counts
+    histogram. The join filter lives on the right side (pre-filtering
+    orders before the join is plan-equivalent to the ON-clause filter
+    for a left join, and lets the predicate push into the scan); both
+    aggregations are map-side-combinable counts."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+@query(
+    "large_order_customers",
+    oracle="""
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING sum(l_quantity) > 150
+    )
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           epoch_us(o.o_orderdate) AS orderdate_us,
+           round(o.o_totalprice, 2) AS total_price,
+           big.sum_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """,
+    covers=("X-olap-q18",),
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-gated aggregate joined back to the
+    detail tables (customers holding the largest-quantity orders).
+    The quantity rollup is the only lineitem-sized shuffle; the
+    surviving 'big' keys then join orders, and the (small) result
+    broadcasts against customer. l_quantity is integral-valued, so
+    CAST(sum AS BIGINT) is exact on both engines."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").cast("bigint").alias("sum_qty"))
+        .where(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.unix_micros("o_orderdate").alias("orderdate_us"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "price_histogram",
+    oracle="""
+    SELECT least(CAST(floor(o_totalprice / 25000.0) AS BIGINT), 19) AS bucket,
+           count(*) AS n_orders,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi,
+           round(avg(o_totalprice), 4) AS mean_price
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    covers=("X-olap-histogram",),
+)
+def price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (20 × 25k buckets, top bucket
+    clamped open-ended) — one map-side-combinable aggregate, no
+    sort until the 20-row result. The bucket id is floor division
+    of the same IEEE doubles on both engines, so bucket membership
+    is engine-exact; an approx variant would swap in width_bucket +
+    sampling without changing the call shape."""
+    o = load_table(spark, "orders", sf_dir)
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / 25000.0).cast("bigint"), F.lit(19)
+    ).alias("bucket")
+    return (
+        o.groupBy(bucket)
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+            F.round(F.avg("o_totalprice"), 4).alias("mean_price"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "timeseries_gapfill",
+    oracle="""
+    WITH spine AS (
+      SELECT unnest(generate_series(TIMESTAMP '1997-03-01',
+                                    TIMESTAMP '1997-06-30',
+                                    INTERVAL 1 DAY)) AS day
+    ),
+    daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             count(*) AS n,
+             round(sum(o_totalprice), 2) AS rev
+      FROM orders
+      WHERE o_totalprice > 450000
+        AND o_orderdate >= TIMESTAMP '1997-03-01'
+        AND o_orderdate <  TIMESTAMP '1997-07-01'
+      GROUP BY date_trunc('day', o_orderdate)
+    )
+    SELECT epoch_us(s.day) AS day_us,
+           coalesce(d.n, 0) AS n_orders,
+           coalesce(d.rev, 0.0) AS revenue,
+           coalesce(last_value(d.rev IGNORE NULLS) OVER (
+             ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 0.0) AS last_known_rev
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    ORDER BY day_us
+    """,
+    covers=("X-olap-gapfill",),
+)
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap filling + forward fill: generate the full
+    day spine with sequence()/explode (no data-dependent holes), left
+    join the sparse daily aggregate, zero-fill the additive columns,
+    and forward-fill the last observed value with last(ignorenulls)
+    over a running window. The global window is over the 122-row
+    spine (already aggregated), not the fact table — at 100 TB the
+    spine stays tiny, so the single-partition window is safe; per-key
+    spines would partition the window by key."""
+    o = load_table(spark, "orders", sf_dir)
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("1997-03-01").cast("timestamp"),
+                F.lit("1997-06-30").cast("timestamp"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        o.where(
+            (F.col("o_totalprice") > 450000)
+            & (F.col("o_orderdate") >= F.lit("1997-03-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .groupBy(F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(daily, "day", "left")
+        .select(
+            F.unix_micros("day").alias("day_us"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            F.coalesce("rev", F.lit(0.0)).alias("revenue"),
+            F.coalesce(
+                F.last("rev", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("last_known_rev"),
+        )
+        .orderBy("day_us")
+    )
+
+
+@query(
     "status_priority_pivot",
     oracle="""
     SELECT o_orderpriority,

@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.operators.textops import (
     LANG_MARKERS,
+    unigram_nll,
     fulltext_score,
     language_id,
     quality_score,
@@ -430,4 +431,53 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chars_per_piece"),
         )
         .orderBy("source")
+    )
+
+
+@query(
+    "unigram_lm_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ),
+    consts AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v FROM vocab
+    ),
+    costs AS (
+      SELECT tok,
+             CAST(floor(
+               -ln((c + 1) / CAST(n_total + v AS DOUBLE)) * 1e6 + 0.5e0
+             ) AS BIGINT) AS cost_ppm
+      FROM vocab, consts
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tokens,
+             CAST(sum(cost_ppm) AS BIGINT) AS total_nll_ppm
+      FROM toks t JOIN costs USING (tok)
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, n_tokens, total_nll_ppm,
+           total_nll_ppm // n_tokens AS avg_nll_ppm
+    FROM scored
+    ORDER BY avg_nll_ppm DESC, doc_id
+    LIMIT 20
+    """,
+    covers=("X-text-perplexity",),
+)
+def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-style quality filter: rank documents by average
+    unigram surprisal under the corpus's own add-one-smoothed unigram
+    LM (operators/textops.py:unigram_nll). The 20 most 'surprising'
+    documents are the dedup/garbage candidates a curation pipeline
+    drops first. Per-token costs are ppm-fixed-point BIGINTs so the
+    ranking hash-matches across engines."""
+    d = load_table(spark, "documents", sf_dir)
+    return (
+        unigram_nll(d, "text", "doc_id")
+        .orderBy(F.desc("avg_nll_ppm"), F.asc("doc_id"))
+        .limit(20)
     )

@@ -56,6 +56,10 @@ HEADLINE = [
     "interval_burst_join",
     "persons_gold_shape",
     "genres_gold_shape",
+    "order_count_distribution",
+    "large_order_customers",
+    "unigram_lm_surprisal",
+    "last_touch_attribution",
 ]
 
 

@@ -402,3 +402,133 @@ def decayed_user_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("engagement_ppm"), F.asc("user_id"))
         .limit(50)
     )
+
+
+@query(
+    "user_activity_streaks",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ),
+    seq AS (
+      SELECT user_id, day,
+             CAST(epoch_us(day) // 86400000000 AS BIGINT)
+             - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+      FROM days
+    ),
+    streaks AS (
+      SELECT user_id, min(day) AS streak_start, count(*) AS streak_days
+      FROM seq GROUP BY user_id, grp
+    )
+    SELECT user_id, epoch_us(streak_start) AS streak_start_us, streak_days
+    FROM streaks
+    ORDER BY streak_days DESC, user_id, streak_start_us
+    LIMIT 50
+    """,
+    covers=("X-events-streaks",),
+)
+def user_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: longest consecutive-day activity streaks per
+    user. day_number − row_number is constant within an island, so
+    one distinct pass + one user-partitioned window + one groupBy
+    finds every streak — all three stages co-partitioned on user_id
+    (a single shuffle reused across the window and the aggregate)."""
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = days.select(
+        "user_id",
+        "day",
+        (
+            F.expr("unix_micros(day) div 86400000000")
+            - F.row_number().over(w)
+        ).alias("grp"),
+    )
+    return (
+        seq.groupBy("user_id", "grp")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros("streak_start").alias("streak_start_us"),
+            "streak_days",
+        )
+        .orderBy(
+            F.desc("streak_days"), F.asc("user_id"), F.asc("streak_start_us")
+        )
+        .limit(50)
+    )
+
+
+@query(
+    "last_touch_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, ts, event_type, value,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS src_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN epoch_us(ts) END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS src_ts_us
+      FROM events
+    )
+    SELECT CASE WHEN src_type IS NOT NULL
+                 AND epoch_us(ts) - src_ts_us <= 86400000000
+                THEN src_type ELSE 'direct' END AS channel,
+           count(*) AS n_purchases,
+           round(sum(value), 2) AS attributed_value
+    FROM seq
+    WHERE event_type = 'purchase'
+    GROUP BY channel
+    ORDER BY channel
+    """,
+    covers=("X-events-attribution",),
+)
+def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase credits the
+    user's most recent click/view within 24h (else 'direct'). The
+    carry-forward is last(ignorenulls) over the user timeline — the
+    same one-shuffle user-partitioned window as sessionization, with
+    O(1) state per key; the final rollup is 3 rows."""
+    ev = load_table(spark, "events", sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_src = F.col("event_type").isin("click", "view")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last(F.when(is_src, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("src_type"),
+        F.last(F.when(is_src, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("src_ts_us"),
+    )
+    channel = F.when(
+        F.col("src_type").isNotNull()
+        & (F.unix_micros("ts") - F.col("src_ts_us") <= 86400000000),
+        F.col("src_type"),
+    ).otherwise(F.lit("direct"))
+    return (
+        seq.where(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )

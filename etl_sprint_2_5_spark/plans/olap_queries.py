@@ -492,3 +492,61 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month_us")
     )
+
+
+@query(
+    "pareto_frontier",
+    oracle="""
+    WITH best AS (
+      SELECT p_size, min(p_retailprice) AS bp
+      FROM part GROUP BY p_size
+    ),
+    frontier AS (
+      SELECT p_size, bp,
+             min(bp) OVER (ORDER BY p_size DESC
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev_min
+      FROM best
+    )
+    SELECT p.p_partkey, p.p_size, round(p.p_retailprice, 2) AS price
+    FROM part p
+    JOIN frontier f
+      ON p.p_size = f.p_size AND p.p_retailprice = f.bp
+    WHERE f.prev_min IS NULL OR f.bp < f.prev_min
+    ORDER BY p.p_size DESC, p.p_partkey
+    """,
+    covers=("X-olap-skyline",),
+)
+def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not strictly dominated on
+    (maximize p_size, minimize p_retailprice). Computed as
+    grid-reduce → tiny window: per-size min price (one map-side-
+    combinable shuffle, ≤ |distinct sizes| rows), then a cummin over
+    sizes descending keeps a size only if it beats every larger
+    size's best price, then a broadcast join back tags the surviving
+    rows. Equivalent to the oracle's NOT-EXISTS dominance test but
+    O(n) + O(sizes·log sizes) instead of O(n²). Equal (size, price)
+    ties are all non-dominated and all kept."""
+    p = load_table(spark, "part", sf_dir)
+    best = p.groupBy("p_size").agg(F.min("p_retailprice").alias("bp"))
+    w = Window.orderBy(F.desc("p_size")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    frontier = (
+        best.select("p_size", "bp", F.min("bp").over(w).alias("prev_min"))
+        .where(F.col("prev_min").isNull() | (F.col("bp") < F.col("prev_min")))
+        .select(F.col("p_size").alias("f_size"), F.col("bp").alias("f_price"))
+    )
+    return (
+        p.join(
+            F.broadcast(frontier),
+            (p.p_size == F.col("f_size"))
+            & (p.p_retailprice == F.col("f_price")),
+        )
+        .select(
+            "p_partkey",
+            "p_size",
+            F.round("p_retailprice", 2).alias("price"),
+        )
+        .orderBy(F.desc("p_size"), F.asc("p_partkey"))
+    )

@@ -534,3 +534,55 @@ def stratified_eval_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, "documents", sf_dir)
     s = stratified_sample(d, ("source", "lang"), "doc_id", k=3)
     return s.orderBy("source", "lang", "sample_rank")
+
+
+@query(
+    "weighted_doc_sample",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln((('0x' || substr(md5('wsample-v1' || doc_id::VARCHAR), 1, 15))::BIGINT
+                 + 1) / 1152921504606846976.0)
+             / n_chars AS es_key
+      FROM documents
+      WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars
+    FROM keyed
+    ORDER BY es_key DESC, doc_id
+    LIMIT 100
+    """,
+    covers=("X-curation-weighted-sample",),
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): each doc draws u from a salted md5
+    (not a PRNG — retry/replay stable), gets key u^(1/weight), and
+    the global top-k by key is an exact weighted sample. Ranking by
+    ln(u)/w is monotone-equivalent to u^(1/w) and avoids the pow; the
+    top-k is a per-partition partial TopK then a single k-row merge —
+    no global sort. Weight = n_chars (longer docs proportionally more
+    likely), +1 on the 60-bit draw keeps u strictly positive."""
+    d = load_table(spark, "documents", sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("wsample-v1"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    ) / F.lit(1152921504606846976.0)
+    keyed = d.where(F.col("n_chars") > 0).select(
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars")).alias("es_key"),
+    )
+    return (
+        keyed.orderBy(F.desc("es_key"), F.asc("doc_id"))
+        .select("doc_id", "n_chars")
+        .limit(100)
+    )

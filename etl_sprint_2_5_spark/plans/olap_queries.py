@@ -550,3 +550,114 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("p_size"), F.asc("p_partkey"))
     )
+
+
+@query(
+    "rolling_7day_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(epoch_us(date_trunc('day', o_orderdate))
+                  // 86400000000 AS BIGINT) AS day_num,
+             count(*) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+      GROUP BY day_num
+    )
+    SELECT day_num * 86400000000 AS day_us,
+           n_orders,
+           rev_cents / 100.0 AS revenue,
+           CAST(sum(rev_cents) OVER (
+             ORDER BY day_num
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW
+           ) AS BIGINT) / 100.0 AS revenue_7d
+    FROM daily
+    ORDER BY day_us
+    """,
+    covers=("X-olap-rolling",),
+)
+def rolling_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling revenue over the daily aggregate — RANGE frame on
+    integer day numbers, so calendar gaps shorten the window instead
+    of silently widening it (ROWS BETWEEN 6 PRECEDING would be wrong
+    on sparse days). Revenue crosses the engines as exact integer
+    cents (floor(x·100+0.5) per row, BIGINT sums all the way), so no
+    double accumulation order can break the hash; the single global
+    window runs over 365 pre-aggregated rows, not the fact table."""
+    o = load_table(spark, "orders", sf_dir)
+    daily = (
+        o.where(
+            (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .groupBy(
+            F.expr(
+                "unix_micros(date_trunc('day', o_orderdate)) div 86400000000"
+            ).alias("day_num")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("rev_cents"),
+        )
+    )
+    w = Window.orderBy("day_num").rangeBetween(-6, 0)
+    return (
+        daily.select(
+            (F.col("day_num") * 86400000000).alias("day_us"),
+            "n_orders",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            (F.sum("rev_cents").over(w).cast("bigint") / 100.0).alias(
+                "revenue_7d"
+            ),
+        )
+        .orderBy("day_us")
+    )
+
+
+@query(
+    "segment_price_balance_corr",
+    oracle="""
+    SELECT c.c_mktsegment,
+           count(*) AS n_orders,
+           round(corr(o.o_totalprice, c.c_acctbal), 4)       AS price_balance_corr,
+           round(regr_slope(o.o_totalprice, c.c_acctbal), 4) AS slope,
+           round(regr_intercept(o.o_totalprice, c.c_acctbal), 2) AS intercept
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    covers=("X-olap-corr",),
+)
+def segment_price_balance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / least-squares diagnostics per market segment
+    (does account balance predict order size?) — corr, regr_slope,
+    regr_intercept are all single-pass mergeable aggregates (partial
+    moments combine associatively), so the plan is one broadcast join
+    + one shuffle regardless of fact size. Rounded on both sides: the
+    moments differ between engines only at accumulation-noise level,
+    orders of magnitude below the rounding grid."""
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.corr("o_totalprice", "c_acctbal"), 4).alias(
+                "price_balance_corr"
+            ),
+            F.round(F.regr_slope("o_totalprice", "c_acctbal"), 4).alias(
+                "slope"
+            ),
+            F.round(F.regr_intercept("o_totalprice", "c_acctbal"), 2).alias(
+                "intercept"
+            ),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -221,10 +221,16 @@ def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, "orders", sf_dir).where(
         F.col("o_orderpriority") != "1-URGENT"
     )
-    per_cust = (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy("c_custkey")
-        .agg(F.count("o_orderkey").alias("n_orders"))
+    # Aggregate orders BEFORE the join: the shuffle then carries one
+    # row per ordering customer instead of one per order (fan-out ×
+    # smaller), and the left join against customer only zero-fills.
+    counts = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    per_cust = c.join(
+        counts, c.c_custkey == counts.o_custkey, "left"
+    ).select(
+        "c_custkey", F.coalesce("cnt", F.lit(0)).alias("n_orders")
     )
     return (
         per_cust.groupBy("n_orders")

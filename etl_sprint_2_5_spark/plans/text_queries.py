@@ -8,11 +8,11 @@ from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.operators.textops import (
     LANG_MARKERS,
-    unigram_nll,
     fulltext_score,
     language_id,
     quality_score,
     token_stats,
+    unigram_nll,
 )
 from etl_sprint_2_5_spark.plans.registry import query
 from etl_sprint_2_5_spark.sources.parquet import load_table

@@ -667,3 +667,130 @@ def segment_price_balance_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@query(
+    "top_supplier_quarter",
+    oracle="""
+    WITH srev AS (
+      SELECT l.l_suppkey,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                                 + 0.5e0) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem l
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+      GROUP BY l.l_suppkey
+    ),
+    ranked AS (
+      SELECT l_suppkey, rev_cents,
+             max(rev_cents) OVER () AS max_rev
+      FROM srev
+    )
+    SELECT s.s_suppkey, s.s_name, r.rev_cents / 100.0 AS total_revenue
+    FROM ranked r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.rev_cents = r.max_rev
+    ORDER BY s.s_suppkey
+    """,
+    covers=("X-olap-q15",),
+)
+def top_supplier_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: revenue view per supplier for one quarter,
+    return the supplier(s) hitting the global max (ALL ties kept —
+    the reason Q15 is a view + equality, not an ORDER BY ... LIMIT 1).
+    The global max runs over the already-aggregated per-supplier rows
+    via an empty-frame window; revenue is fixed-pointed to integer
+    cents per item so the aggregate is order-independent."""
+    li = load_table(spark, "lineitem", sf_dir)
+    s = load_table(spark, "supplier", sf_dir)
+    srev = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * 100
+                    + F.lit(0.5)
+                ).cast("bigint")
+            ).alias("rev_cents")
+        )
+    )
+    ranked = srev.withColumn(
+        "max_rev", F.max("rev_cents").over(Window.partitionBy())
+    )
+    return (
+        ranked.where(F.col("rev_cents") == F.col("max_rev"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_cents") / 100.0).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "revenue_share_by_nation",
+    oracle="""
+    WITH nrev AS (
+      SELECT n.n_regionkey, n.n_name AS nation,
+             CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                                 + 0.5e0) AS BIGINT)) AS BIGINT) AS rev_cents
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n   ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_regionkey, n.n_name
+    )
+    SELECT r.r_name AS region, nation,
+           rev_cents / 100.0 AS revenue,
+           round(rev_cents / CAST(sum(rev_cents) OVER (
+             PARTITION BY n_regionkey) AS DOUBLE), 6) AS region_share
+    FROM nrev JOIN region r ON nrev.n_regionkey = r.r_regionkey
+    ORDER BY region, nation
+    """,
+    covers=("X-olap-share",),
+)
+def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total: each nation's share of its region's revenue
+    — the ratio-to-window-sum BI staple. The fact-table aggregate
+    reduces to 25 nation rows BEFORE the share window runs, so the
+    window cost is constant; integer-cents accumulation keeps the
+    numerator and denominator engine-exact, and the one double
+    division at the end is IEEE-identical on both sides."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+        + F.lit(0.5)
+    ).cast("bigint")
+    nrev = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", F.col("n_name").alias("nation"))
+        .agg(F.sum(cents).alias("rev_cents"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return (
+        nrev.join(F.broadcast(r), nrev.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("r_name").alias("region"),
+            "nation",
+            (F.col("rev_cents") / 100.0).alias("revenue"),
+            F.round(
+                F.col("rev_cents")
+                / F.sum("rev_cents").over(w).cast("double"),
+                6,
+            ).alias("region_share"),
+        )
+        .orderBy("region", "nation")
+    )

@@ -21,7 +21,10 @@ from etl_sprint_2_5_spark.operators.curation import (
 )
 from etl_sprint_2_5_spark.plans.registry import query
 from etl_sprint_2_5_spark.plans.text_queries import _DUCK_SHINGLES_T, _DUCK_TOKS
-from etl_sprint_2_5_spark.sources.parquet import load_table
+from etl_sprint_2_5_spark.sources.parquet import (
+    load_documents_spread,
+    load_table,
+)
 
 
 @query(
@@ -65,7 +68,7 @@ def text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic synthetic contact tail (both engines build the same
     string), odd ones stay clean — counts verify redaction fires
     exactly where it should."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     aug = d.withColumn(
         "text",
         F.when(
@@ -124,7 +127,7 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc against the benchmark docs (doc_id % 97 == 0 plays the eval
     set). The benchmark shingle set broadcasts; the corpus is scored
     map-side with no shuffle."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     bench = d.where(F.col("doc_id") % 97 == 0)
     corpus = d.where(F.col("doc_id") % 97 != 0)
     out = contamination_overlap(corpus, bench, "text", "doc_id", n=3)
@@ -185,7 +188,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition rollup per source. Every third doc gets
     a deterministic repeated-sentence footer; the duplicate-line and
     duplicate-char fractions must light up exactly there."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     aug = d.withColumn(
         "text",
         F.when(
@@ -298,7 +301,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from etl_sprint_2_5_spark.operators.textops import language_id, quality_score
 
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     lang = language_id(d, "text", "doc_id").select("doc_id", "pred_lang")
     qual = quality_score(d, "text", "doc_id").select("doc_id", "quality")
 
@@ -483,7 +486,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with shard count, never a global sort."""
     from etl_sprint_2_5_spark.operators.curation import pack_sequences
 
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     d2 = d.select(
         "doc_id",
         "source",

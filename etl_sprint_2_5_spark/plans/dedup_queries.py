@@ -25,7 +25,10 @@ from etl_sprint_2_5_spark.operators.dedup import (
 )
 from etl_sprint_2_5_spark.functions.text import MINHASH_PERMS
 from etl_sprint_2_5_spark.plans.registry import query
-from etl_sprint_2_5_spark.sources.parquet import load_table
+from etl_sprint_2_5_spark.sources.parquet import (
+    load_documents_spread,
+    load_table,
+)
 
 # DuckDB fragments mirroring functions/text.py exactly.
 _DUCK_TOKS = (
@@ -61,7 +64,7 @@ _DUCK_PERMS = ", ".join(
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: md5 of normalized text, hash-groupBy, keeper=min id."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     return exact_dedup(d, "text", "doc_id").orderBy("fingerprint")
 
 
@@ -84,7 +87,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_token_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Key-collision fingerprint dedup: groups whose sorted distinct
     token sets are identical (catches shuffled/duplicated tokens)."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     fp = token_fingerprint(d, "text", "doc_id")
     return (
         fp.groupBy("fingerprint")
@@ -149,7 +152,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     One md5 per shingle TOTAL (the old per-seed rehash did 12); the
     only shuffles are the band-key bucketing and the final pair verify
     - the linear-cost near-dup pattern that survives corpus scale."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     # cache: the hashed shingle sets feed the signature AND both sides
     # of the verify join - 8 bytes/shingle, not the shingle strings
     shingled = hashed_shingle_sets(d, "text", "doc_id").cache()
@@ -184,7 +187,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """32-bit SimHash signature per document (md5-prefix bit votes),
     computed as an in-array fold — verified bit-for-bit by the oracle."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     return simhash(d, "text", "doc_id").orderBy("doc_id")
 
 
@@ -223,7 +226,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     then exact Jaccard from co-occurrence counts."""
     from etl_sprint_2_5_spark.operators.dedup import pairs_within_bucket
 
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     sh = hashed_shingle_sets(d, "text", "doc_id").cache()
     # inverted index: shingle hash → sorted posting list → in-bucket
     # pairs; counting pair occurrences = |A ∩ B| (no self-join; long
@@ -311,7 +314,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative (the doc a pipeline keeps) and the sorted member
     list. The oracle computes the same components via a recursive
     transitive-closure CTE."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     shingled = hashed_shingle_sets(d, "text", "doc_id").cache()
     signed = minhash_signature(shingled, num_hashes=12)
     pairs = lsh_candidate_pairs(signed, "doc_id", num_hashes=12, rows_per_band=3)

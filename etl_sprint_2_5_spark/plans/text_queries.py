@@ -15,7 +15,10 @@ from etl_sprint_2_5_spark.operators.textops import (
     unigram_nll,
 )
 from etl_sprint_2_5_spark.plans.registry import query
-from etl_sprint_2_5_spark.sources.parquet import load_table
+from etl_sprint_2_5_spark.sources.parquet import (
+    load_documents_spread,
+    load_table,
+)
 
 _DUCK_TOKS = (
     "list_filter(string_split(trim(regexp_replace(lower(text),"
@@ -55,7 +58,7 @@ def _duck_hits(lg: str) -> str:
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting rolled up per source (whitespace tokens +
     chars/4 LLM-token heuristic)."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     stats = token_stats(d, "text", "doc_id").join(
         d.select("doc_id", "source"), "doc_id"
     )
@@ -96,7 +99,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc composite quality score (length, diversity, stopword
     density) — the training-data pre-filter."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     return quality_score(d, "text", "doc_id").orderBy("doc_id")
 
 
@@ -131,7 +134,7 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID, reported as a label×prediction
     confusion rollup."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     pred = language_id(d, "text", "doc_id").join(
         d.select("doc_id", "lang"), "doc_id"
     )
@@ -196,7 +199,7 @@ def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted multi-field full-text scoring (the ES multi_match
     approximation, search_api/api.py:93-100): text boosted 3×,
     source 1×, query 'spark window merge', top-20."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     scored = fulltext_score(
         d,
         "doc_id",
@@ -239,7 +242,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality filter stage of a curation pipeline."""
     from etl_sprint_2_5_spark.operators.textops import hashed_linear_score
 
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     return hashed_linear_score(d, "text", "doc_id").orderBy("doc_id")
 
 
@@ -298,7 +301,7 @@ def fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the reference's ES defaults (search_api/api.py:93-100 BM25
     with per-field boosts; ES k1/b defaults are 1.2/0.75), closing the
     tf·idf-only divergence documented in round 1."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     scored = fulltext_score(
         d,
         "doc_id",
@@ -353,7 +356,7 @@ def text_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines."""
     from etl_sprint_2_5_spark.functions.text import word_shingles
 
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     # materialize the hashed shingle array once per row (a single
     # select stage), then derive count + sample from it — inlining the
     # shingle expression twice would tokenize every document twice
@@ -412,7 +415,7 @@ def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator, rolled up per source. The regex is the pre-tokenize
     stage of real BPE; per-merge vocab application would be a pandas
     UDF over these pieces."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     pieces = F.regexp_extract_all("text", F.lit(_BPE_RE), 0)
     per_doc = d.select(
         "source",
@@ -475,7 +478,7 @@ def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents are the dedup/garbage candidates a curation pipeline
     drops first. Per-token costs are ppm-fixed-point BIGINTs so the
     ranking hash-matches across engines."""
-    d = load_table(spark, "documents", sf_dir)
+    d = load_documents_spread(spark, sf_dir)
     return (
         unigram_nll(d, "text", "doc_id")
         .orderBy(F.desc("avg_nll_ppm"), F.asc("doc_id"))

@@ -70,3 +70,35 @@ def register_views(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> None:
     """Register every testdata table as a temp view for spark.sql()."""
     for name, df in load_tables(spark, sf_dir=sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def spread_partitions(df: DataFrame, key: str) -> DataFrame:
+    """Fan a low-partition scan out to the session's parallelism for
+    CPU-bound downstream stages.
+
+    Splittable-format partitioning is BYTE-driven
+    (``spark.sql.files.maxPartitionBytes``), which is the wrong unit
+    for compute-heavy text/blob operators: a well-compressed corpus
+    shard can be <1 MB on disk yet cost minutes of per-token hashing —
+    scanned as ONE partition, the whole map stage runs on one core.
+    This helper hash-repartitions on ``key`` only when the scan came
+    back with fewer partitions than the session's parallelism; at real
+    corpus sizes (many input splits) it is a no-op, so it costs
+    nothing where the cluster is already busy and fixes exactly the
+    small-file × heavy-CPU corner.
+
+    Hash partitioning (not round-robin) keeps placement deterministic
+    under task retry without the local sort Spark inserts for
+    round-robin determinism.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, F.col(key))
+
+
+def load_documents_spread(spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """documents table pre-spread for per-token compute (tokenize /
+    shingle / hash operators are CPU-bound, not IO-bound)."""
+    return spread_partitions(load_table(spark, "documents", sf_dir), "doc_id")

@@ -155,3 +155,20 @@ def test_zorder_key_interleave_and_locality(spark):
     zs = [morton(x, y) for x, y in tile]
     assert max(zs) - min(zs) < 16 * 16 * 4  # tile spans a bounded z range
     assert len(set(z >> 8 for z in zs)) == 1  # one 256-wide z block prefix
+
+
+def test_spread_partitions_fans_out_small_scans(spark):
+    """A tiny (single-partition) compute-heavy input must be fanned
+    out to the session's parallelism; an already-parallel input must
+    pass through untouched (no extra shuffle)."""
+    from etl_sprint_2_5_spark.sources.parquet import spread_partitions
+
+    small = spark.createDataFrame(
+        [(i, "x" * 10) for i in range(100)], "doc_id bigint, text string"
+    ).coalesce(1)
+    spread = spread_partitions(small, "doc_id")
+    assert spread.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert spread.count() == 100
+
+    wide = small.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
+    assert spread_partitions(wide, "doc_id") is wide

@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import StructField, StructType
 
 from etl_sprint_2_5_spark.functions.text import (
     MINHASH_PERMS,
@@ -332,19 +333,57 @@ def embedding_near_dups(
     )
 
 
+def _union_find_local(
+    pairs: list[tuple], spark, id_type
+) -> DataFrame:
+    """Driver-side union-find over a small edge list → (id, label)
+    DataFrame with label = min id per component."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    labels = [(x, find(x)) for x in parent]
+    schema = StructType(
+        [StructField("id", id_type), StructField("label", id_type)]
+    )
+    return spark.createDataFrame(labels, schema)
+
+
 def connected_components(
     edges: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    local_limit: int = 200_000,
 ) -> DataFrame:
     """Connected components over a pair list → (id, label), label =
     min id in the component. Completes the dedup story: the pair
     queries say WHO overlaps; clustering says which docs to KEEP
     (one representative per component).
 
-    Min-label propagation: each round every node takes the min of its
-    own and its neighbors' labels — converges in O(component diameter)
+    Adaptive execution: the edge list is the OUTPUT of the dedup
+    reduce (verified near-dup pairs), orders of magnitude smaller
+    than the corpus, so its size is known cheaply after the checkpoint
+    that cuts the pair-plan lineage anyway. At or below
+    ``local_limit`` edges the component solve is a driver-side
+    union-find (O(E α(E)), microseconds per edge) — dozens of tiny
+    shuffle rounds cost more in job scheduling than the whole graph
+    costs to solve. Above the limit, distributed min-label
+    propagation: each round every node takes the min of its own and
+    its neighbors' labels — converges in O(component diameter)
     rounds; near-dup components are dense and shallow, so a handful.
     Each round is one join + one partial-aggregating groupBy; lineage
     is cut with localCheckpoint per round (25 chained joins would
@@ -352,13 +391,29 @@ def connected_components(
     rounds don't converge rather than returning silently-wrong labels.
     At web scale with adversarial chain-shaped components, switch to
     the large-star/small-star algorithm (same join primitives,
-    O(log n) rounds).
+    O(log n) rounds). Both paths emit identical (id, min-id-label)
+    rows (property-tested equal in tests/test_dedup_operators.py).
     """
-    sym = (
+    spark = edges.sparkSession
+    dedup_edges = (
         edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(edges.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .localCheckpoint()  # detaches the (possibly huge) pair plan
+    )
+    if dedup_edges.count() <= local_limit:
+        pairs = [(r["src"], r["dst"]) for r in dedup_edges.collect()]
+        id_type = dedup_edges.schema["src"].dataType
+        return _union_find_local(pairs, spark, id_type)
+
+    sym = (
+        dedup_edges
+        .unionByName(
+            dedup_edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
         .distinct()
-        .localCheckpoint()  # also detaches the (possibly huge) pair plan
+        .localCheckpoint()
     )
     labels = (
         sym.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))

@@ -84,3 +84,25 @@ def test_connected_components_shapes(spark):
     assert {got[i] for i in (10, 11, 12)} == {10}
     assert got[20] == 20 and got[21] == 20
     assert len(got) == 10  # only nodes that appear in edges
+
+
+def test_connected_components_paths_agree(spark):
+    """The driver-side union-find (small-frontier path) and the
+    distributed min-label loop (local_limit=0 forces it) must emit
+    identical (id, label) sets."""
+    from etl_sprint_2_5_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12),
+         (20, 21), (30, 31), (31, 32), (33, 32), (33, 34)],
+        "id_a long, id_b long",
+    )
+    local = {
+        (r["id"], r["label"])
+        for r in connected_components(edges).collect()
+    }
+    dist = {
+        (r["id"], r["label"])
+        for r in connected_components(edges, local_limit=0).collect()
+    }
+    assert local == dist and len(local) == 15

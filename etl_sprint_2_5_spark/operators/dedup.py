@@ -447,3 +447,103 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14) → (id, label), label = min id in the component.
+
+    This is the WEB-SCALE path: min-label propagation needs
+    O(component diameter) rounds — an adversarial chain of n nodes
+    needs n rounds — while star operations contract the graph in
+    O(log² n) (O(log n) observed) rounds regardless of shape:
+
+    - large-star: every node points its LARGER neighbors at its
+      current minimum neighbor (keeps edges v>u only);
+    - small-star: every node points its smaller-or-equal neighbors
+      at its minimum neighbor.
+
+    Each round is one groupBy per star (map-side-combinable min) and
+    one projection — no joins against a growing label table, and the
+    edge set shrinks monotonically toward a star forest. Convergence
+    is detected when the edge set is stable (every node points
+    directly at its component minimum).
+
+    Used as the ``connected_components`` distributed path's
+    documented swap-in for adversarial graph shapes; parity with the
+    union-find and min-label paths is pytest-enforced.
+    """
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # neighborhood of u includes u itself so the min is stable
+        nbrs = e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = (
+            nbrs.groupBy("src")
+            .agg(F.least(F.min("dst"), F.col("src")).alias("m"))
+            .select(F.col("src").alias("u"), "m")
+        )
+        return (
+            nbrs.where(F.col("dst") > F.col("src"))
+            .join(mins, F.col("src") == F.col("u"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        directed = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        )
+        mins = (
+            directed.groupBy("src")
+            .agg(F.least(F.min("dst"), F.col("src")).alias("m"))
+            .select(F.col("src").alias("u"), "m")
+        )
+        moved = (
+            directed.join(mins, F.col("src") == F.col("u"))
+            .select(
+                F.col("dst").alias("src"), F.col("m").alias("dst")
+            )
+        )
+        selfed = mins.select(F.col("u").alias("src"), F.col("m").alias("dst"))
+        return (
+            moved.unionByName(selfed)
+            .where(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    cur = (
+        edges.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nxt = small_star(large_star(cur)).localCheckpoint()
+        # converged when every edge already points at the component min:
+        # the edge multiset is unchanged by another round
+        delta = nxt.exceptAll(cur).limit(1).count() + cur.exceptAll(nxt).limit(1).count()
+        cur = nxt
+        if delta == 0:
+            members = cur.select(F.col("src").alias("id"), F.col("dst").alias("label"))
+            roots = (
+                cur.select(F.col("dst").alias("id"))
+                .distinct()
+                .join(
+                    cur.select(F.col("src").alias("id")).distinct(),
+                    "id",
+                    "left_anti",
+                )
+                .withColumn("label", F.col("id"))
+            )
+            return members.unionByName(roots)
+    raise RuntimeError(f"connected_components_star: no convergence in {max_iter} rounds")

@@ -28,6 +28,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -179,6 +180,65 @@ def asof_state_stream(events: DataFrame) -> DataFrame:
         _asof_fn,
         outputStructType=ASOF_OUTPUT,
         stateStructType=ASOF_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ATTRIB_OUTPUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("purchase_ts", TimestampType()),
+        StructField("channel", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+ATTRIB_STATE = StructType(
+    [
+        StructField("src_ts_us", LongType()),
+        StructField("src_type", StringType()),
+    ]
+)
+
+_ATTRIB_WINDOW_US = 86_400_000_000  # 24h, same bound as the batch query
+
+
+def _attrib_fn(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Streaming last-touch attribution: carry the user's most recent
+    click/view (ts, type) in state; each purchase is credited to it
+    when within 24h, else 'direct'. State per key: one (long, string)
+    pair. Rows are processed in ts order within the micro-batch."""
+    src_us, src_type = (tuple(state.get) if state.exists else (None, None))
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    out = {c: [] for c in ("user_id", "purchase_ts", "channel", "value")}
+    for r in rows.itertuples():
+        ts_us = int(r.ts.value // 1_000)
+        if r.event_type in ("click", "view"):
+            src_us, src_type = ts_us, r.event_type
+        elif r.event_type == "purchase":
+            within = src_us is not None and ts_us - src_us <= _ATTRIB_WINDOW_US
+            out["user_id"].append(key[0])
+            out["purchase_ts"].append(r.ts)
+            out["channel"].append(src_type if within else "direct")
+            out["value"].append(float(r.value))
+    if src_us is not None:
+        state.update((src_us, src_type))
+    yield pd.DataFrame(out)
+
+
+def attribution_state_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``last_touch_attribution`` query:
+    per-purchase channel credit with ONE (ts, channel) pair of state
+    per user — the carry-forward window function re-expressed as
+    keyed state so it runs incrementally forever (the batch query is
+    the exact-order reconciliation reference). Expects columns
+    (event_id, ts, user_id, event_type, value)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _attrib_fn,
+        outputStructType=ATTRIB_OUTPUT,
+        stateStructType=ATTRIB_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -106,3 +106,29 @@ def test_connected_components_paths_agree(spark):
         for r in connected_components(edges, local_limit=0).collect()
     }
     assert local == dist and len(local) == 15
+
+
+def test_connected_components_star_parity(spark):
+    """large-star/small-star (the adversarial-shape scale path) agrees
+    with union-find on chains, triangles, stars, and singleton pairs —
+    including a 12-node chain whose diameter stresses contraction."""
+    from etl_sprint_2_5_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = [(i, i + 1) for i in range(100, 112)]
+    edges = spark.createDataFrame(
+        chain
+        + [(2, 1), (2, 3), (10, 11), (11, 12), (10, 12), (20, 21),
+           (50, 40), (50, 41), (50, 42), (50, 43)],
+        "id_a long, id_b long",
+    )
+    uf = {
+        (r["id"], r["label"]) for r in connected_components(edges).collect()
+    }
+    star = {
+        (r["id"], r["label"])
+        for r in connected_components_star(edges).collect()
+    }
+    assert star == uf

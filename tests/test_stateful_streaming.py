@@ -151,3 +151,67 @@ def test_asof_state_stream_matches_batch_asof(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_attribution_state_stream_matches_batch(spark, tmp_path):
+    """Streaming last-touch attribution equals the batch window logic
+    across micro-batches and a restart: state carries the last
+    click/view over the batch boundary, purchases outside the 24h
+    window fall back to 'direct'."""
+    from etl_sprint_2_5_spark.streaming.stateful import attribution_state_stream
+
+    tmp = str(tmp_path)
+    feed, ckpt, out = f"{tmp}/afeed", f"{tmp}/ackpt", f"{tmp}/aout"
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def t(s):
+        return T0 + dt.timedelta(seconds=s)
+
+    batch1 = [
+        (1, t(0), 10, "view", 0.0),
+        (2, t(5), 10, "purchase", 9.0),     # credited to view@0
+        (3, t(1), 11, "purchase", 7.0),     # nothing before -> direct
+    ]
+    batch2 = [
+        (4, t(20), 10, "purchase", 5.0),    # view@0 carried across batches
+        (5, t(30), 11, "click", 0.0),
+        # 25h after the click -> outside window -> direct
+        (6, dt.timedelta(seconds=30) + T0 + dt.timedelta(hours=25), 11,
+         "purchase", 3.0),
+    ]
+
+    def write(rows, mode):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(mode).parquet(feed)
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(feed)
+
+        def sink(batch_df, batch_id):
+            batch_df.write.mode("append").parquet(out)
+
+        q = (
+            attribution_state_stream(stream)
+            .writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    write(batch1, "overwrite")
+    drain()
+    write(batch2, "append")
+    drain()
+
+    got = {
+        (r["user_id"], r["value"]): r["channel"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == {
+        (10, 9.0): "view",
+        (11, 7.0): "direct",
+        (10, 5.0): "view",
+        (11, 3.0): "direct",
+    }

@@ -41,3 +41,34 @@ def watermarked_window_agg(
             F.col("count").alias("n"),
         )
     )
+
+
+def watermarked_session_agg(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    lateness: str = "10 minutes",
+) -> DataFrame:
+    """Gap-based session windows per key via the NATIVE
+    ``F.session_window`` — the streaming twin of the batch
+    ``session_windows`` query (which re-derives the same sessions with
+    a lag/cumsum window so DuckDB can oracle-check them).
+
+    Spark merges overlapping per-key session state as events arrive;
+    a session closes — and, in append mode, emits exactly once — when
+    the watermark passes (last_event + gap). Session state per key is
+    bounded by the watermark horizon, same as the tumbling case."""
+    return (
+        stream.withWatermark(ts_col, lateness)
+        .groupBy(
+            F.session_window(ts_col, gap).alias("w"), F.col(key_col)
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            F.col(key_col),
+            "n_events",
+        )
+    )

@@ -79,3 +79,54 @@ def k_anonymity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return k_anonymity_audit(c, ("c_nationkey", "c_mktsegment"), k=10).orderBy(
         "c_nationkey", "c_mktsegment"
     )
+
+
+def _cms_probe_union(width: int, depth: int, salt: str) -> str:
+    parts = [
+        f"""
+        SELECT {d} AS row,
+               ('0x' || substr(md5('{salt}:{d}:' || event_type), 1, 15))::BIGINT
+                 % {width} AS bucket,
+               event_type
+        FROM events"""
+        for d in range(depth)
+    ]
+    return "\n UNION ALL \n".join(parts)
+
+
+@query(
+    "cms_event_type_estimates",
+    oracle=f"""
+    WITH probes AS ({_cms_probe_union(512, 4, "cms-v1")}),
+    cells AS (
+      SELECT row, bucket, count(*) AS n
+      FROM probes GROUP BY row, bucket
+    ),
+    key_probes AS (
+      SELECT DISTINCT row, bucket, event_type FROM probes
+    )
+    SELECT p.event_type, CAST(min(c.n) AS BIGINT) AS est_count
+    FROM key_probes p JOIN cells c USING (row, bucket)
+    GROUP BY p.event_type
+    ORDER BY p.event_type
+    """,
+    covers=("X-sketch-cms",),
+)
+def cms_event_type_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch end-to-end, oracle-checked: build the 4×512
+    sketch over the event-type stream in one combinable pass, then
+    point-query every observed key (min over the key's 4 cells). The
+    sketch itself — not just its estimates — is deterministic because
+    the hash rows are salted md5, so the DuckDB oracle rebuilds the
+    identical cell table. CMS guarantees est ≥ true; with 5 distinct
+    keys and width 512 there are no collisions, so est == true here
+    (the bound tests in tests/test_sketch.py cover the collision
+    regime)."""
+    from etl_sprint_2_5_spark.operators.sketch import cms_build, cms_estimate
+
+    ev = load_table(spark, "events", sf_dir)
+    sketch = cms_build(ev, "event_type", width=512, depth=4)
+    keys = ev.select("event_type").distinct()
+    return cms_estimate(sketch, keys, "event_type", width=512, depth=4).orderBy(
+        "event_type"
+    )

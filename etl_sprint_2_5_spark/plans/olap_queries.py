@@ -794,3 +794,94 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region", "nation")
     )
+
+
+@query(
+    "part_affinity_pairs",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (
+      SELECT count(DISTINCT l_orderkey) AS n FROM baskets
+    ),
+    part_freq AS (
+      SELECT l_partkey, count(*) AS f FROM baskets GROUP BY l_partkey
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             count(*) AS n_together
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+      HAVING count(*) >= 3
+    )
+    SELECT p.part_a, p.part_b, p.n_together,
+           round(p.n_together / CAST(n.n AS DOUBLE), 6) AS support,
+           round(p.n_together * CAST(n.n AS DOUBLE)
+                 / (fa.f * CAST(fb.f AS DOUBLE)), 4) AS lift
+    FROM pairs p
+    JOIN part_freq fa ON fa.l_partkey = p.part_a
+    JOIN part_freq fb ON fb.l_partkey = p.part_b
+    CROSS JOIN n_orders n
+    ORDER BY n_together DESC, part_a, part_b
+    LIMIT 50
+    """,
+    covers=("X-olap-affinity",),
+)
+def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: parts co-ordered in the same order,
+    with support and lift. The pair space is generated per basket
+    (collect the basket's sorted parts, expand in-array pairs — the
+    same bounded local-quadratic idiom as the LSH buckets; baskets
+    are small, so no order-key self-join materializes the fact table
+    twice), then one count aggregate; marginals broadcast back.
+    support = P(a,b); lift = P(a,b)/(P(a)·P(b)) — both computed from
+    exact integer counts and divided once at the end."""
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.agg(
+        F.countDistinct("l_orderkey").alias("n")
+    )
+    part_freq = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("f"))
+    grouped = baskets.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_list("l_partkey")).alias("parts")
+    )
+    from etl_sprint_2_5_spark.operators.dedup import pairs_within_bucket
+
+    pairs = (
+        grouped.select(
+            F.explode(pairs_within_bucket(F.col("parts"))).alias("p")
+        )
+        .select(F.col("p.id_a").alias("part_a"), F.col("p.id_b").alias("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_together"))
+        .where(F.col("n_together") >= 3)
+    )
+    fa = part_freq.select(
+        F.col("l_partkey").alias("part_a"), F.col("f").alias("fa")
+    )
+    fb = part_freq.select(
+        F.col("l_partkey").alias("part_b"), F.col("f").alias("fb")
+    )
+    return (
+        pairs.join(F.broadcast(fa), "part_a")
+        .join(F.broadcast(fb), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_together",
+            F.round(
+                F.col("n_together") / F.col("n").cast("double"), 6
+            ).alias("support"),
+            F.round(
+                F.col("n_together")
+                * F.col("n").cast("double")
+                / (F.col("fa") * F.col("fb").cast("double")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_together"), F.asc("part_a"), F.asc("part_b"))
+        .limit(50)
+    )

@@ -839,7 +839,10 @@ def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     support = P(a,b); lift = P(a,b)/(P(a)·P(b)) — both computed from
     exact integer counts and divided once at the end."""
     li = load_table(spark, "lineitem", sf_dir)
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    # baskets feeds four consumers (pair expansion, both marginals, the
+    # order count) — cache the one distinct pass instead of recomputing
+    # the scan+shuffle per branch
+    baskets = li.select("l_orderkey", "l_partkey").distinct().cache()
     n_orders = baskets.agg(
         F.countDistinct("l_orderkey").alias("n")
     )

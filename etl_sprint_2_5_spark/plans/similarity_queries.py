@@ -283,3 +283,45 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _K)
         .orderBy("query_id", "rank")
     )
+
+
+_FILTER_LABEL = 3
+
+
+@query(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 6) AS cos
+      FROM embeddings a, embeddings q
+      WHERE q.vec_id < {_N_QUERIES}
+        AND a.label = {_FILTER_LABEL}
+        AND a.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """,
+    covers=("X-ann-filtered",),
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (the vector-DB 'filtered ANN'
+    shape): the label predicate is applied as an ordinary DataFrame
+    filter BEFORE scoring, so Catalyst pushes it into the parquet
+    scan — no vector is decoded, moved, or scored outside the
+    filtered stratum (pre-filtering, not post-filtering: post would
+    return < k rows whenever the filter is selective). Scoring and
+    ranking reuse the gemm partial-top-k path unchanged."""
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.where(F.col("vec_id") < _N_QUERIES)
+    corpus = e.where(F.col("label") == _FILTER_LABEL)
+    return brute_force_topk_gemm(
+        corpus, queries, "vec_id", "embedding", _K
+    ).orderBy("query_id", "rank")

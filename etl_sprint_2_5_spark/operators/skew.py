@@ -56,3 +56,32 @@ def salted_join(
     f = salt_fact(fact, fact_unique_col, factor)
     d = replicate_dim(dim, factor)
     return f.join(d, [*on, SALT_COL], how).drop(SALT_COL)
+
+
+def salted_agg_counts(
+    df: DataFrame,
+    key_col: str,
+    unique_col: str,
+    value_col: str,
+    factor: int = 16,
+) -> DataFrame:
+    """Two-stage salted aggregation for pathologically hot GROUP BY
+    keys: stage 1 aggregates on (key, salt) — each hot key spreads
+    over ``factor`` combiner cells across different tasks — stage 2
+    merges the ≤ factor partials per key. Result ≡ a plain
+    groupBy(key).agg(count, sum); sums stay integer-exact because the
+    partials are integers (count) or fixed-pointed upstream.
+
+    Spark's own map-side partial aggregation already covers MOST skew
+    (partials combine before the shuffle); explicit salting is the
+    escape hatch when the reduce-side per-key state itself is the
+    bottleneck (e.g. count_distinct carrying a set per key)."""
+    salted = salt_fact(df, unique_col, factor)
+    partial = salted.groupBy(key_col, SALT_COL).agg(
+        F.count(F.lit(1)).alias("_pn"),
+        F.sum(value_col).alias("_ps"),
+    )
+    return partial.groupBy(key_col).agg(
+        F.sum("_pn").alias("n_events"),
+        F.sum("_ps").alias("value_sum"),
+    )

@@ -532,3 +532,38 @@ def last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+@query(
+    "salted_event_counts",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5e0) AS BIGINT)) AS BIGINT)
+             AS value_sum
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    covers=("X-events-salted-agg",),
+)
+def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient aggregation, oracle-checked against the plain
+    GROUP BY: only 5 event types over the whole stream — the textbook
+    hot-key shape — aggregated via the two-stage (key, salt) →
+    key pattern (operators/skew.salted_agg_counts). The oracle is the
+    UNSALTED aggregate, proving result equivalence; values are
+    fixed-pointed to integer cents BEFORE summation so both stages
+    are order-independent BIGINT sums."""
+    from etl_sprint_2_5_spark.operators.skew import salted_agg_counts
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    return salted_agg_counts(
+        ev, "event_type", "event_id", "cents", factor=16
+    ).select(
+        "event_type", "n_events", F.col("value_sum").cast("bigint").alias("value_sum")
+    ).orderBy("event_type")

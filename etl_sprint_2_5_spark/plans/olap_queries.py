@@ -888,3 +888,40 @@ def part_affinity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_together"), F.asc("part_a"), F.asc("part_b"))
         .limit(50)
     )
+
+
+@query(
+    "late_shipment_orders",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+    )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+    covers=("X-olap-q4",),
+)
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with an inequality across
+    both tables (orders having any lineitem shipped >90 days after
+    the order date), decorrelated to a LEFT SEMI join — each order
+    contributes once no matter how many qualifying items, and the
+    semi join stops probing a key at first match instead of
+    materializing the fan-out."""
+    o = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey", "l_shipdate")
+    qualified = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("interval 90 days")),
+        "left_semi",
+    )
+    return (
+        qualified.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )

@@ -14,3 +14,4 @@ def load_all() -> None:
     import etl_sprint_2_5_spark.plans.similarity_queries  # noqa: F401
     import etl_sprint_2_5_spark.plans.temporal_queries  # noqa: F401
     import etl_sprint_2_5_spark.plans.text_queries  # noqa: F401
+    import etl_sprint_2_5_spark.plans.tpch_queries  # noqa: F401

@@ -484,3 +484,126 @@ def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_nll_ppm"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "bigram_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len(tk) - 2, 0)),
+               i -> array_to_string(tk[i+1:i+2], ' ')))) AS bigram
+      FROM toks
+    )
+    SELECT bigram, count(*) AS doc_freq
+    FROM grams
+    GROUP BY bigram
+    ORDER BY doc_freq DESC, bigram
+    LIMIT 25
+    """,
+    covers=("X-text-ngram-topk",),
+)
+def bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level top-25 bigrams by DOCUMENT frequency — the n-gram
+    census a curation pipeline runs to find boilerplate phrases worth
+    stripping. Bigrams come from the O(tokens) zip_with shingler
+    (functions/text.py word_shingles); per-doc dedup happens BEFORE
+    the explode so the shuffle carries distinct (doc, bigram) pairs,
+    and the top-k is a TakeOrdered over the counted aggregate — no
+    global sort."""
+    from etl_sprint_2_5_spark.functions.text import word_shingles
+
+    d = load_documents_spread(spark, sf_dir)
+    grams = d.select(
+        F.explode(F.array_distinct(word_shingles("text", 2))).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.asc("bigram"))
+        .limit(25)
+    )
+
+
+@query(
+    "tfidf_keywords",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), tf AS (
+      SELECT doc_id, unnest(tk) AS term FROM toks
+    ), tfc AS (
+      SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+    ), dfc AS (
+      SELECT term, count(*) AS df FROM tfc GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n_docs FROM toks
+    ), scored AS (
+      SELECT t.doc_id, t.term, t.tf,
+             CAST(floor(t.tf * round(ln(CAST(n.n_docs + 1 AS DOUBLE)
+                                        / CAST(d.df + 1 AS DOUBLE)), 6)
+                        * 1e6 + 0.5e0) AS BIGINT) AS score_ppm
+      FROM tfc t JOIN dfc d ON t.term = d.term, n
+    ), ranked AS (
+      SELECT doc_id, term, tf, score_ppm,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score_ppm DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score_ppm, CAST(rn AS BIGINT) AS rn
+    FROM ranked
+    WHERE rn <= 3
+    ORDER BY doc_id, rn
+    LIMIT 600
+    """,
+    covers=("X-text-tfidf",),
+)
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per document. Term frequencies and
+    document frequencies are two map-side-combinable aggregates over
+    the SAME exploded projection; df joins back on term (AQE picks
+    broadcast while the vocabulary is small, shuffle-hash once it is
+    not), and the per-doc rank is a bounded window over doc_id.
+
+    The score crosses the oracle boundary as ppm fixed-point over the
+    round(ln, 6) idf — floor(x*1e6+0.5) of identical IEEE doubles is
+    engine-exact, where round()ing the product could straddle a
+    decimal halfway point."""
+    d = load_documents_spread(spark, sf_dir)
+    from etl_sprint_2_5_spark.functions.text import tokenize
+
+    pairs = d.select("doc_id", F.explode(tokenize("text")).alias("term"))
+    tf = pairs.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.round(
+        F.log(
+            (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")
+        ),
+        6,
+    )
+    scored = (
+        tf.join(df, "term")
+        .join(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.floor(F.col("tf") * idf * 1e6 + 0.5).cast("long").alias("score_ppm"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score_ppm"), F.asc("term"))
+    return (
+        scored.select(
+            "doc_id", "term", "tf", "score_ppm",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+        .orderBy("doc_id", "rn")
+        .limit(600)
+    )

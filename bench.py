@@ -60,6 +60,8 @@ HEADLINE = [
     "large_order_customers",
     "unigram_lm_surprisal",
     "last_touch_attribution",
+    "nation_market_share",
+    "tfidf_keywords",
 ]
 
 

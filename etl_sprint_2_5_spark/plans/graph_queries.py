@@ -1,0 +1,221 @@
+"""Graph analytics beyond connected components — fixed-iteration
+PageRank over the part co-purchase graph.
+
+Iterative linear algebra as repeated join+aggregate is the Spark-
+native shape for graph propagation (same family as the min-label
+connected-components in operators/curation.py): each Lloyd/power
+iteration is one shuffle on the node key, and the rank and edge
+tables share that partitioning so AQE reuses the exchange.
+
+Determinism: ranks are INTEGER parts-per-billion, not doubles — a
+float PageRank sums contributions in partition order and drifts by
+ulps per iteration, which a value-hash gate would flag. Integer
+addition is commutative-exact, `div` truncation matches DuckDB's
+`//` floor on non-negatives, and the constants (damping 850/1000,
+teleport 150_000_000/N) stay in BIGINT range throughout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.sources.parquet import load_table
+
+_PAGERANK_ORACLE = """
+    WITH b AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS (
+      SELECT DISTINCT a.l_partkey AS src, c.l_partkey AS dst
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey <> c.l_partkey
+    ), deg AS (
+      SELECT src, count(*) AS deg FROM e GROUP BY src
+    ), nn AS (
+      SELECT count(*) AS n FROM deg
+    ), r0 AS (
+      SELECT src AS part, CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS r
+      FROM deg
+    ), it1 AS (
+      SELECT e.dst AS part,
+             CAST(150000000 // (SELECT n FROM nn)
+                  + (850 * CAST(sum(r0.r // deg.deg) AS BIGINT)) // 1000
+                  AS BIGINT) AS r
+      FROM e JOIN r0 ON e.src = r0.part JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ), it2 AS (
+      SELECT e.dst AS part,
+             CAST(150000000 // (SELECT n FROM nn)
+                  + (850 * CAST(sum(it1.r // deg.deg) AS BIGINT)) // 1000
+                  AS BIGINT) AS r
+      FROM e JOIN it1 ON e.src = it1.part JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    ), it3 AS (
+      SELECT e.dst AS part,
+             CAST(150000000 // (SELECT n FROM nn)
+                  + (850 * CAST(sum(it2.r // deg.deg) AS BIGINT)) // 1000
+                  AS BIGINT) AS r
+      FROM e JOIN it2 ON e.src = it2.part JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    )
+    SELECT it3.part, deg.deg AS degree, it3.r AS pr_ppb
+    FROM it3 JOIN deg ON it3.part = deg.src
+    ORDER BY pr_ppb DESC, part
+    LIMIT 50
+"""
+
+
+@query("part_pagerank", oracle=_PAGERANK_ORACLE, covers=("X-graph-pagerank",))
+def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three power iterations of PageRank (damping 0.85) over the
+    symmetric part co-purchase graph; top-50 parts by rank.
+
+    Plan shape: the edge list is built once from per-order baskets
+    and cached (three iterations re-read it); each iteration is ONE
+    shuffle — join ranks on src (edges and ranks hash-partition on
+    the same key), aggregate contributions by dst. Degrees ride in
+    the rank table so no extra join per iteration. At 100 TB the
+    edge list is the big table; it partitions by src and every
+    iteration reuses that partitioning, which is exactly GraphX's
+    Pregel layout expressed in DataFrames."""
+    li = load_table(spark, "lineitem", sf_dir)
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select("l_orderkey", F.col("l_partkey").alias("src"))
+    c = b.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(c, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nn = deg.agg(F.count(F.lit(1)).alias("n"))
+    # ranks carries (part, r, deg, n) so each iteration joins ONCE —
+    # degrees and the node-count scalar ride along instead of
+    # re-joining per iteration
+    ranks = deg.join(F.broadcast(nn)).select(
+        F.col("src").alias("part"),
+        F.expr("1000000000 div n").alias("r"),
+        "deg",
+        "n",
+    )
+    for _ in range(3):
+        contrib = edges.join(ranks, edges.src == ranks.part).select(
+            "dst", F.expr("r div deg").alias("c")
+        )
+        summed = contrib.groupBy("dst").agg(
+            F.expr("(850 * sum(c)) div 1000").alias("damped")
+        )
+        ranks = (
+            summed.join(deg, summed.dst == deg.src)
+            .join(F.broadcast(nn))
+            .select(
+                F.col("dst").alias("part"),
+                (F.expr("150000000 div n") + F.col("damped")).alias("r"),
+                "deg",
+                "n",
+            )
+        )
+    return (
+        ranks.select("part", F.col("deg").alias("degree"), F.col("r").alias("pr_ppb"))
+        .orderBy(F.desc("pr_ppb"), F.asc("part"))
+        .limit(50)
+    )
+
+
+@query(
+    "zonemap_skip_estimate",
+    oracle="""
+    WITH zones AS (
+      SELECT 'orderkey_zones' AS layout,
+             (l_orderkey - 1) // 1000 AS zone,
+             min(l_shipdate) AS zmin, max(l_shipdate) AS zmax,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY 1, 2
+      UNION ALL
+      SELECT 'shipdate_zones' AS layout,
+             EXTRACT(year FROM l_shipdate) * 12
+               + EXTRACT(month FROM l_shipdate) AS zone,
+             min(l_shipdate) AS zmin, max(l_shipdate) AS zmax,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY 1, 2
+    ), classed AS (
+      SELECT layout, n_rows,
+             CASE WHEN zmax < TIMESTAMP '1997-07-01'
+                    OR zmin >= TIMESTAMP '1998-01-01'
+                  THEN 1 ELSE 0 END AS skippable
+      FROM zones
+    )
+    SELECT layout,
+           count(*) AS n_zones,
+           CAST(sum(skippable) AS BIGINT) AS n_skip_zones,
+           CAST(sum(n_rows) AS BIGINT) AS rows_total,
+           CAST(sum(skippable * n_rows) AS BIGINT) AS rows_skip,
+           (CAST(sum(skippable * n_rows) AS BIGINT) * 1000000)
+             // CAST(sum(n_rows) AS BIGINT) AS skip_ppm
+    FROM classed
+    GROUP BY layout
+    ORDER BY layout
+    """,
+    covers=("X-layout-zonemap",),
+)
+def zonemap_skip_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (row-group min/max) pruning simulator: how much of
+    the fact table a shipdate predicate could SKIP under two physical
+    layouts — natural orderkey chunks of 1000 rows vs month-range
+    partitions. This is the decision query behind choosing a layout
+    (zorder_layout's companion): at 100 TB the skip_ppm difference is
+    the scan-cost difference, because parquet row-group stats and
+    partition pruning implement exactly this CASE.
+
+    One scan: each row emits (layout, zone) twice via explode, then a
+    zone-stat aggregate and a per-layout rollup — both map-side
+    combinable."""
+    li = load_table(spark, "lineitem", sf_dir)
+    lo = F.lit("1997-07-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    zoned = li.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("orderkey_zones").alias("layout"),
+                    F.expr("(l_orderkey - 1) div 1000").alias("zone"),
+                ),
+                F.struct(
+                    F.lit("shipdate_zones").alias("layout"),
+                    (F.year("l_shipdate") * 12 + F.month("l_shipdate"))
+                    .cast("long")
+                    .alias("zone"),
+                ),
+            )
+        ).alias("z"),
+        "l_shipdate",
+    ).select("z.layout", "z.zone", "l_shipdate")
+    zones = zoned.groupBy("layout", "zone").agg(
+        F.min("l_shipdate").alias("zmin"),
+        F.max("l_shipdate").alias("zmax"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    classed = zones.select(
+        "layout",
+        "n_rows",
+        F.when((F.col("zmax") < lo) | (F.col("zmin") >= hi), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("skippable"),
+    )
+    return (
+        classed.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("n_zones"),
+            F.sum("skippable").alias("n_skip_zones"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(F.col("skippable") * F.col("n_rows")).alias("rows_skip"),
+            F.expr(
+                "(sum(skippable * n_rows) * 1000000) div sum(n_rows)"
+            ).alias("skip_ppm"),
+        )
+        .orderBy("layout")
+    )

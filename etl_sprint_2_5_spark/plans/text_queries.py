@@ -607,3 +607,105 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "rn")
         .limit(600)
     )
+
+
+@query(
+    "bigram_lm_surprisal",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(0, greatest(len(tk) - 2, 0)),
+               i -> array_to_string(tk[i+1:i+2], ' '))) AS bg
+      FROM toks
+    ), uni AS (
+      SELECT unnest(tk) AS tok FROM toks
+    ), vconst AS (
+      SELECT count(DISTINCT tok) AS v FROM uni
+    ), bgc AS (
+      SELECT bg, count(*) AS c FROM grams GROUP BY bg
+    ), ctxc AS (
+      SELECT string_split(bg, ' ')[1] AS ctx, count(*) AS c1
+      FROM grams GROUP BY 1
+    ), costs AS (
+      SELECT b.bg,
+             CAST(floor(
+               -ln((b.c + 1) / CAST(x.c1 + (SELECT v FROM vconst) AS DOUBLE))
+               * 1e6 + 0.5e0
+             ) AS BIGINT) AS cost_ppm
+      FROM bgc b JOIN ctxc x ON string_split(b.bg, ' ')[1] = x.ctx
+    ), scored AS (
+      SELECT g.doc_id,
+             count(*) AS n_bigrams,
+             CAST(sum(cost_ppm) AS BIGINT) AS total_nll_ppm
+      FROM grams g JOIN costs USING (bg)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_bigrams, total_nll_ppm,
+           total_nll_ppm // n_bigrams AS avg_nll_ppm
+    FROM scored
+    ORDER BY avg_nll_ppm DESC, doc_id
+    LIMIT 20
+    """,
+    covers=("X-text-bigram-lm",),
+)
+def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional-LM surprisal per document — the stronger
+    perplexity filter: cost(w1 w2) = -ln((c(w1,w2)+1)/(c(w1·)+V)),
+    add-one smoothed against the corpus's own bigram stats; top-20
+    most surprising documents.
+
+    Same scale shape as unigram_nll (operators/textops.py): bigram
+    and context counts are two shuffles over the gram stream, the
+    cost table is vocab-sized and broadcasts back onto the stream,
+    and per-bigram costs are ppm fixed-point BIGINTs so the per-doc
+    sum is order-independent across engines."""
+    from etl_sprint_2_5_spark.functions.text import tokenize, word_shingles
+
+    d = load_documents_spread(spark, sf_dir)
+    grams = d.select(
+        "doc_id", F.explode(word_shingles("text", 2)).alias("bg")
+    )
+    uni = d.select(F.explode(tokenize("text")).alias("tok"))
+    vconst = uni.agg(F.countDistinct("tok").alias("v"))
+    bgc = grams.groupBy("bg").agg(F.count(F.lit(1)).alias("c"))
+    ctxc = (
+        grams.select(F.element_at(F.split("bg", " "), 1).alias("ctx"))
+        .groupBy("ctx")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    costs = (
+        bgc.withColumn("ctx", F.element_at(F.split("bg", " "), 1))
+        .join(ctxc, "ctx")
+        .crossJoin(F.broadcast(vconst))
+        .select(
+            "bg",
+            F.floor(
+                -F.log((F.col("c") + 1) / (F.col("c1") + F.col("v")).cast("double"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("cost_ppm"),
+        )
+    )
+    scored = (
+        grams.join(F.broadcast(costs), "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum("cost_ppm").alias("total_nll_ppm"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_bigrams",
+            "total_nll_ppm",
+            F.expr("total_nll_ppm div n_bigrams").alias("avg_nll_ppm"),
+        )
+        .orderBy(F.desc("avg_nll_ppm"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -20,7 +20,11 @@ from etl_sprint_2_5_spark.operators.curation import (
     repetition_stats,
 )
 from etl_sprint_2_5_spark.plans.registry import query
-from etl_sprint_2_5_spark.plans.text_queries import _DUCK_SHINGLES_T, _DUCK_TOKS
+from etl_sprint_2_5_spark.plans.text_queries import (
+    _DUCK_SHINGLES_T,
+    _DUCK_TOKS,
+    _duck_hits,
+)
 from etl_sprint_2_5_spark.sources.parquet import (
     load_documents_spread,
     load_table,
@@ -588,4 +592,58 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         keyed.orderBy(F.desc("es_key"), F.asc("doc_id"))
         .select("doc_id", "n_chars")
         .limit(100)
+    )
+
+
+@query(
+    "domain_quota_filter",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS tk
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source,
+             round(0.4 * least(length(text) / 400.0, 1.0)
+                 + 0.4 * (CASE WHEN len(tk) > 0
+                          THEN len(list_distinct(tk))::DOUBLE / len(tk)
+                          ELSE 0 END)
+                 + 0.2 * (1 - (CASE WHEN len(tk) > 0
+                          THEN {_duck_hits('en')}::DOUBLE / len(tk)
+                          ELSE 0 END)), 4) AS quality
+      FROM toks
+    ), ranked AS (
+      SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rk
+      FROM q
+    )
+    SELECT doc_id, source, quality, CAST(rk AS BIGINT) AS rk
+    FROM ranked
+    WHERE rk <= 10
+    ORDER BY source, rk
+    """,
+    covers=("X-curation-quota",),
+)
+def domain_quota_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota enforcement: keep the 10 highest-quality
+    documents per source (the Dolma/RefinedWeb per-domain cap that
+    stops any one domain from dominating the training mix). A bounded
+    window per source — rank by (quality DESC, doc_id) is a total
+    order because quality is round(…,4)."""
+    from etl_sprint_2_5_spark.operators.textops import quality_score
+
+    from pyspark.sql import Window
+
+    d = load_documents_spread(spark, sf_dir)
+    q = quality_score(d, "text", "doc_id").join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("quality"), F.asc("doc_id"))
+    return (
+        q.select(
+            "doc_id", "source", "quality",
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .where(F.col("rk") <= 10)
+        .orderBy("source", "rk")
     )

@@ -333,3 +333,128 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_rep")
     )
+
+
+_INCOMING = ("src16", "src17", "src18", "src19")
+_DUCK_INCOMING = "('src16', 'src17', 'src18', 'src19')"
+
+
+@query(
+    "incremental_dedup",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, text, source IN {_DUCK_INCOMING} AS is_new
+      FROM documents
+    ), ex_tier AS (
+      SELECT i.doc_id, min(c.doc_id) AS match_id
+      FROM base i JOIN base c
+        ON md5(i.text) = md5(c.text) AND i.is_new AND NOT c.is_new
+      GROUP BY i.doc_id
+    ), toks AS (
+      SELECT doc_id, is_new, {_DUCK_TOKS} AS tk FROM base
+    ), sh AS (
+      SELECT doc_id, is_new, {_DUCK_SHINGLES} AS shingles FROM toks
+    ), hsh AS (
+      SELECT doc_id, is_new,
+             list_transform(shingles,
+                 s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+      FROM sh
+    ), ex AS (
+      SELECT doc_id, is_new, unnest(hs) AS s FROM hsh
+    ), co AS (
+      SELECT i.doc_id AS id_i, c.doc_id AS id_c, count(*) AS inter
+      FROM ex i JOIN ex c ON i.s = c.s AND i.is_new AND NOT c.is_new
+      GROUP BY 1, 2
+    ), near_tier AS (
+      SELECT id_i AS doc_id, min(id_c) AS match_id
+      FROM co
+      JOIN (SELECT doc_id, len(hs) AS n FROM hsh) li ON li.doc_id = co.id_i
+      JOIN (SELECT doc_id, len(hs) AS n FROM hsh) lc ON lc.doc_id = co.id_c
+      WHERE round(inter::DOUBLE / (li.n + lc.n - inter), 4) >= 0.5
+      GROUP BY id_i
+    )
+    SELECT b.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                WHEN n.doc_id IS NOT NULL THEN 'near'
+                ELSE 'unique' END AS verdict,
+           coalesce(e.match_id, n.match_id, -1) AS match_id
+    FROM base b
+    LEFT JOIN ex_tier e ON b.doc_id = e.doc_id
+    LEFT JOIN near_tier n ON b.doc_id = n.doc_id
+    WHERE b.is_new
+    ORDER BY b.doc_id
+    """,
+    covers=("X-dedup-incremental",),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the shape every
+    continuously-ingesting pipeline runs: the last four sources are
+    the INCOMING batch, everything else is the existing corpus; each
+    incoming doc is classified 'exact' (byte-identical text via md5
+    join), 'near' (shingle-Jaccard >= 0.5 via the inverted-index
+    cross-set join — only candidate pairs sharing a shingle are
+    scored, never corpus x batch), or 'unique'.
+
+    Scale shape: the corpus side of both joins is the big side and is
+    only ever touched by hash join on md5/shingle keys; at 100 TB the
+    corpus fingerprint and shingle-posting tables are the persisted
+    dedup index this query incrementally probes."""
+    d = load_documents_spread(spark, sf_dir)
+    base = d.select(
+        "doc_id", "text", F.col("source").isin(*_INCOMING).alias("is_new")
+    )
+    hashes = base.select("doc_id", "is_new", F.md5("text").alias("h"))
+    inc_h = hashes.where(F.col("is_new")).select(
+        F.col("doc_id").alias("id_i"), "h"
+    )
+    cor_h = hashes.where(~F.col("is_new")).select(
+        F.col("doc_id").alias("id_c"), "h"
+    )
+    ex_tier = (
+        inc_h.join(cor_h, "h")
+        .groupBy("id_i")
+        .agg(F.min("id_c").alias("ex_match"))
+    )
+    sh = hashed_shingle_sets(base, "text", "doc_id").join(
+        base.select("doc_id", "is_new"), "doc_id"
+    )
+    post = sh.select(
+        "doc_id", "is_new", F.explode("hs").alias("s"), F.size("hs").alias("n")
+    )
+    inc_p = post.where(F.col("is_new")).select(
+        F.col("doc_id").alias("id_i"), "s", F.col("n").alias("n_i")
+    )
+    cor_p = post.where(~F.col("is_new")).select(
+        F.col("doc_id").alias("id_c"), "s", F.col("n").alias("n_c")
+    )
+    co = (
+        inc_p.join(cor_p, "s")
+        .groupBy("id_i", "id_c", "n_i", "n_c")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    near_tier = (
+        co.where(
+            F.round(
+                F.col("inter")
+                / (F.col("n_i") + F.col("n_c") - F.col("inter")).cast("double"),
+                4,
+            )
+            >= 0.5
+        )
+        .groupBy("id_i")
+        .agg(F.min("id_c").alias("near_match"))
+    )
+    inc = base.where(F.col("is_new")).select("doc_id")
+    out = (
+        inc.join(ex_tier, inc.doc_id == ex_tier.id_i, "left")
+        .join(near_tier, inc.doc_id == near_tier.id_i, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("ex_match").isNotNull(), "exact")
+            .when(F.col("near_match").isNotNull(), "near")
+            .otherwise("unique")
+            .alias("verdict"),
+            F.coalesce("ex_match", "near_match", F.lit(-1)).alias("match_id"),
+        )
+    )
+    return out.orderBy("doc_id")

@@ -925,3 +925,158 @@ def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "order_value_window_stats",
+    oracle="""
+    WITH w AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             round(o_totalprice - lag(o_totalprice) OVER win, 2) AS prev_diff,
+             CAST(floor(percent_rank() OVER win * 1e6 + 0.5e0) AS BIGINT)
+               AS pct_rank_ppm,
+             CAST(floor(cume_dist() OVER win * 1e6 + 0.5e0) AS BIGINT)
+               AS cume_dist_ppm
+      FROM orders
+      WINDOW win AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    )
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           coalesce(prev_diff, 0.0) AS prev_diff,
+           pct_rank_ppm, cume_dist_ppm
+    FROM w
+    ORDER BY o_orderkey
+    LIMIT 200
+    """,
+    covers=("X-olap-window-rank",),
+)
+def order_value_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window suite over orders: within each priority class
+    (ordered by price with an orderkey tiebreak — a TOTAL order),
+    the gap to the previous order's price (lag), percent_rank, and
+    cume_dist. Rank ratios cross the oracle boundary as ppm
+    fixed-point — (rank-1)/(n-1) is an exact int/int division giving
+    the identical IEEE double on both engines, but round()ing it
+    could straddle a decimal halfway point.
+
+    One shuffle (the window partition); the output page is a bounded
+    TakeOrdered, computed after the full-partition window."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, "orders", sf_dir)
+    win = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    w = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.coalesce(
+            F.round(
+                F.col("o_totalprice") - F.lag("o_totalprice").over(win), 2
+            ),
+            F.lit(0.0),
+        ).alias("prev_diff"),
+        F.floor(F.percent_rank().over(win) * 1e6 + 0.5)
+        .cast("long")
+        .alias("pct_rank_ppm"),
+        F.floor(F.cume_dist().over(win) * 1e6 + 0.5)
+        .cast("long")
+        .alias("cume_dist_ppm"),
+    )
+    return w.orderBy("o_orderkey").limit(200)
+
+
+@query(
+    "sales_cube",
+    oracle="""
+    SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+           coalesce(o_orderstatus, 'ALL')   AS status,
+           CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus) AS BIGINT)
+             AS grp_id,
+           count(*) AS n_orders,
+           round(CAST(sum(o_totalprice) AS DOUBLE), 2) AS revenue
+    FROM orders
+    GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    ORDER BY grp_id, priority, status
+    """,
+    covers=("X-olap-cube",),
+)
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(priority, status): all four grouping sets — detail, each
+    single-axis margin, and the grand total — in ONE expand + hash
+    aggregate (rollup's completion; same single-shuffle plan)."""
+    o = load_table(spark, "orders", sf_dir)
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.grouping_id().alias("grp_id"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "grp_id",
+            "n_orders",
+            "revenue",
+        )
+        .orderBy("grp_id", "priority", "status")
+    )
+
+
+@query(
+    "yearly_customer_overlap",
+    oracle="""
+    WITH c96 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1997-01-01'
+    ), c97 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+        AND o_orderdate <  TIMESTAMP '1998-01-01'
+    )
+    SELECT 'both' AS cohort, count(*) AS n_customers
+    FROM (SELECT o_custkey FROM c96 INTERSECT SELECT o_custkey FROM c97)
+    UNION ALL
+    SELECT 'only_1996', count(*)
+    FROM (SELECT o_custkey FROM c96 EXCEPT SELECT o_custkey FROM c97)
+    UNION ALL
+    SELECT 'only_1997', count(*)
+    FROM (SELECT o_custkey FROM c97 EXCEPT SELECT o_custkey FROM c96)
+    ORDER BY cohort
+    """,
+    covers=("X-olap-setops",),
+)
+def yearly_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT set algebra: customers active in both 1996
+    and 1997, or only one. Spark plans set ops as aggregate-based
+    joins over the distinct key sets; the two year cohorts come from
+    one orders scan each with the date filter pushed down."""
+    o = load_table(spark, "orders", sf_dir)
+
+    def cohort(lo: str, hi: str) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(lo).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(hi).cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    c96 = cohort("1996-01-01", "1997-01-01")
+    c97 = cohort("1997-01-01", "1998-01-01")
+    rows = [
+        ("both", c96.intersect(c97)),
+        ("only_1996", c96.subtract(c97)),
+        ("only_1997", c97.subtract(c96)),
+    ]
+    out = None
+    for tag, df in rows:
+        piece = df.agg(F.count(F.lit(1)).alias("n_customers")).select(
+            F.lit(tag).alias("cohort"), "n_customers"
+        )
+        out = piece if out is None else out.unionByName(piece)
+    return out.orderBy("cohort")

@@ -1,5 +1,10 @@
-"""Classic TPC-H query shapes (Q7/Q8/Q10/Q14/Q17/Q19/Q22) adapted to
-the fixture schema, each with an exact DuckDB oracle.
+"""Classic TPC-H query shapes (Q2/Q6/Q7/Q8/Q9/Q10/Q11/Q12/Q14/Q16/
+Q17/Q19/Q20/Q21/Q22) adapted to the fixture schema, each with an exact
+DuckDB oracle. (Q1=pricing_summary, Q3=top_revenue_orders,
+Q4=late_shipment_orders, Q5=regional_supplier_volume,
+Q13=order_count_distribution, Q15=top_supplier_quarter,
+Q18=large_order_customers live in their own modules — all 22 classic
+shapes are covered.)
 
 These are the canonical OLAP join/agg patterns a warehouse user of the
 reference's gold tables would run (the reference itself serves the
@@ -16,6 +21,14 @@ exercise the engine's multi-join planning at scale:
   filter below the join.
 - Q22: global scalar threshold + anti join, in exact integer cents so
   the comparison is engine-independent.
+- Q2: correlated argmin subquery as aggregate + per-part row_number.
+- Q6: no-join filtered scan, full predicate pushdown.
+- Q9: multi-dim broadcast join with a modeled supply cost.
+- Q11: per-group aggregate HAVING'd against a global scalar (integer).
+- Q12/Q16: conditional counts and distinct-supplier counts with an
+  anti-join exclusion list.
+- Q20/Q21: aggregate-threshold semi-join and the exactly-one-culprit
+  double-exists rewrite.
 
 Determinism conventions (see plans/registry.py): every computed column
 aliased identically on both sides; double sums rounded; shares crossed
@@ -26,7 +39,7 @@ threshold comparison could sit on an ulp.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.plans.registry import query
@@ -458,4 +471,431 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
         .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "forecast_revenue",
+    oracle="""
+    SELECT count(*) AS n_items,
+           round(CAST(sum(l_extendedprice * l_discount) AS DOUBLE), 2)
+             AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05e0 AND l_discount <= 0.07e0
+      AND l_quantity < 24
+    """,
+    covers=("X-tpch-q6",),
+)
+def forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: the revenue delta from dropping a discount
+    band — a single filtered scan with NO join and a one-row global
+    aggregate. The whole predicate (date range, discount band,
+    quantity cap) pushes down to the parquet scan; at 100 TB this is
+    the canonical "filters reach the reader" query — nothing shuffles
+    but one partial-agg row per task."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+    )
+
+
+@query(
+    "min_cost_supplier",
+    oracle="""
+    WITH unit AS (
+      SELECT l_partkey, l_suppkey,
+             min(l_extendedprice / l_quantity) AS mu
+      FROM lineitem
+      GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+      SELECT l_partkey, l_suppkey, mu,
+             row_number() OVER (PARTITION BY l_partkey
+                                ORDER BY mu, l_suppkey) AS rn
+      FROM unit
+    )
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS supp_nation,
+           CAST(floor(b.mu * 100 + 0.5e0) AS BIGINT) AS min_unit_cents
+    FROM best b
+    JOIN part p     ON b.l_partkey = p.p_partkey
+    JOIN supplier s ON b.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE b.rn = 1 AND p.p_size <= 10
+    ORDER BY p.p_partkey
+    """,
+    covers=("X-tpch-q2",),
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every small part, the supplier quoting the
+    lowest unit price — the classic correlated `= (SELECT min(...))`
+    subquery, rewritten as an aggregate + per-part row_number (ties
+    broken by suppkey: a TOTAL order, so the argmin is engine-
+    independent). min() over identical per-row doubles is order-
+    independent, unlike avg(); the price crosses the oracle boundary
+    as floor(x*100+0.5) integer cents.
+
+    Scale shape: the (part, supplier) aggregate and the per-part
+    window share the l_partkey shuffle key; part/supplier/nation dims
+    are broadcast."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).where(F.col("p_size") <= 10)
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    unit = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("mu")
+    )
+    w = Window.partitionBy("l_partkey").orderBy("mu", "l_suppkey")
+    best = unit.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    return (
+        best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            F.col("n_name").alias("supp_nation"),
+            F.floor(F.col("mu") * 100 + 0.5).cast("long").alias("min_unit_cents"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "nation_profit_by_year",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS o_year,
+           round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)
+                          - p.p_retailprice * l.l_quantity * 0.1e0)
+                      AS DOUBLE), 2) AS profit
+    FROM lineitem l
+    JOIN part p     ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_name LIKE '%red%'
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+    covers=("X-tpch-q9",),
+)
+def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): revenue minus a modeled
+    supply cost (10% of retail price per unit — the fixture has no
+    partsupp table) for red parts, grouped by supplier nation and
+    ship year. Part/supplier/nation broadcast; ONE shuffle for the
+    (nation, year) aggregate; the p_name LIKE filter prunes the part
+    side before the join, so only matching partkeys reach the hash
+    table."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).where(F.col("p_name").like("%red%"))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("o_year"),
+        )
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+                ),
+                2,
+            ).alias("profit")
+        )
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "important_part_stock",
+    oracle="""
+    WITH part_val AS (
+      SELECT l_partkey,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5e0) AS BIGINT))
+                  AS BIGINT) AS val_cents
+      FROM lineitem
+      GROUP BY l_partkey
+    ),
+    total AS (
+      SELECT CAST(sum(val_cents) AS BIGINT) AS total_cents FROM part_val
+    )
+    SELECT pv.l_partkey AS p_partkey, pv.val_cents
+    FROM part_val pv, total t
+    WHERE pv.val_cents * 1000000 > t.total_cents * 60
+    ORDER BY pv.val_cents DESC, pv.l_partkey
+    LIMIT 100
+    """,
+    covers=("X-tpch-q11",),
+)
+def important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose traded value
+    exceeds 60 ppm of the whole market (1.2x the sf0.01 mean
+    share; stays non-degenerate as part count grows with SF) — a per-part aggregate HAVING'd
+    against a GLOBAL scalar aggregate. The scalar is a one-row
+    broadcast joined under every executor; the threshold test runs in
+    exact integer cents (val*1e6 > total*60), bit-identical on both
+    engines where a float fraction could flip on an ulp.
+
+    At 100 TB: two passes over the same shuffled aggregate (the part
+    rollup feeds both the total and the filter), then a bounded
+    top-100 TakeOrdered."""
+    li = load_table(spark, "lineitem", sf_dir)
+    part_val = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        ).alias("val_cents")
+    )
+    total = part_val.agg(F.sum("val_cents").alias("total_cents"))
+    return (
+        part_val.join(F.broadcast(total))
+        .where(F.col("val_cents") * 1000000 > F.col("total_cents") * 60)
+        .select(F.col("l_partkey").alias("p_partkey"), "val_cents")
+        .orderBy(F.col("val_cents").desc(), "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "linestatus_priority_counts",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    ORDER BY l.l_linestatus
+    """,
+    covers=("X-tpch-q12",),
+)
+def linestatus_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode priority split — the fixture has no
+    l_shipmode, so l_linestatus stands in): per line status, how many
+    1997 shipments belonged to urgent/high-priority orders vs the
+    rest. Pure integer conditional aggregation after an equi join;
+    the date filter pushes below the join so only the 1997 slice of
+    lineitem is shuffled against orders."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, "orders", sf_dir)
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "supplier_part_variety",
+    oracle="""
+    SELECT p.p_type, p.p_size,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_brand <> 'Brand#2'
+      AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0e0)
+    GROUP BY p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_type, p.p_size
+    """,
+    covers=("X-tpch-q16",),
+)
+def supplier_part_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (parts/supplier relationship): how many
+    distinct suppliers ship each (type, size) bucket, excluding one
+    brand and suppliers in arrears (negative balance — the fixture's
+    stand-in for the complaint subquery). The exclusion list is a
+    left-anti join against a tiny filtered supplier scan (broadcast);
+    count(DISTINCT) over the surviving pairs is the one real
+    shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    p = load_table(spark, "part", sf_dir).where(
+        (F.col("p_brand") != "Brand#2")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    bad = (
+        load_table(spark, "supplier", sf_dir)
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_type", "p_size")
+    )
+
+
+@query(
+    "heavy_part_suppliers",
+    oracle="""
+    WITH q AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             CAST(sum(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey
+      WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+        AND p.p_name LIKE '%red%'
+      GROUP BY l.l_partkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS total_qty
+      FROM q GROUP BY l_partkey
+    )
+    SELECT DISTINCT s.s_suppkey, s.s_name, n.n_name AS nation
+    FROM q
+    JOIN tot ON q.l_partkey = tot.l_partkey
+    JOIN supplier s ON q.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    WHERE q.qty * 2 > tot.total_qty
+    ORDER BY s.s_suppkey
+    """,
+    covers=("X-tpch-q20",),
+)
+def heavy_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (potential part promotion): suppliers who
+    dominated the 1997 supply of some red part — shipped more than
+    half that part's total quantity. The per-(part, supplier) and
+    per-part aggregates share the l_partkey shuffle key, the
+    dominance test is exact integer math (qty*2 > total, quantities
+    are integral), and the final DISTINCT collapses multi-part
+    dominators. The nested-subquery-with-aggregate-threshold is the
+    Q20 signature."""
+    li = load_table(spark, "lineitem", sf_dir).where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, "part", sf_dir).where(F.col("p_name").like("%red%"))
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    q = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("qty"))
+    )
+    tot = q.groupBy("l_partkey").agg(F.sum("qty").alias("total_qty"))
+    return (
+        q.join(tot, "l_partkey")
+        .where(F.col("qty") * 2 > F.col("total_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .distinct()
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "sole_late_shipper",
+    oracle="""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey, l.l_shipdate, o.o_orderdate
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    stats AS (
+      SELECT l_orderkey,
+             max(l_shipdate) AS max_ship,
+             count(DISTINCT l_suppkey) AS n_supp
+      FROM li GROUP BY l_orderkey
+    ),
+    winners AS (
+      SELECT li.l_orderkey, li.l_suppkey
+      FROM li
+      JOIN stats st ON li.l_orderkey = st.l_orderkey
+      WHERE li.l_shipdate = st.max_ship
+        AND st.n_supp >= 2
+        AND st.max_ship > li.o_orderdate + INTERVAL 90 DAY
+      GROUP BY li.l_orderkey, li.l_suppkey
+    ),
+    sole AS (
+      SELECT l_orderkey, min(l_suppkey) AS l_suppkey
+      FROM winners GROUP BY l_orderkey HAVING count(*) = 1
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM sole w
+    JOIN supplier s ON w.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 20
+    """,
+    covers=("X-tpch-q21",),
+)
+def sole_late_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): in
+    finished multi-supplier orders, the supplier who uniquely shipped
+    last, and late (>90 days after the order date — the fixture has
+    no commit/receipt dates). The EXISTS/NOT-EXISTS pair of the
+    original is rewritten as one window-free aggregate chain: per-
+    order max shipdate + supplier count, equality join back to find
+    the shippers at the max, HAVING count(*)=1 for 'exactly one
+    culprit'. Everything after the orders join shuffles on
+    l_orderkey once and reuses that partitioning."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir).where(F.col("o_orderstatus") == "F")
+    s = load_table(spark, "supplier", sf_dir)
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate"
+    )
+    stats = base.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("max_ship"),
+        F.countDistinct("l_suppkey").alias("n_supp"),
+    )
+    winners = (
+        base.join(stats, "l_orderkey")
+        .where(
+            (F.col("l_shipdate") == F.col("max_ship"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("max_ship") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"))
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    sole = (
+        winners.groupBy("l_orderkey")
+        .agg(F.min("l_suppkey").alias("l_suppkey"), F.count(F.lit(1)).alias("nw"))
+        .where(F.col("nw") == 1)
+    )
+    return (
+        sole.join(F.broadcast(s), sole.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
     )

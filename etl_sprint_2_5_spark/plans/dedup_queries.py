@@ -24,6 +24,7 @@ from etl_sprint_2_5_spark.operators.dedup import (
     verify_jaccard,
 )
 from etl_sprint_2_5_spark.functions.text import MINHASH_PERMS
+from etl_sprint_2_5_spark.functions.text import word_shingles
 from etl_sprint_2_5_spark.plans.registry import query
 from etl_sprint_2_5_spark.sources.parquet import (
     load_documents_spread,
@@ -458,3 +459,92 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("doc_id")
+
+
+@query(
+    "crossdoc_ngram_dup_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {_DUCK_TOKS} AS tk FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(
+               generate_series(0, greatest(len(tk) - 5, 0)),
+               i -> array_to_string(tk[i+1:i+5], ' ')))) AS gram
+      FROM toks
+    ),
+    df AS (
+      SELECT gram, count(DISTINCT doc_id) AS gram_docs FROM grams GROUP BY gram
+    ),
+    per_doc AS (
+      SELECT g.doc_id, g.source,
+             count(*) AS n_grams,
+             CAST(sum(CASE WHEN d.gram_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS dup_grams
+      FROM grams g JOIN df d ON g.gram = d.gram
+      GROUP BY g.doc_id, g.source
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_grams) AS BIGINT)   AS total_grams,
+           CAST(sum(dup_grams) AS BIGINT) AS shared_grams,
+           CAST(floor(CAST(sum(dup_grams) AS DOUBLE)
+                      / CAST(sum(n_grams) AS DOUBLE) * 1e6 + 0.5e0) AS BIGINT)
+             AS dup_ppm
+    FROM per_doc
+    GROUP BY source
+    ORDER BY source
+    """,
+    covers=("X-dedup-crossdoc-diagnostic",),
+)
+def crossdoc_ngram_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplication diagnostic (the RefinedWeb/Gopher
+    corpus-health measure): per source, what fraction of 5-gram
+    occurrences also appear in at least one OTHER document. Unlike
+    dedup_* (which emit keep/drop decisions) this measures residual
+    duplication — the number a curation team tracks per snapshot to
+    decide whether another dedup pass pays for itself.
+
+    Scale shape: gram doc-frequency is an inverted-index aggregate
+    (shuffle on the gram), the join back to occurrences reuses the
+    same gram key (co-partitioned), and the per-doc then per-source
+    rollups are map-side combinable. Nothing is all-pairs; the
+    dup_ppm ratio is int/int→double (exact inputs) crossed as
+    floor(x*1e6+0.5) fixed-point."""
+    d = load_documents_spread(spark, sf_dir)
+    grams = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(word_shingles("text", 5))).alias("gram"),
+    )
+    df_counts = grams.groupBy("gram").agg(
+        F.countDistinct("doc_id").alias("gram_docs")
+    )
+    per_doc = (
+        grams.join(df_counts, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.when(F.col("gram_docs") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_grams"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("total_grams"),
+            F.sum("dup_grams").cast("long").alias("shared_grams"),
+            F.floor(
+                F.sum("dup_grams").cast("double")
+                / F.sum("n_grams").cast("double")
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("source")
+    )

@@ -1080,3 +1080,76 @@ def yearly_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = piece if out is None else out.unionByName(piece)
     return out.orderBy("cohort")
+
+
+@query(
+    "price_outliers",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderkey, o_orderpriority,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM orders
+    ),
+    stats AS (
+      SELECT o_orderpriority,
+             count(*) AS n,
+             CAST(sum(c) AS HUGEINT)     AS s,
+             CAST(sum(CAST(c AS HUGEINT) * c) AS HUGEINT) AS sq
+      FROM cents GROUP BY o_orderpriority
+    )
+    SELECT c.o_orderpriority,
+           CAST(st.n AS BIGINT) AS n_orders,
+           CAST(sum(CASE WHEN 4 * (c.c * st.n - st.s) * (c.c * st.n - st.s)
+                              > 9 * (st.n * st.sq - st.s * st.s)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM cents c JOIN stats st USING (o_orderpriority)
+    GROUP BY c.o_orderpriority, st.n
+    ORDER BY c.o_orderpriority
+    """,
+    covers=("X-olap-sigma-outliers",),
+)
+def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1.5-sigma price-outlier census per priority class (prices are
+    near-uniform, so a 3-sigma rule would be degenerate — uniform
+    support ends at 1.73 sigma). The entire test runs in EXACT
+    arithmetic: prices become integer cents, and
+    |x - mean| > 1.5*sigma is algebraically rearranged to
+    4*(x*n - s)^2 > 9*(n*sq - s^2) — integer-only, no division, no
+    floating point anywhere, so the boundary can never flip on an
+    ulp. Spark carries the wide products as decimal(38,0) (exact to
+    1e38); DuckDB as HUGEINT.
+
+    Scale shape: one aggregate per group (5 rows, broadcast back),
+    then a second map-side pass — classic two-pass z-score at 100 TB
+    with no global sort and no per-row state."""
+    o = load_table(spark, "orders", sf_dir)
+    cents = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("c"),
+    )
+    dec = lambda col: col.cast("decimal(38,0)")
+    stats = cents.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec(F.col("c"))).cast("decimal(38,0)").alias("s"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).cast("decimal(38,0)").alias("sq"),
+    )
+    j = cents.join(F.broadcast(stats), "o_orderpriority")
+    dev = dec(F.col("c")) * dec(F.col("n")) - F.col("s")
+    var_num = dec(F.col("n")) * F.col("sq") - F.col("s") * F.col("s")
+    return (
+        j.groupBy("o_orderpriority", "n")
+        .agg(
+            F.sum(
+                F.when(4 * dev * dev > 9 * var_num, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("long").alias("n_orders"),
+            "n_outliers",
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -709,3 +709,61 @@ def bigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_nll_ppm"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@query(
+    "doc_chunking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+      WHERE doc_id % 7 = 0
+    ),
+    chunks AS (
+      SELECT doc_id,
+             unnest(generate_series(0, (len(tk) - 1) // 48)) AS chunk_idx,
+             tk
+      FROM toks
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(len(tk[chunk_idx*48+1 : chunk_idx*48+64]) AS BIGINT)
+             AS chunk_tokens,
+           md5(array_to_string(tk[chunk_idx*48+1 : chunk_idx*48+64], ' '))
+             AS chunk_md5
+    FROM chunks
+    ORDER BY doc_id, chunk_idx
+    """,
+    covers=("X-text-chunking",),
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG/context-window chunking: split every document into 64-token
+    windows with a 48-token stride (16-token overlap), the standard
+    embedding-index preprocessing step. Emitted for a 1/7 doc sample
+    so the result is bounded; chunk text crosses the oracle boundary
+    as md5 so the values (not just counts) are checked.
+
+    Scale shape: pure per-row narrow transform — tokenize once,
+    explode the window starts, slice. No shuffle at all except the
+    final presentation sort; at 100 TB this runs entirely map-side
+    into the downstream embedding stage."""
+    from etl_sprint_2_5_spark.functions.text import tokenize
+
+    d = load_documents_spread(spark, sf_dir).where(F.col("doc_id") % 7 == 0)
+    toks = d.select("doc_id", tokenize("text").alias("tk"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.expr("(size(tk) - 1) div 48").cast("int"))
+        ).alias("chunk_idx"),
+        "tk",
+    )
+    win = F.slice("tk", F.col("chunk_idx") * 48 + 1, 64)
+    return (
+        chunks.select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.size(win).cast("long").alias("chunk_tokens"),
+            F.md5(F.array_join(win, " ")).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )

@@ -82,11 +82,24 @@ def _residue_keys(spark, m: int):
     the plain DataFrame API (no RDD custom partitioner, no Python
     round-trip): generated from ``spark.range`` — O(m log m) ints, no
     data scan — and small enough to broadcast.
+
+    Coverage is VERIFIED: a residue class no candidate key hashes into
+    (~e^-64 per class at the first width, but hash skew is not provably
+    uniform) would leave ``_pkey`` NULL after the caller's left join and
+    silently collapse that class into one partition — so the mapping is
+    materialized, checked complete, and the candidate range widened
+    16× once before failing loudly.
     """
-    cand = spark.range(0, 64 * m).select(
-        F.col("id").alias("_pkey"), F.pmod(F.hash("id"), F.lit(m)).alias("_r")
-    )
-    return cand.groupBy("_r").agg(F.min("_pkey").alias("_pkey"))
+    last = 0
+    for mult in (64, 1024):
+        cand = spark.range(0, mult * m).select(
+            F.col("id").alias("_pkey"), F.pmod(F.hash("id"), F.lit(m)).alias("_r")
+        )
+        rows = cand.groupBy("_r").agg(F.min("_pkey").alias("_pkey")).collect()
+        if len(rows) == m:
+            return spark.createDataFrame(rows)
+        last = len(rows)
+    raise RuntimeError(f"residue-key mapping incomplete: {last}/{m} classes hit")
 
 
 def repartition_by_bytes(

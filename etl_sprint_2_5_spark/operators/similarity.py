@@ -27,6 +27,17 @@ from pyspark.sql import functions as F
 from etl_sprint_2_5_spark.operators.dedup import cosine_pandas
 
 
+def round6_col(c):
+    """round(x, 6) HALF_UP on the BINARY double, as a column expression:
+    sign(x)·floor(|x|·1e6 + 0.5)/1e6 — pure IEEE ops, bit-identical to
+    the numpy ``_round_half_up6`` the gemm paths use. Spark's
+    ``F.round`` instead rounds the shortest DECIMAL repr (BigDecimal
+    HALF_UP), which disagrees with the binary rule exactly when a
+    value's shortest repr lands on a 6-decimal halfway point — the ties
+    the round(6) contract exists to pin. One formula, every path."""
+    return F.signum(c) * F.floor(F.abs(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -49,7 +60,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_pandas("_qv", "_cv"), 6).alias("cos"),
+            round6_col(cosine_pandas("_qv", "_cv")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -156,7 +167,7 @@ def assign_cells(
         F.col(id_col),
         F.col(vec_col),
         F.col("centroid_id"),
-        F.round(cosine_pandas(F.col(vec_col), F.col("_cev")), 6).alias("_cc"),
+        round6_col(cosine_pandas(F.col(vec_col), F.col("_cev"))).alias("_cc"),
     )
     if nprobe == 1:
         # top-1 as a partial-aggregating min(struct): map-side combine
@@ -351,7 +362,7 @@ def train_ivf_centroids(
             .agg(
                 F.transform(
                     F.array_sort(F.collect_list(F.struct("pos", "v"))),
-                    lambda s: F.round(s["v"], 6),
+                    lambda s: round6_col(s["v"]),
                 ).alias(vec_col)
             )
             .select(F.col("centroid_id").alias(id_col), vec_col)
@@ -388,7 +399,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_pandas("_qv", "_cv"), 6).alias("cos"),
+            round6_col(cosine_pandas("_qv", "_cv")).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

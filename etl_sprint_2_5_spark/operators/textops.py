@@ -246,6 +246,12 @@ def fulltext_score(
         # stem the query terms with the same algorithm the token
         # stream goes through, so 'running' matches 'runs'
         terms = tuple(dict.fromkeys(porter_stem(t) for t in terms))
+    terms = tuple(t for t in terms if t)
+    if not terms:
+        # empty query (or terms that stem away entirely): no doc can
+        # score — return an empty result of the contract schema instead
+        # of letting isin()/create_map() blow up on zero arguments
+        return df.select(F.col(id_col), F.lit(0.0).alias("score")).limit(0)
     if stats is None:
         stats = corpus_term_stats(df, terms, tuple(fields), stem=stem)
     n = stats["n"]

@@ -237,6 +237,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute force)."""
     from etl_sprint_2_5_spark.operators.dedup import cosine_pandas
     from etl_sprint_2_5_spark.operators.quantize import quantize_embeddings
+    from etl_sprint_2_5_spark.operators.similarity import round6_col
     from pyspark.sql import Window
 
     e = load_table(spark, "embeddings", sf_dir)
@@ -274,7 +275,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(cosine_pandas("n_emb", "q_emb"), 6).alias("cos"),
+            round6_col(cosine_pandas("n_emb", "q_emb")).alias("cos"),
         )
     )
     wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))

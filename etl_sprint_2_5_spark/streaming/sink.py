@@ -30,15 +30,25 @@ def recover_swap(path: str) -> None:
     - target + ``.swap``: write finished but swap never started →
       discard the ``.swap`` (its offset was never committed; the batch
       will be re-delivered and the upsert is idempotent).
-    - no target, ``.swap`` present: the old dir was renamed aside but
-      the new one not yet moved in → promote the ``.swap`` (it is the
-      complete merged dataset).
+    - no target, ``.swap`` present AND provably complete: the old dir
+      was renamed aside but the new one not yet moved in → promote the
+      ``.swap`` (it is the complete merged dataset). "Provably
+      complete" = the ``.old`` backup exists (the rename-aside only
+      happens after the write finished) or the dir carries Spark's
+      ``_SUCCESS`` commit marker. A first-ever write that crashed
+      mid-write leaves a partial ``.swap`` with neither — promoting it
+      would wedge every subsequent read on a corrupt target, so it is
+      discarded instead: its offset was never committed, redelivery
+      regenerates it.
     - no target, only ``.old``: restore the backup.
     - target + ``.old``: swap completed, cleanup didn't → drop ``.old``.
     """
     tmp, bak = path + ".swap", path + ".old"
     if not os.path.exists(path):
-        if os.path.exists(tmp):
+        tmp_complete = os.path.exists(tmp) and (
+            os.path.exists(bak) or os.path.exists(os.path.join(tmp, "_SUCCESS"))
+        )
+        if tmp_complete:
             os.replace(tmp, path)
         elif os.path.exists(bak):
             os.replace(bak, path)

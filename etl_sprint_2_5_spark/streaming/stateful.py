@@ -151,7 +151,9 @@ def _asof_fn(
     stream's arrival order (the batch asof_join is the exact-order
     reference for reconciliation)."""
     err_us, err_v = (tuple(state.get) if state.exists else (None, None))
-    rows = pd.concat(list(pdfs)).sort_values("ts")
+    # event_id tiebreak (matching _attrib_fn): same-ts error/click pairs
+    # would otherwise process in pandas-quicksort order — run-unstable
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     out = {c: [] for c in ("event_id", "user_id", "ts", "value",
                            "last_error_ts", "last_error_value")}
     for r in rows.itertuples():

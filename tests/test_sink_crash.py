@@ -89,6 +89,35 @@ def test_leftover_backup_after_completed_swap(spark, tmp_path):
     assert not os.path.exists(path + ".old")
 
 
+def test_first_write_partial_swap_is_discarded(spark, tmp_path):
+    """Crash DURING the first-ever merged.write: no target, no .old,
+    and a PARTIAL .swap (no _SUCCESS marker). Promoting it would wedge
+    every later read on a corrupt target; it must be discarded — the
+    offset was never committed, so redelivery regenerates the batch."""
+    path = str(tmp_path / "view")
+    _df(spark, [("a", 1)]).write.mode("overwrite").parquet(path + ".swap")
+    os.remove(path + ".swap/_SUCCESS")  # simulate the interrupted write
+
+    recover_swap(path)
+    assert not os.path.exists(path)
+    assert not os.path.exists(path + ".swap")
+    # the redelivered batch then seeds the view normally
+    _seed(spark, path)
+
+
+def test_first_write_complete_swap_is_promoted(spark, tmp_path):
+    """Crash BETWEEN the first-ever write finishing and the swap-in:
+    no target, no .old, .swap carries _SUCCESS → it is the complete
+    dataset and must be promoted (discarding would be safe but wasteful;
+    promoting must at least not corrupt)."""
+    path = str(tmp_path / "view")
+    _df(spark, [("a", 1), ("b", 2)]).write.mode("overwrite").parquet(path + ".swap")
+
+    recover_swap(path)
+    assert _rows(spark, path) == {("a", 1), ("b", 2)}
+    assert not os.path.exists(path + ".swap")
+
+
 def test_no_deletion_before_replacement_exists(spark, tmp_path, monkeypatch):
     """The sink never rmtree's the live target: inject a failure into
     the post-write rename and assert the original data is recoverable."""

@@ -137,3 +137,19 @@ def test_fulltext_bm25_matches_python_oracle(spark):
     }
     assert abs(flat["d1"] - 4 * flat["d2"]) < 0.03  # tf-linear (± round-2 noise)
     assert sat["d1"] < 2.5 * sat["d2"]
+
+
+def test_fulltext_score_empty_terms(spark):
+    """Empty query — or terms that stem/filter away entirely — returns
+    an empty (id, score) frame instead of raising from zero-arg isin()
+    or create_map()."""
+    from etl_sprint_2_5_spark.operators.textops import fulltext_score
+
+    df = spark.createDataFrame([("d1", "spark rows")], "id string, text string")
+    for kwargs in ({}, {"k1": 1.2}, {"stem": True}):
+        out = fulltext_score(df, "id", (), {"text": 1.0}, **kwargs)
+        assert out.columns == ["id", "score"]
+        assert out.count() == 0
+    # whitespace-ish term that stems to empty is equivalent to no terms
+    out = fulltext_score(df, "id", ("",), {"text": 1.0})
+    assert out.count() == 0

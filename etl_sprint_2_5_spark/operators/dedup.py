@@ -121,6 +121,81 @@ def pairs_within_bucket(ids_sorted: Column) -> Column:
     )
 
 
+def capped_postings(
+    occ: DataFrame, s_col: str = "s", max_df: int = 1000
+) -> DataFrame:
+    """Hot-shingle guard for inverted-index joins: given exploded
+    (doc, shingle) occurrences (one row per DISTINCT shingle per doc),
+    drop every shingle whose document frequency exceeds ``max_df``.
+
+    A stop-shingle — a 5-gram appearing in 1% of a 100 TB corpus —
+    otherwise makes one join key's pair expansion quadratic (df² pairs
+    from a single posting): the classic skewed-shuffle OOM. Dropping
+    it is also the right SEMANTICS: a shingle shared by thousands of
+    documents is boilerplate, not evidence of duplication, exactly as
+    idf treats ubiquitous terms as weightless. The df count itself is
+    a map-side-combinable groupBy (never a collect_list), so the hot
+    key costs one long counter, not a giant bucket; the filter join is
+    co-partitioned on the shingle key it just grouped on.
+
+    Same guardrail as ``lsh_candidate_pairs``'s ``max_bucket``, applied
+    to the posting-list formulation."""
+    dfc = occ.groupBy(s_col).agg(F.count(F.lit(1)).alias("_df"))
+    return occ.join(
+        dfc.where(F.col("_df") <= max_df).select(s_col), s_col
+    )
+
+
+def inverted_index_jaccard(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "hs",
+    threshold: float = 0.5,
+    max_df: int = 1000,
+) -> DataFrame:
+    """n-gram Jaccard WITHOUT LSH: inverted-index self-join on shared
+    shingles (only co-occurring pairs are scored — no all-pairs scan),
+    guarded by the ``capped_postings`` stop-shingle filter, then exact
+    Jaccard from co-occurrence counts.
+
+    Set semantics: Jaccard is computed over the CAPPED shingle
+    vocabulary — set sizes count only surviving (df ≤ max_df)
+    shingles, so numerator and denominator agree. collect_list bucket
+    sizes are bounded by ``max_df`` by construction.
+    Output: id_a, id_b, jaccard (round 4), jaccard ≥ threshold."""
+    occ = sh.select(F.col(id_col), F.explode(shingle_col).alias("s"))
+    # cached: feeds both the per-doc surviving-size count and the
+    # posting lists (at corpus scale this IS the persisted dedup index)
+    kept = capped_postings(occ, "s", max_df).cache()
+    sizes = kept.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    postings = (
+        kept.groupBy("s")
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    co = (
+        postings.select(F.explode(pairs_within_bucket(F.col("ids"))).alias("p"))
+        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    la = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    lb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        co.join(la, "id_a")
+        .join(lb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def lsh_candidate_pairs(
     signed: DataFrame,
     id_col: str,

@@ -44,6 +44,15 @@ _DUCK_PERMS = ", ".join(
     f"({i}, {a}, {b})" for i, (a, b) in enumerate(MINHASH_PERMS)
 )
 
+# Stop-shingle guard for the posting-list (inverted index) joins: a
+# shingle in more than this many documents is boilerplate, not
+# duplication evidence, and its posting would expand df² pairs — the
+# skewed-shuffle scale-killer. Mirrored EXACTLY in the DuckDB oracles
+# so the hash gate verifies the capped semantics. Never fires on the
+# fixture corpora (max observed df is 25 at sf0.1) — the guard is for
+# the 100 TB shape; the adversarial-fixture pytest exercises it.
+MAX_SHINGLE_DF = 1000
+
 
 @query(
     "dedup_exact",
@@ -206,16 +215,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sh
     ), ex AS (
       SELECT doc_id, unnest(hs) AS s FROM hsh
+    ), dfc AS (                       -- per-shingle document frequency
+      SELECT s, count(*) AS df FROM ex GROUP BY s
+    ), kept AS (                      -- stop-shingle cap (df <= K)
+      SELECT ex.doc_id, ex.s
+      FROM ex JOIN dfc ON ex.s = dfc.s AND dfc.df <= {MAX_SHINGLE_DF}
+    ), sz AS (                        -- sizes over the CAPPED sets
+      SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
     ), co AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
            round(inter::DOUBLE / (la.n + lb.n - inter), 4) AS jaccard
     FROM co
-    JOIN (SELECT doc_id, len(hs) AS n FROM hsh) la ON la.doc_id = co.id_a
-    JOIN (SELECT doc_id, len(hs) AS n FROM hsh) lb ON lb.doc_id = co.id_b
+    JOIN sz la ON la.doc_id = co.id_a
+    JOIN sz lb ON lb.doc_id = co.id_b
     WHERE round(inter::DOUBLE / (la.n + lb.n - inter), 4) >= 0.5
     ORDER BY id_a, id_b
     """,
@@ -224,43 +240,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard WITHOUT LSH: inverted-index self-join on shared
     shingles (only co-occurring pairs are scored — no all-pairs scan),
-    then exact Jaccard from co-occurrence counts."""
-    from etl_sprint_2_5_spark.operators.dedup import pairs_within_bucket
+    then exact Jaccard from co-occurrence counts. Postings are guarded
+    by the ``capped_postings`` stop-shingle filter (df ≤
+    MAX_SHINGLE_DF) — a boilerplate shingle would otherwise expand df²
+    pairs from one key; Jaccard sets are the capped vocabulary on both
+    engines."""
+    from etl_sprint_2_5_spark.operators.dedup import inverted_index_jaccard
 
     d = load_documents_spread(spark, sf_dir)
-    sh = hashed_shingle_sets(d, "text", "doc_id").cache()
-    # inverted index: shingle hash → sorted posting list → in-bucket
-    # pairs; counting pair occurrences = |A ∩ B| (no self-join; long
-    # keys shuffle ~5× lighter than shingle strings)
-    postings = (
-        sh.select(F.explode("hs").alias("s"), "doc_id")
-        .groupBy("s")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-    )
-    co = (
-        postings.where(F.size("ids") > 1)
-        .select(F.explode(pairs_within_bucket(F.col("ids"))).alias("p"))
-        .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
-    )
-    sizes = sh.select("doc_id", F.size("hs").alias("n"))
-    la = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("na"))
-    lb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("nb"))
-    return (
-        co.join(la, "id_a")
-        .join(lb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("inter").cast("double")
-                / (F.col("na") + F.col("nb") - F.col("inter")),
-                4,
-            ).alias("jaccard"),
-        )
-        .where(F.col("jaccard") >= 0.5)
-        .orderBy("id_a", "id_b")
-    )
+    sh = hashed_shingle_sets(d, "text", "doc_id")
+    return inverted_index_jaccard(
+        sh, "doc_id", "hs", threshold=0.5, max_df=MAX_SHINGLE_DF
+    ).orderBy("id_a", "id_b")
 
 
 @query(
@@ -362,15 +353,22 @@ _DUCK_INCOMING = "('src16', 'src17', 'src18', 'src19')"
       FROM sh
     ), ex AS (
       SELECT doc_id, is_new, unnest(hs) AS s FROM hsh
+    ), dfc AS (                       -- df across corpus + incoming
+      SELECT s, count(*) AS df FROM ex GROUP BY s
+    ), kept AS (                      -- stop-shingle cap (df <= K)
+      SELECT ex.doc_id, ex.is_new, ex.s
+      FROM ex JOIN dfc ON ex.s = dfc.s AND dfc.df <= {MAX_SHINGLE_DF}
+    ), sz AS (                        -- sizes over the CAPPED sets
+      SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
     ), co AS (
       SELECT i.doc_id AS id_i, c.doc_id AS id_c, count(*) AS inter
-      FROM ex i JOIN ex c ON i.s = c.s AND i.is_new AND NOT c.is_new
+      FROM kept i JOIN kept c ON i.s = c.s AND i.is_new AND NOT c.is_new
       GROUP BY 1, 2
     ), near_tier AS (
       SELECT id_i AS doc_id, min(id_c) AS match_id
       FROM co
-      JOIN (SELECT doc_id, len(hs) AS n FROM hsh) li ON li.doc_id = co.id_i
-      JOIN (SELECT doc_id, len(hs) AS n FROM hsh) lc ON lc.doc_id = co.id_c
+      JOIN sz li ON li.doc_id = co.id_i
+      JOIN sz lc ON lc.doc_id = co.id_c
       WHERE round(inter::DOUBLE / (li.n + lc.n - inter), 4) >= 0.5
       GROUP BY id_i
     )
@@ -399,7 +397,14 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the corpus side of both joins is the big side and is
     only ever touched by hash join on md5/shingle keys; at 100 TB the
     corpus fingerprint and shingle-posting tables are the persisted
-    dedup index this query incrementally probes."""
+    dedup index this query incrementally probes. Two hot-key guards:
+    the exact tier pre-aggregates the corpus to one (md5 → min id) row
+    per fingerprint (a viral text duplicated millions of times joins
+    as ONE row, not millions), and the near tier runs on
+    ``capped_postings`` (df ≤ MAX_SHINGLE_DF across corpus+incoming)
+    so no boilerplate shingle can expand quadratically."""
+    from etl_sprint_2_5_spark.operators.dedup import capped_postings
+
     d = load_documents_spread(spark, sf_dir)
     base = d.select(
         "doc_id", "text", F.col("source").isin(*_INCOMING).alias("is_new")
@@ -408,33 +413,37 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc_h = hashes.where(F.col("is_new")).select(
         F.col("doc_id").alias("id_i"), "h"
     )
-    cor_h = hashes.where(~F.col("is_new")).select(
-        F.col("doc_id").alias("id_c"), "h"
+    # one row per distinct corpus fingerprint: min-id pre-aggregation
+    # commutes with the per-incoming-doc min below, so the result is
+    # identical and the join can never expand on a hot text
+    cor_h = (
+        hashes.where(~F.col("is_new"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("id_c"))
     )
-    ex_tier = (
-        inc_h.join(cor_h, "h")
-        .groupBy("id_i")
-        .agg(F.min("id_c").alias("ex_match"))
-    )
+    ex_tier = inc_h.join(cor_h, "h").select("id_i", F.col("id_c").alias("ex_match"))
     sh = hashed_shingle_sets(base, "text", "doc_id").join(
         base.select("doc_id", "is_new"), "doc_id"
     )
-    post = sh.select(
-        "doc_id", "is_new", F.explode("hs").alias("s"), F.size("hs").alias("n")
-    )
-    inc_p = post.where(F.col("is_new")).select(
-        F.col("doc_id").alias("id_i"), "s", F.col("n").alias("n_i")
-    )
-    cor_p = post.where(~F.col("is_new")).select(
-        F.col("doc_id").alias("id_c"), "s", F.col("n").alias("n_c")
-    )
+    occ = sh.select("doc_id", "is_new", F.explode("hs").alias("s"))
+    # stop-shingle cap over the combined population; sizes are counted
+    # over the SURVIVING shingles so Jaccard's numerator/denominator
+    # agree (mirrored in the oracle's kept/sz CTEs)
+    kept = capped_postings(occ, "s", MAX_SHINGLE_DF).cache()
+    sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    inc_p = kept.where(F.col("is_new")).select(F.col("doc_id").alias("id_i"), "s")
+    cor_p = kept.where(~F.col("is_new")).select(F.col("doc_id").alias("id_c"), "s")
     co = (
         inc_p.join(cor_p, "s")
-        .groupBy("id_i", "id_c", "n_i", "n_c")
+        .groupBy("id_i", "id_c")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    sz_i = sizes.select(F.col("doc_id").alias("id_i"), F.col("n").alias("n_i"))
+    sz_c = sizes.select(F.col("doc_id").alias("id_c"), F.col("n").alias("n_c"))
     near_tier = (
-        co.where(
+        co.join(sz_i, "id_i")
+        .join(sz_c, "id_c")
+        .where(
             F.round(
                 F.col("inter")
                 / (F.col("n_i") + F.col("n_c") - F.col("inter")).cast("double"),

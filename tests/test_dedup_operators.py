@@ -132,3 +132,67 @@ def test_connected_components_star_parity(spark):
         for r in connected_components_star(edges).collect()
     }
     assert star == uf
+
+
+def test_capped_postings_drops_hot_shingles(spark):
+    """A shingle in more docs than max_df is dropped; the rest survive."""
+    rows = [("d1", 10), ("d2", 10), ("d3", 10), ("d1", 77), ("d2", 77)]
+    occ = spark.createDataFrame(rows, "doc_id string, s long")
+    kept = D.capped_postings(occ, "s", max_df=2)
+    got = {(r["doc_id"], r["s"]) for r in kept.collect()}
+    assert got == {("d1", 77), ("d2", 77)}  # df(10)=3 > 2 → dropped
+
+
+def test_inverted_index_jaccard_hot_shingle_bounded(spark):
+    """Adversarial hot-shingle fixture: 60 docs share one boilerplate
+    shingle. Uncapped, that single posting expands C(60,2)=1770 pairs;
+    with the cap active the posting is dropped and pair expansion is
+    ZERO — while a genuine 3-copy near-dup group (df=3 ≤ cap) is still
+    found. This is the skewed-shuffle guard the 100 TB shape needs."""
+    boiler = "click here to accept all cookies"
+    rows = [(i, f"{boiler} unique tail {i} alpha beta gamma delta") for i in range(60)]
+    # three true near-dups sharing their whole text (no boilerplate)
+    rows += [(100 + i, "the quick brown fox jumps over the lazy dog") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.hashed_shingle_sets(df, "text", "doc_id")
+
+    capped = D.inverted_index_jaccard(sh, "doc_id", threshold=0.5, max_df=50)
+    got = {(r["id_a"], r["id_b"], r["jaccard"]) for r in capped.collect()}
+    assert got == {(100, 101, 1.0), (100, 102, 1.0), (101, 102, 1.0)}
+
+    # sanity: uncapped, the boilerplate posting alone co-scores
+    # C(60,2) pairs (all below threshold, but the expansion happened)
+    sh2 = D.hashed_shingle_sets(df.where(F.col("doc_id") < 100), "text", "doc_id")
+    occ = sh2.select("doc_id", F.explode("hs").alias("s"))
+    uncapped_pairs = (
+        D.capped_postings(occ, "s", max_df=10**9)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > 50)
+        .count()
+    )
+    assert uncapped_pairs >= 1  # the hot shingle really is hot
+
+
+def test_inverted_index_jaccard_cap_changes_set_semantics(spark):
+    """Sizes are counted over the CAPPED vocabulary: dropping a shared
+    hot shingle removes it from numerator AND denominator, so a pair
+    identical except for boilerplate still scores 1.0."""
+    boiler = "standard legal disclaimer text here"
+    rows = [
+        (1, f"{boiler} alpha beta gamma delta epsilon"),
+        (2, f"{boiler} alpha beta gamma delta epsilon"),
+        (3, f"{boiler} totally different body content words"),
+        (4, f"{boiler} yet another unrelated document body"),
+        (5, f"{boiler} fifth doc so the boiler shingles cross the cap"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.hashed_shingle_sets(df, "text", "doc_id")
+    out = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.inverted_index_jaccard(
+            sh, "doc_id", threshold=0.5, max_df=4
+        ).collect()
+    }
+    assert out[(1, 2)] == 1.0  # identical bodies; boilerplate ignored
+    assert all(k == (1, 2) for k in out)  # nothing else reaches 0.5

@@ -14,10 +14,13 @@ cache (natural-language token batches repeat heavily, so the
 amortized cost is a dict lookup, not a stem).
 
 Divergences, documented: Porter ≈ Snowball-English with small suffix
-differences (Snowball is Porter2); no Russian stemmer because the
-engine's tokenizer is ascii-alnum ([^a-z0-9]+) and drops Cyrillic
-before stemming could see it. Both are config-gated opt-ins, so the
-default analyzer stays oracle-expressible in DuckDB.
+differences (Snowball is Porter2). The Russian half of the reference's
+ru_en analyzer lives in functions/stem_ru.py (Snowball-Russian +
+russian_stop + the combined analyze_ru_en chain); the default ascii
+tokenizer here drops Cyrillic, so Russian text must go through the
+ru_en chain (``stem="ru_en"`` / ``lang="ru_en"``). All stemming is a
+config-gated opt-in, so the default analyzer stays oracle-expressible
+in DuckDB.
 """
 
 from __future__ import annotations
@@ -215,9 +218,17 @@ def stem_token(col: Column | str) -> Column:
     return pandas_udf(_stem, "string")(c)
 
 
-def tokenize_stemmed(col: Column | str) -> Column:
-    """The opt-in analyzer chain: tokenize → Porter stem (the engine
-    twin of the reference's es analyzer tokenizer+snowball pipeline)."""
+def tokenize_stemmed(col: Column | str, lang: str = "en") -> Column:
+    """The opt-in analyzer chain: tokenize → stem (the engine twin of
+    the reference's es analyzer tokenizer+snowball pipeline).
+
+    ``lang="en"`` is ascii tokenize → Porter. ``lang="ru_en"`` is the
+    full reference chain — Unicode tokenize → english_stop → Porter →
+    russian_stop → Snowball-Russian (functions/stem_ru.py)."""
+    if lang == "ru_en":
+        from etl_sprint_2_5_spark.functions.stem_ru import analyze_ru_en
+
+        return analyze_ru_en(col)
     from etl_sprint_2_5_spark.functions.text import tokenize
 
     return stem_tokens(tokenize(col))

@@ -140,11 +140,37 @@ def hashed_linear_score(
     )
 
 
+def _analyzer(stem: bool | str):
+    """Resolve the `stem` option to a tokenizer: False → plain ascii
+    tokenize; True/"en" → Porter chain; "ru_en" → the full reference
+    ru_en analyzer chain (functions/stem_ru.py)."""
+    if not stem:
+        return tokenize
+    from etl_sprint_2_5_spark.functions.stem import tokenize_stemmed
+
+    lang = "ru_en" if stem == "ru_en" else "en"
+    return lambda c: tokenize_stemmed(c, lang=lang)
+
+
+def _stem_terms(terms: tuple[str, ...], stem: bool | str) -> tuple[str, ...]:
+    """Query-side twin of the token-stream analyzer: stem each term
+    with the same chain; ru_en drops stopword terms entirely."""
+    if stem == "ru_en":
+        from etl_sprint_2_5_spark.functions.stem_ru import stem_term_ru_en
+
+        stemmed = (stem_term_ru_en(t) for t in terms)
+    else:
+        from etl_sprint_2_5_spark.functions.stem import porter_stem
+
+        stemmed = (porter_stem(t) for t in terms)
+    return tuple(dict.fromkeys(t for t in stemmed if t))
+
+
 def corpus_term_stats(
     df: DataFrame,
     terms: tuple[str, ...],
     fields: tuple[str, ...],
-    stem: bool = False,
+    stem: bool | str = False,
 ) -> dict:
     """Corpus statistics for idf weighting: one aggregate pass over the
     tokenized fields → ``{"n": N, "df": {(field, term): doc_freq}}``.
@@ -153,9 +179,7 @@ def corpus_term_stats(
     BM25 length normalization) in a single-row agg — the "small
     broadcast" of the scoring design. In a serving deployment this is
     computed once at index-build time and reused per query."""
-    from etl_sprint_2_5_spark.functions.stem import tokenize_stemmed
-
-    analyzer = tokenize_stemmed if stem else tokenize
+    analyzer = _analyzer(stem)
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, field in enumerate(fields):
         toks = analyzer(field)
@@ -205,7 +229,7 @@ def fulltext_score(
     terms: tuple[str, ...],
     fields: dict[str, float],
     stats: dict | None = None,
-    stem: bool = False,
+    stem: bool | str = False,
     k1: float | None = None,
     b: float = 0.75,
 ) -> DataFrame:
@@ -240,12 +264,11 @@ def fulltext_score(
     contribution."""
     from functools import reduce
 
-    from etl_sprint_2_5_spark.functions.stem import porter_stem, stem_token
-
     if stem:
-        # stem the query terms with the same algorithm the token
-        # stream goes through, so 'running' matches 'runs'
-        terms = tuple(dict.fromkeys(porter_stem(t) for t in terms))
+        # stem the query terms with the same chain the token stream
+        # goes through, so 'running' matches 'runs' (and 'бегущая'
+        # matches 'бегущий' under ru_en)
+        terms = _stem_terms(terms, stem)
     terms = tuple(t for t in terms if t)
     if not terms:
         # empty query (or terms that stem away entirely): no doc can
@@ -257,9 +280,7 @@ def fulltext_score(
     n = stats["n"]
 
     if k1 is not None:
-        from etl_sprint_2_5_spark.functions.stem import tokenize_stemmed
-
-        analyzer = tokenize_stemmed if stem else tokenize
+        analyzer = _analyzer(stem)
         parts = []
         for field in fields:
             toks = analyzer(field)
@@ -295,16 +316,29 @@ def fulltext_score(
         contrib = wk * (F.col("_tf") * F.lit(k1 + 1.0)) / denom
         return tf.groupBy(id_col).agg(F.round(F.sum(contrib), 2).alias("score"))
 
+    if stem == "ru_en":
+        from etl_sprint_2_5_spark.functions.stem_ru import tokenize_ru_en
+
+        base_tokenize = tokenize_ru_en
+    else:
+        base_tokenize = tokenize
     parts = [
         df.select(
             F.col(id_col),
             F.lit(field).alias("_f"),
-            F.explode(tokenize(field)).alias("_t"),
+            F.explode(base_tokenize(field)).alias("_t"),
         )
         for field in fields
     ]
     tokens = reduce(lambda a, b: a.unionByName(b), parts)
-    if stem:
+    if stem == "ru_en":
+        from etl_sprint_2_5_spark.functions.stem_ru import stem_token_ru_en
+
+        # stopword tokens map to NULL and fall out at the isin filter
+        tokens = tokens.withColumn("_t", stem_token_ru_en("_t"))
+    elif stem:
+        from etl_sprint_2_5_spark.functions.stem import stem_token
+
         tokens = tokens.withColumn("_t", stem_token("_t"))
     tokens = tokens.where(F.col("_t").isin(*terms))
     weight_entries = []

@@ -1,0 +1,179 @@
+"""Prepared-artifact serving path — train once, probe many.
+
+The IVF centroid training (operators/similarity.py
+train_ivf_centroids) and the full-text corpus term statistics
+(operators/textops.py corpus_term_stats) are index-build steps: at
+100 TB they run ONCE offline and every query probes the persisted
+result (the faiss / search-index convention). Running them inside the
+query is only a small-SF convenience — this module makes the
+train-once path real.
+
+Artifacts are keyed by a fingerprint of the source parquet (name,
+size, mtime) plus every training parameter, so a regenerated table or
+a changed config self-invalidates and simply retrains. Training is
+fully deterministic (no RNG anywhere), so the prepared path is
+bit-identical to the inline path — the DuckDB oracles, which always
+train inline, stay green either way (pytest asserts equality).
+
+Writes are atomic: train → write to a tmp dir/file → rename into
+place. A concurrent preparer loses the rename race harmlessly (same
+bytes). Artifacts live under <repo>/.artifacts (git-ignored), or
+$SPARK_GRAFT_ARTIFACT_DIR.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+ARTIFACT_DIR_ENV = "SPARK_GRAFT_ARTIFACT_DIR"
+
+
+def artifact_root() -> Path:
+    env = os.environ.get(ARTIFACT_DIR_ENV)
+    if env:
+        return Path(env)
+    return Path(__file__).resolve().parents[1] / ".artifacts"
+
+
+def table_fingerprint(sf_dir: str, table: str) -> str:
+    """Identity of a source table file: md5 over (path, size,
+    mtime_ns). Cheap (one stat), changes whenever the driver
+    regenerates testdata."""
+    p = Path(sf_dir) / f"{table}.parquet"
+    st = p.stat()
+    key = f"{p.resolve()}|{st.st_size}|{st.st_mtime_ns}"
+    return hashlib.md5(key.encode()).hexdigest()[:16]
+
+
+def _key(parts: dict) -> str:
+    return hashlib.md5(
+        json.dumps(parts, sort_keys=True).encode()
+    ).hexdigest()[:16]
+
+
+# --------------------------------------------------------------------
+# IVF centroids
+# --------------------------------------------------------------------
+
+
+def prepared_ivf_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroid_mod: int = 100,
+    iters: int = 2,
+    use_artifact: bool = True,
+) -> DataFrame:
+    """Trained IVF centroids for ``table`` at ``sf_dir`` — read from
+    the persisted artifact when present, else train (deterministic
+    Lloyd) and persist. ``use_artifact=False`` forces the inline path
+    (the pytest equality witness)."""
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.operators.similarity import train_ivf_centroids
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    corpus = load_table(spark, table, sf_dir)
+    seeds = corpus.where(F.col(id_col) % centroid_mod == 0)
+    if not use_artifact:
+        return train_ivf_centroids(corpus, seeds, id_col, vec_col, iters)
+
+    key = _key(
+        {
+            "kind": "ivf_centroids",
+            "fp": table_fingerprint(sf_dir, table),
+            "table": table,
+            "id": id_col,
+            "vec": vec_col,
+            "mod": centroid_mod,
+            "iters": iters,
+        }
+    )
+    dest = artifact_root() / f"ivf_centroids-{key}"
+    if (dest / "_SUCCESS").exists():
+        return spark.read.parquet(str(dest))
+
+    trained = train_ivf_centroids(corpus, seeds, id_col, vec_col, iters)
+    tmp = dest.with_name(dest.name + f".tmp{os.getpid()}")
+    trained.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    try:
+        tmp.rename(dest)
+    except OSError:
+        # lost the race to an identical writer — keep theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(str(dest))
+
+
+# --------------------------------------------------------------------
+# Full-text corpus term statistics
+# --------------------------------------------------------------------
+
+
+def prepared_fulltext_stats(
+    df: DataFrame,
+    sf_dir: str,
+    terms: tuple[str, ...],
+    fields: tuple[str, ...],
+    *,
+    table: str = "documents",
+    stem: bool | str = False,
+    use_artifact: bool = True,
+) -> tuple[dict, tuple[str, ...]]:
+    """Corpus term stats (idf document frequencies + avg field
+    lengths) persisted per (table fingerprint, analyzer, terms,
+    fields). Terms are analyzed FIRST (the stats must be keyed by
+    what the token stream produces), so the return is
+    ``(stats, analyzed_terms)`` — pass both through to
+    ``fulltext_score(stats=..., )`` with the same ``stem``.
+
+    One artifact serves both tf·idf and BM25 (avglen is always
+    computed)."""
+    from etl_sprint_2_5_spark.operators.textops import (
+        _stem_terms,
+        corpus_term_stats,
+    )
+
+    terms = _stem_terms(terms, stem) if stem else tuple(terms)
+    if not use_artifact:
+        return corpus_term_stats(df, terms, fields, stem=stem), terms
+
+    key = _key(
+        {
+            "kind": "ftstats",
+            "fp": table_fingerprint(sf_dir, table),
+            "table": table,
+            "terms": list(terms),
+            "fields": list(fields),
+            "stem": str(stem),
+        }
+    )
+    dest = artifact_root() / f"ftstats-{key}.json"
+    if dest.exists():
+        raw = json.loads(dest.read_text())
+        stats = {
+            "n": raw["n"],
+            "df": {(f, t): c for f, t, c in raw["df"]},
+            "avglen": raw["avglen"],
+        }
+        return stats, terms
+
+    stats = corpus_term_stats(df, terms, fields, stem=stem)
+    raw = {
+        "n": stats["n"],
+        "df": [[f, t, c] for (f, t), c in stats["df"].items()],
+        "avglen": stats["avglen"],
+    }
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    tmp = dest.with_name(dest.name + f".tmp{os.getpid()}")
+    tmp.write_text(json.dumps(raw))
+    os.replace(tmp, dest)
+    return stats, terms

@@ -11,7 +11,6 @@ from etl_sprint_2_5_spark.operators.similarity import (
     assign_cells_gemm,
     brute_force_topk_gemm,
     ivf_topk,
-    train_ivf_centroids,
 )
 from etl_sprint_2_5_spark.plans.registry import query
 from etl_sprint_2_5_spark.sources.parquet import load_table
@@ -126,12 +125,21 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 100 == 0) refined by deterministic k-means
     (train_ivf_centroids, 2 Lloyd rounds — mirrored in the oracle's
     unrolled CTEs), nearest-cell assignment at build, probe restricted
-    to the query's cell — the partition-pruned scale path. At 100 TB
-    training runs once offline; the query-time cost here is the local
-    test convenience."""
+    to the query's cell — the partition-pruned scale path.
+
+    Centroids come from the PREPARED artifact (artifacts.py): trained
+    once per corpus fingerprint, persisted as parquet, probed by every
+    subsequent query — the train-once/probe-many serving shape. The
+    first run (or a regenerated corpus) trains inline; training is
+    deterministic, so artifact and inline results are bit-identical
+    (tests/test_artifacts.py asserts it) and the oracle stays green
+    either way."""
+    from etl_sprint_2_5_spark.artifacts import prepared_ivf_centroids
+
     e = load_table(spark, "embeddings", sf_dir)
-    seeds = e.where(F.col("vec_id") % _CENTROID_MOD == 0)
-    centroids = train_ivf_centroids(e, seeds, "vec_id", "embedding", _IVF_ITERS)
+    centroids = prepared_ivf_centroids(
+        spark, sf_dir, centroid_mod=_CENTROID_MOD, iters=_IVF_ITERS
+    )
     assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding")
     q_cells = assigned.where(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(assigned, q_cells, "vec_id", "embedding", _K).orderBy(

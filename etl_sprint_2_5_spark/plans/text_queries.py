@@ -198,13 +198,21 @@ def _ft_score_sql() -> str:
 def fulltext_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted multi-field full-text scoring (the ES multi_match
     approximation, search_api/api.py:93-100): text boosted 3×,
-    source 1×, query 'spark window merge', top-20."""
+    source 1×, query 'spark window merge', top-20. Corpus term stats
+    come from the prepared artifact (artifacts.py) — computed once per
+    corpus fingerprint at index-build time, probed per query."""
+    from etl_sprint_2_5_spark.artifacts import prepared_fulltext_stats
+
     d = load_documents_spread(spark, sf_dir)
+    stats, _ = prepared_fulltext_stats(
+        d, sf_dir, ("spark", "window", "merge"), ("text", "source")
+    )
     scored = fulltext_score(
         d,
         "doc_id",
         terms=("spark", "window", "merge"),
         fields={"text": 3.0, "source": 1.0},
+        stats=stats,
     )
     return (
         scored.where(F.col("score") > 0)
@@ -300,13 +308,21 @@ def fulltext_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL BM25 (k1=1.2, b=0.75) multi-field scoring — exact parity
     with the reference's ES defaults (search_api/api.py:93-100 BM25
     with per-field boosts; ES k1/b defaults are 1.2/0.75), closing the
-    tf·idf-only divergence documented in round 1."""
+    tf·idf-only divergence documented in round 1. Term stats probe the
+    same prepared artifact as fulltext_search (one artifact serves
+    both formulas — avglen is always computed)."""
+    from etl_sprint_2_5_spark.artifacts import prepared_fulltext_stats
+
     d = load_documents_spread(spark, sf_dir)
+    stats, _ = prepared_fulltext_stats(
+        d, sf_dir, ("spark", "window", "merge"), ("text", "source")
+    )
     scored = fulltext_score(
         d,
         "doc_id",
         terms=("spark", "window", "merge"),
         fields={"text": 3.0, "source": 1.0},
+        stats=stats,
         k1=1.2,
         b=0.75,
     )

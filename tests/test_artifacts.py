@@ -1,0 +1,123 @@
+"""Prepared-artifact serving path (artifacts.py): the persisted IVF
+centroids and full-text corpus stats must be BIT-IDENTICAL to the
+inline training path (training is deterministic), artifacts must be
+reused (no retrain on the second call), and a regenerated corpus must
+self-invalidate via the fingerprint."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_sprint_2_5_spark import artifacts as A
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def artifact_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv(A.ARTIFACT_DIR_ENV, str(tmp_path / "arts"))
+    return tmp_path / "arts"
+
+
+def _centroid_rows(df):
+    return sorted(
+        (r["vec_id"], tuple(r["embedding"])) for r in df.collect()
+    )
+
+
+def test_ivf_centroids_prepared_equals_inline(spark, artifact_dir):
+    inline = A.prepared_ivf_centroids(spark, SF_DIR, use_artifact=False)
+    prepared = A.prepared_ivf_centroids(spark, SF_DIR)
+    assert _centroid_rows(prepared) == _centroid_rows(inline)
+    # artifact landed on disk under the env-pointed root
+    dirs = list(artifact_dir.glob("ivf_centroids-*"))
+    assert len(dirs) == 1 and (dirs[0] / "_SUCCESS").exists()
+
+
+def test_ivf_centroids_artifact_reused_not_retrained(spark, artifact_dir, monkeypatch):
+    A.prepared_ivf_centroids(spark, SF_DIR)
+
+    def boom(*a, **k):
+        raise AssertionError("retrained despite artifact present")
+
+    import etl_sprint_2_5_spark.operators.similarity as sim
+
+    monkeypatch.setattr(sim, "train_ivf_centroids", boom)
+    again = A.prepared_ivf_centroids(spark, SF_DIR)
+    assert again.count() > 0
+
+
+def test_fulltext_stats_prepared_equals_inline(spark, artifact_dir):
+    from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
+
+    d = load_documents_spread(spark, SF_DIR)
+    terms, fields = ("spark", "window", "merge"), ("text", "source")
+    inline, t1 = A.prepared_fulltext_stats(
+        d, SF_DIR, terms, fields, use_artifact=False
+    )
+    prepared, t2 = A.prepared_fulltext_stats(d, SF_DIR, terms, fields)
+    assert t1 == t2 == terms
+    assert prepared == inline
+    # round-trips through JSON losslessly (second call reads the file)
+    again, _ = A.prepared_fulltext_stats(d, SF_DIR, terms, fields)
+    assert again == inline
+    files = list(artifact_dir.glob("ftstats-*.json"))
+    assert len(files) == 1 and json.loads(files[0].read_text())["n"] == inline["n"]
+
+
+def test_fulltext_stats_stemmed_terms_keying(spark, artifact_dir):
+    from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
+
+    d = load_documents_spread(spark, SF_DIR)
+    stats, terms = A.prepared_fulltext_stats(
+        d, SF_DIR, ("running", "merges"), ("text",), stem=True
+    )
+    # the stats are keyed by the ANALYZED terms, matching what
+    # fulltext_score looks up after it stems the query itself
+    assert terms == ("run", "merg")
+    assert set(stats["df"]) == {("text", "run"), ("text", "merg")}
+
+
+def test_fingerprint_invalidates_on_table_change(tmp_path, monkeypatch):
+    src = tmp_path / "sf"
+    src.mkdir()
+    f = src / "embeddings.parquet"
+    f.write_bytes(b"one")
+    fp1 = A.table_fingerprint(str(src), "embeddings")
+    f.write_bytes(b"three")  # size + mtime change
+    assert A.table_fingerprint(str(src), "embeddings") != fp1
+
+
+def test_ann_ivf_query_identical_with_and_without_artifact(spark, artifact_dir):
+    """The registered query through the prepared path returns exactly
+    the inline-trained result (what the DuckDB oracle computes)."""
+    from etl_sprint_2_5_spark.operators.similarity import (
+        assign_cells_gemm,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+    from etl_sprint_2_5_spark.plans import load_all
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    load_all()
+    got = [
+        tuple(r)
+        for r in REGISTRY["ann_ivf_topk"].fn(spark, SF_DIR).collect()
+    ]
+
+    e = load_table(spark, "embeddings", SF_DIR)
+    seeds = e.where(F.col("vec_id") % 100 == 0)
+    cents = train_ivf_centroids(e, seeds, "vec_id", "embedding", 2)
+    assigned = assign_cells_gemm(e, cents, "vec_id", "embedding")
+    q = assigned.where(F.col("vec_id") < 8)
+    want = [
+        tuple(r)
+        for r in ivf_topk(assigned, q, "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+        .collect()
+    ]
+    assert got == want and len(got) > 0

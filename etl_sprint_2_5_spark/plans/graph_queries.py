@@ -71,14 +71,19 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three power iterations of PageRank (damping 0.85) over the
     symmetric part co-purchase graph; top-50 parts by rank.
 
-    Plan shape: the edge list is built once from per-order baskets
-    and cached (three iterations re-read it); each iteration is ONE
-    shuffle — join ranks on src (edges and ranks hash-partition on
-    the same key), aggregate contributions by dst. Degrees ride in
-    the rank table so no extra join per iteration. At 100 TB the
-    edge list is the big table; it partitions by src and every
-    iteration reuses that partitioning, which is exactly GraphX's
-    Pregel layout expressed in DataFrames."""
+    Plan shape: the edge list is built once from per-order baskets,
+    annotated with the DESTINATION node's degree (the symmetric graph
+    makes the dst-degree join lossless), repartitioned by src, and
+    cached. No per-iteration deg re-join exists — the dst degree and
+    the node-count scalar ride through the contribution aggregate as
+    grouping keys — so an iteration is the rank-table exchange onto
+    src, the aggregate exchange on dst, and (under AQE, which does
+    not propagate cached output partitioning into join planning) one
+    re-exchange of the cached edges; with AQE off the cached src
+    partitioning is reused and the big table is fully stationary. At
+    cluster scale the same stationary-edges layout falls out of
+    materializing the edge list bucketed by src — GraphX's Pregel
+    layout expressed in DataFrames."""
     li = load_table(spark, "lineitem", sf_dir)
     b = li.select("l_orderkey", "l_partkey").distinct()
     a = b.select("l_orderkey", F.col("l_partkey").alias("src"))
@@ -88,13 +93,13 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("src") != F.col("dst"))
         .select("src", "dst")
         .distinct()
-        .cache()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
-    # ranks carries (part, r, deg, n) so each iteration joins ONCE —
-    # degrees and the node-count scalar ride along instead of
-    # re-joining per iteration
+    dd = deg.select(F.col("src").alias("dst"), F.col("deg").alias("dst_deg"))
+    edges2 = edges.join(dd, "dst").repartition("src").cache()
+    # ranks carries (part, r, deg, n): the src degree divides the
+    # outgoing contribution, dst_deg re-enters via the edge table
     ranks = deg.join(F.broadcast(nn)).select(
         F.col("src").alias("part"),
         F.expr("1000000000 div n").alias("r"),
@@ -102,19 +107,18 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
     )
     for _ in range(3):
-        contrib = edges.join(ranks, edges.src == ranks.part).select(
-            "dst", F.expr("r div deg").alias("c")
+        contrib = edges2.join(ranks, edges2.src == ranks.part).select(
+            "dst", "dst_deg", "n", F.expr("r div deg").alias("c")
         )
-        summed = contrib.groupBy("dst").agg(
-            F.expr("(850 * sum(c)) div 1000").alias("damped")
-        )
+        # dst_deg/n are functionally dependent on dst — grouping by
+        # them carries the next iteration's degree without a join
         ranks = (
-            summed.join(deg, summed.dst == deg.src)
-            .join(F.broadcast(nn))
+            contrib.groupBy("dst", "dst_deg", "n")
+            .agg(F.expr("(850 * sum(c)) div 1000").alias("damped"))
             .select(
                 F.col("dst").alias("part"),
                 (F.expr("150000000 div n") + F.col("damped")).alias("r"),
-                "deg",
+                F.col("dst_deg").alias("deg"),
                 "n",
             )
         )

@@ -89,9 +89,13 @@ def main() -> None:
     def _noop(s):  # noqa: ANN001, ANN202
         return s
 
-    spark.range(0, 1024, 1, 8).select(_noop(F.col("id"))).write.format(
-        "noop"
-    ).mode("overwrite").save()
+    # one warmup task per core — an 8-partition warmup only starts 8
+    # of the 32 Python workers, and the first mapInPandas query then
+    # pays the remaining 24 worker cold-starts inside its measurement
+    n_workers = spark.sparkContext.defaultParallelism
+    spark.range(0, 1024 * n_workers, 1, n_workers).select(
+        _noop(F.col("id"))
+    ).write.format("noop").mode("overwrite").save()
 
     # Index-build phase: train-once artifacts (IVF centroids, full-text
     # corpus stats). At 100 TB these are offline index builds, not

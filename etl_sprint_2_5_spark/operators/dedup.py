@@ -443,6 +443,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iter: int = 25,
     local_limit: int = 200_000,
+    local_byte_limit: int = 64 << 20,
 ) -> DataFrame:
     """Connected components over a pair list → (id, label), label =
     min id in the component. Completes the dedup story: the pair
@@ -464,10 +465,23 @@ def connected_components(
     is cut with localCheckpoint per round (25 chained joins would
     otherwise stack into one giant plan). Raises if ``max_iter``
     rounds don't converge rather than returning silently-wrong labels.
-    At web scale with adversarial chain-shaped components, switch to
-    the large-star/small-star algorithm (same join primitives,
-    O(log n) rounds). Both paths emit identical (id, min-id-label)
-    rows (property-tested equal in tests/test_dedup_operators.py).
+
+    The driver gate is row-count AND byte-aware: variable-width
+    (string/binary) ids additionally need the summed edge bytes under
+    ``local_byte_limit`` (one cheap aggregate over the already-
+    checkpointed edges) — 200k edges of 1 KB ids would otherwise pull
+    hundreds of MB through collect(). Fixed-width ids skip the extra
+    job (local_limit alone bounds their bytes).
+
+    Min-label is the DEFAULT distributed path by design: near-dup
+    components are dense and shallow (a cluster of mutually-similar
+    docs has diameter ≈ 2), so min-label converges in 3-4 rounds of
+    one join + one map-side-combinable groupBy each, beating
+    large-star/small-star's two groupBys per round. The star variant
+    (connected_components_star below) is the right choice only for
+    UNKNOWN or adversarial graph shapes (long chains: diameter rounds
+    vs O(log² n)); both emit identical (id, min-id-label) rows
+    (property-tested equal in tests/test_dedup_operators.py).
     """
     spark = edges.sparkSession
     dedup_edges = (
@@ -475,7 +489,9 @@ def connected_components(
         .where(F.col("src") != F.col("dst"))
         .localCheckpoint()  # detaches the (possibly huge) pair plan
     )
-    if dedup_edges.count() <= local_limit:
+    if dedup_edges.count() <= local_limit and _edges_fit_driver(
+        dedup_edges, local_byte_limit
+    ):
         pairs = [(r["src"], r["dst"]) for r in dedup_edges.collect()]
         id_type = dedup_edges.schema["src"].dataType
         return _union_find_local(pairs, spark, id_type)
@@ -522,6 +538,24 @@ def connected_components(
         if changed == 0:
             return labels
     raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+
+
+def _edges_fit_driver(dedup_edges: DataFrame, byte_limit: int) -> bool:
+    """True when the edge list is safe to collect(): fixed-width id
+    types always are (the row-count gate bounds their bytes);
+    string/binary ids are summed (octet_length) against the budget."""
+    from pyspark.sql.types import BinaryType, StringType
+
+    dt = dedup_edges.schema["src"].dataType
+    if not isinstance(dt, (StringType, BinaryType)):
+        return True
+    total = (
+        dedup_edges.agg(
+            F.sum(F.octet_length("src") + F.octet_length("dst"))
+        ).first()[0]
+        or 0
+    )
+    return total <= byte_limit
 
 
 def connected_components_star(

@@ -66,6 +66,42 @@ def test_search_ranks_title_match_first(movies):
     del term
 
 
+def test_admin_envelope_matches_reference_contract(movies):
+    """Envelope parity with the reference's documented admin API
+    (movie_admin/openapi.yml + the MovieListResult dataclass in
+    movie_admin/api/v1/views.py:17-23 — the openapi file is not
+    parseable YAML, so the executable dataclass is the envelope
+    source of truth; the Movie item fields are regexed out of the
+    openapi text)."""
+    import re
+    from pathlib import Path
+
+    ref = Path("/root/reference/movie_admin")
+    views = (ref / "movie_admin/api/v1/views.py").read_text()
+    m = re.search(
+        r"class MovieListResult:\n((?:    \w+:.*\n)+)", views
+    )
+    assert m, "reference MovieListResult dataclass not found"
+    ref_keys = re.findall(r"    (\w+):", m.group(1))
+
+    env = admin_movie_list(movies, page=1, per_page=20)
+    assert list(env.keys()) == ref_keys  # count/total_pages/prev/next/results
+
+    # the openapi text documents the same four meta keys (its `result`
+    # vs the implementation's `results` is a known reference-side
+    # openapi/code discrepancy — the dataclass above is what the API
+    # actually returns)
+    openapi = (ref / "openapi.yml").read_text()
+    for key in ("count", "total_pages", "prev", "next"):
+        assert re.search(rf"^\s+{key}:\n\s+type: integer", openapi, re.M), key
+
+    # prev/next None-at-edges semantics mirror Django's paginator
+    # (views.py:54-55: previous_page_number if has_previous else None)
+    assert env["prev"] is None
+    last = admin_movie_list(movies, page=env["total_pages"], per_page=20)
+    assert last["next"] is None and last["prev"] == env["total_pages"] - 1
+
+
 def test_admin_envelope(movies):
     env = admin_movie_list(movies, page=1, per_page=20)
     n = movies.count()

@@ -108,6 +108,39 @@ def test_connected_components_paths_agree(spark):
     assert local == dist and len(local) == 15
 
 
+def test_connected_components_byte_gate_wide_ids(spark, monkeypatch):
+    """Adversarial shape for the driver gate: FEW edges (passes the
+    row-count check) but KILOBYTE string ids — the byte-aware gate
+    must route to the distributed path instead of collecting MBs onto
+    the driver, and the result must still be correct."""
+    import etl_sprint_2_5_spark.operators.dedup as D
+
+    wide = [(f"{chr(97 + i)}" * 2000, f"{chr(97 + i + 1)}" * 2000)
+            for i in range(0, 6, 2)]  # aa..-bb.., cc..-dd.., ee..-ff..
+    edges = spark.createDataFrame(wide, "id_a string, id_b string")
+
+    def boom(*a, **k):
+        raise AssertionError("driver union-find ran despite byte budget")
+
+    monkeypatch.setattr(D, "_union_find_local", boom)
+    got = {
+        (r["id"][:1], r["label"][:1])
+        for r in D.connected_components(
+            edges, local_byte_limit=1024
+        ).collect()
+    }
+    assert got == {("a", "a"), ("b", "a"), ("c", "c"), ("d", "c"),
+                   ("e", "e"), ("f", "e")}
+
+    # same edges under the default 64 MB budget take the driver path
+    monkeypatch.undo()
+    local = {
+        (r["id"][:1], r["label"][:1])
+        for r in D.connected_components(edges).collect()
+    }
+    assert local == got
+
+
 def test_connected_components_star_parity(spark):
     """large-star/small-star (the adversarial-shape scale path) agrees
     with union-find on chains, triangles, stars, and singleton pairs —

@@ -39,6 +39,7 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "semantic_dedup",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "text_quality_score",

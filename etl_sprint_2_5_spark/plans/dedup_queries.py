@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.operators.dedup import (
     connected_components,
+    cosine,
     embedding_near_dups,
     exact_dedup,
     hashed_shingle_sets,
@@ -556,4 +557,93 @@ def crossdoc_ngram_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("dup_ppm"),
         )
         .orderBy("source")
+    )
+
+
+_SEM_THRESHOLD = 0.4  # cosine floor for "same meaning" (SemDeDup eps)
+
+
+def _sem_oracle() -> str:
+    from etl_sprint_2_5_spark.plans.similarity_queries import (
+        _IVF_ITERS,
+        _ivf_trained_ctes,
+    )
+
+    return f"""
+    WITH {_ivf_trained_ctes(_IVF_ITERS)}, assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT a.vec_id, a.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], c.emb), 6) DESC,
+                   c.centroid_id) AS rn
+        FROM embeddings a, cent{_IVF_ITERS} c
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT b.vec_id AS vec_id, a.vec_id AS prior_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos
+      FROM assigned a JOIN assigned b
+        ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id, min(prior_id) AS dup_of,
+           max(cos) AS max_cos,
+           count(*) AS n_close
+    FROM pairs WHERE cos >= {_SEM_THRESHOLD}
+    GROUP BY vec_id
+    ORDER BY vec_id
+    """
+
+
+@query("semantic_dedup", oracle=_sem_oracle(), covers=("X-dedup-semantic",))
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into IVF cells with the
+    PREPARED trained centroids (artifacts.py — the same k-means the
+    ANN index uses), compute pairwise cosine only WITHIN a cell, and
+    mark every vector that has a smaller-id same-cell neighbor above
+    the threshold as a duplicate of the smallest such neighbor.
+
+    Scale shape: never all-pairs over the corpus — the quadratic term
+    is bounded per cell (cells ≈ corpus/k by construction, and the
+    cell key partitions the self-join), which is exactly the SemDeDup
+    design: cluster first so the O(n²) happens in k small buckets.
+    Cosine is the deterministic in-order fold shared with the
+    embedding near-dup operator (round 6, matches DuckDB
+    list_cosine_similarity bit-for-bit)."""
+    from etl_sprint_2_5_spark.artifacts import prepared_ivf_centroids
+    from etl_sprint_2_5_spark.operators.similarity import assign_cells_gemm
+
+    e = load_table(spark, "embeddings", sf_dir)
+    centroids = prepared_ivf_centroids(spark, sf_dir)
+    assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding")
+    a = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("prior_id"),
+        F.col("embedding").alias("_ea"),
+    )
+    b = assigned.select(
+        "centroid_id",
+        F.col("vec_id").alias("vec_id"),
+        F.col("embedding").alias("_eb"),
+    )
+    pairs = (
+        a.join(b, "centroid_id")
+        .where(F.col("prior_id") < F.col("vec_id"))
+        .select(
+            "vec_id",
+            "prior_id",
+            F.round(cosine(F.col("_ea"), F.col("_eb")), 6).alias("cos"),
+        )
+    )
+    return (
+        pairs.where(F.col("cos") >= _SEM_THRESHOLD)
+        .groupBy("vec_id")
+        .agg(
+            F.min("prior_id").alias("dup_of"),
+            F.max("cos").alias("max_cos"),
+            F.count(F.lit(1)).alias("n_close"),
+        )
+        .orderBy("vec_id")
     )

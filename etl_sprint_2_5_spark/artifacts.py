@@ -118,6 +118,85 @@ def prepared_ivf_centroids(
 # --------------------------------------------------------------------
 
 
+def _term_index_dir(sf_dir: str, table: str, fields, stem) -> "Path":
+    key = _key(
+        {
+            "kind": "ftindex",
+            "fp": table_fingerprint(sf_dir, table),
+            "table": table,
+            "fields": list(fields),
+            "stem": str(stem),
+        }
+    )
+    return artifact_root() / f"ftindex-{key}"
+
+
+def build_term_index(
+    df: DataFrame,
+    sf_dir: str,
+    fields: tuple[str, ...],
+    *,
+    table: str = "documents",
+    stem: bool | str = False,
+) -> "Path":
+    """Build (or reuse) the VOCABULARY-WIDE term index artifact: one
+    parquet of (field, term, df) rows covering every distinct term in
+    every field, plus meta.json with the corpus size and avg field
+    lengths. This is the real index-build step — it is keyed by the
+    corpus fingerprint and the analyzer, NOT by any query's terms, so
+    every future query probes the same artifact with a pushed-down
+    term filter.
+
+    df semantics match corpus_term_stats exactly: df(field, term) =
+    number of docs whose analyzed token array contains the term;
+    avglen = HALF_UP-rounded mean token count."""
+    from etl_sprint_2_5_spark.operators.textops import (
+        _analyzer,
+        _round_half_up6,
+    )
+    from pyspark.sql import functions as F
+
+    dest = _term_index_dir(sf_dir, table, fields, stem)
+    if (dest / "_meta.json").exists():
+        return dest
+
+    analyzer = _analyzer(stem)
+    from functools import reduce
+
+    parts = []
+    len_aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, field in enumerate(fields):
+        toks = analyzer(field)
+        len_aggs.append(F.sum(F.size(toks)).alias(f"_len_{i}"))
+        parts.append(
+            df.select(
+                F.lit(field).alias("field"),
+                F.explode(F.array_distinct(toks)).alias("term"),
+            )
+        )
+    postings = reduce(lambda a, b: a.unionByName(b), parts)
+    index = postings.groupBy("field", "term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    row = df.agg(*len_aggs).first()
+    n = row["_n"]
+    meta = {
+        "n": n,
+        "avglen": {
+            f: _round_half_up6((row[f"_len_{i}"] or 0) / n) if n else 0.0
+            for i, f in enumerate(fields)
+        },
+    }
+    tmp = dest.with_name(dest.name + f".tmp{os.getpid()}")
+    index.write.mode("overwrite").parquet(str(tmp))
+    (tmp / "_meta.json").write_text(json.dumps(meta))
+    try:
+        tmp.rename(dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return dest
+
+
 def prepared_fulltext_stats(
     df: DataFrame,
     sf_dir: str,
@@ -129,14 +208,17 @@ def prepared_fulltext_stats(
     use_artifact: bool = True,
 ) -> tuple[dict, tuple[str, ...]]:
     """Corpus term stats (idf document frequencies + avg field
-    lengths) persisted per (table fingerprint, analyzer, terms,
-    fields). Terms are analyzed FIRST (the stats must be keyed by
-    what the token stream produces), so the return is
-    ``(stats, analyzed_terms)`` — pass both through to
+    lengths) probed from the vocabulary-wide term index artifact
+    (build_term_index) — a per-(field, term) parquet lookup with the
+    term filter pushed into the scan, so ANY query's terms are served
+    by the one per-corpus artifact. Terms are analyzed FIRST (the
+    stats must be keyed by what the token stream produces), so the
+    return is ``(stats, analyzed_terms)`` — pass both through to
     ``fulltext_score(stats=..., )`` with the same ``stem``.
 
-    One artifact serves both tf·idf and BM25 (avglen is always
-    computed)."""
+    One artifact serves both tf·idf and BM25 (avglen is always in the
+    meta). ``use_artifact=False`` forces the inline single-pass
+    aggregate (the pytest equality witness)."""
     from etl_sprint_2_5_spark.operators.textops import (
         _stem_terms,
         corpus_term_stats,
@@ -146,34 +228,24 @@ def prepared_fulltext_stats(
     if not use_artifact:
         return corpus_term_stats(df, terms, fields, stem=stem), terms
 
-    key = _key(
-        {
-            "kind": "ftstats",
-            "fp": table_fingerprint(sf_dir, table),
-            "table": table,
-            "terms": list(terms),
-            "fields": list(fields),
-            "stem": str(stem),
-        }
-    )
-    dest = artifact_root() / f"ftstats-{key}.json"
-    if dest.exists():
-        raw = json.loads(dest.read_text())
-        stats = {
-            "n": raw["n"],
-            "df": {(f, t): c for f, t, c in raw["df"]},
-            "avglen": raw["avglen"],
-        }
-        return stats, terms
+    dest = build_term_index(df, sf_dir, fields, table=table, stem=stem)
+    meta = json.loads((dest / "_meta.json").read_text())
+    spark = df.sparkSession
+    from pyspark.sql import functions as F
 
-    stats = corpus_term_stats(df, terms, fields, stem=stem)
-    raw = {
-        "n": stats["n"],
-        "df": [[f, t, c] for (f, t), c in stats["df"].items()],
-        "avglen": stats["avglen"],
+    rows = (
+        spark.read.parquet(str(dest))
+        .where(F.col("term").isin(*terms))
+        .collect()
+        if terms
+        else []
+    )
+    found = {(r["field"], r["term"]): r["df"] for r in rows}
+    stats = {
+        "n": meta["n"],
+        "df": {
+            (f, t): found.get((f, t), 0) for f in fields for t in terms
+        },
+        "avglen": meta["avglen"],
     }
-    dest.parent.mkdir(parents=True, exist_ok=True)
-    tmp = dest.with_name(dest.name + f".tmp{os.getpid()}")
-    tmp.write_text(json.dumps(raw))
-    os.replace(tmp, dest)
     return stats, terms

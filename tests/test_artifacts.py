@@ -60,11 +60,23 @@ def test_fulltext_stats_prepared_equals_inline(spark, artifact_dir):
     prepared, t2 = A.prepared_fulltext_stats(d, SF_DIR, terms, fields)
     assert t1 == t2 == terms
     assert prepared == inline
-    # round-trips through JSON losslessly (second call reads the file)
+    # second call probes the persisted index (same values)
     again, _ = A.prepared_fulltext_stats(d, SF_DIR, terms, fields)
     assert again == inline
-    files = list(artifact_dir.glob("ftstats-*.json"))
-    assert len(files) == 1 and json.loads(files[0].read_text())["n"] == inline["n"]
+    dirs = list(artifact_dir.glob("ftindex-*"))
+    assert len(dirs) == 1
+    meta = json.loads((dirs[0] / "_meta.json").read_text())
+    assert meta["n"] == inline["n"]
+    # the index is vocabulary-wide: a DIFFERENT query's terms probe
+    # the same artifact (no rebuild) and still match the inline pass
+    other = ("data", "engine", "nosuchtermxyz")
+    probed, _ = A.prepared_fulltext_stats(d, SF_DIR, other, fields)
+    inline2, _ = A.prepared_fulltext_stats(
+        d, SF_DIR, other, fields, use_artifact=False
+    )
+    assert probed == inline2
+    assert probed["df"][("text", "nosuchtermxyz")] == 0
+    assert list(artifact_dir.glob("ftindex-*")) == dirs
 
 
 def test_fulltext_stats_stemmed_terms_keying(spark, artifact_dir):

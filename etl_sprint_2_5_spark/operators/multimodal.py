@@ -391,7 +391,9 @@ def sample_frames(
                 n = min(max_frames, max(1, int(dur) // every_ms))
                 for k in range(n):
                     ts = k * every_ms
-                    fake = hashlib.md5(payload + ts.to_bytes(8, "big")).digest()
+                    # ascii suffix (like the ':v0' feature fake) so the
+                    # DuckDB oracle reproduces the digest as VARCHAR md5
+                    fake = hashlib.md5(payload + f":f{ts}".encode()).digest()
                     rows.append((i, k, ts, fake))
             yield pd.DataFrame(rows, columns=["id", "frame_idx", "ts_ms", "payload"])
 

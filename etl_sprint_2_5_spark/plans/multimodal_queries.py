@@ -107,3 +107,103 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("id")
         .limit(200)
     )
+
+
+@query(
+    "multimodal_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, text,
+             16 + ('0x'||substr(md5(text), 1, 2))::INT % 240 AS w,
+             16 + ('0x'||substr(md5(text), 3, 2))::INT % 240 AS h
+      FROM documents
+    ), scaled AS (
+      -- scale = min(1, 224/max(w,h)); no .5 ties are reachable
+      -- (448*w would need a 2^6 factor in max(w,h) <= 255), so
+      -- round() agrees with the operator's Python round()
+      SELECT id, text, w, h,
+             CASE WHEN greatest(w, h) <= 224 THEN w
+                  ELSE greatest(1, CAST(round(w * 224.0 / greatest(w, h))
+                                        AS INT)) END AS nw,
+             CASE WHEN greatest(w, h) <= 224 THEN h
+                  ELSE greatest(1, CAST(round(h * 224.0 / greatest(w, h))
+                                        AS INT)) END AS nh
+      FROM dims
+    )
+    SELECT id, nw AS width, nh AS height,
+           md5(text || ':' || nw || 'x' || nh) AS payload_md5
+    FROM scaled
+    ORDER BY id
+    LIMIT 200
+    """,
+    covers=("X-multimodal-resize",),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage plumbing: decode fake dims, clamp the longer side
+    to 224 preserving aspect, re-encode (deterministic fake payload —
+    md5 of source bytes + ':NWxNH'). The shape under test: Arrow
+    mapInPandas with a static schema, binary in/binary out, one
+    Python stage; the oracle reproduces the dimension arithmetic and
+    the fake codec's digest exactly."""
+    d = load_table(spark, "documents", sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.encode("text", "utf-8").alias("payload"),
+    )
+    out = M.resize_images(d, "doc_id", "payload", max_side=224)
+    return (
+        out.select(
+            "id",
+            "width",
+            "height",
+            F.lower(F.hex("payload")).alias("payload_md5"),
+        )
+        .orderBy("id")
+        .limit(200)
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT CAST(doc_id AS VARCHAR) AS id, text,
+             n_chars * 37 AS duration_ms
+      FROM documents
+    )
+    SELECT id, CAST(k AS INT) AS frame_idx, k * 1000 AS ts_ms,
+           md5(text || ':f' || (k * 1000)) AS frame_md5
+    FROM vids, generate_series(0, 7) AS t(k)
+    WHERE k < least(8, greatest(1, duration_ms // 1000))
+      AND CAST(id AS BIGINT) < 60
+    ORDER BY id, frame_idx
+    """,
+    covers=("X-multimodal-frames",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing (video/audio): one output row per
+    sampled timestamp — the row-EXPANDING mapInPandas shape (UDTF) —
+    with a pseudo-duration derived from the doc length. Payloads are
+    the deterministic fake (md5 of source bytes + ':f<ts>'); the
+    oracle reproduces sampling cadence, frame count clamps, and the
+    digests."""
+    d = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < 60)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.encode("text", "utf-8").alias("payload"),
+            (F.col("n_chars") * 37).alias("duration_ms"),
+        )
+    )
+    out = M.sample_frames(
+        d, "doc_id", "payload", "duration_ms", every_ms=1000, max_frames=8
+    )
+    return (
+        out.select(
+            "id",
+            "frame_idx",
+            "ts_ms",
+            F.lower(F.hex("payload")).alias("frame_md5"),
+        )
+        .orderBy("id", "frame_idx")
+    )

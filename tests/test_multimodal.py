@@ -82,7 +82,7 @@ def test_frame_sampling_expands_rows(spark):
     # frame payload is the documented deterministic fake
     first = sorted(by_id["v1"], key=lambda r: r["frame_idx"])[0]
     assert bytes(first["payload"]) == hashlib.md5(
-        b"video-bytes-1" + (0).to_bytes(8, "big")
+        b"video-bytes-1" + b":f0"
     ).digest()
 
 

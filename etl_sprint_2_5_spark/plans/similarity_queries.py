@@ -334,3 +334,70 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk_gemm(
         corpus, queries, "vec_id", "embedding", _K
     ).orderBy("query_id", "rank")
+
+
+_NPROBE = 2
+
+
+@query(
+    "ann_ivf_nprobe_topk",
+    oracle=f"""
+    WITH {_ivf_trained_ctes(_IVF_ITERS)}, assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT a.vec_id, a.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], c.emb), 6) DESC,
+                   c.centroid_id) AS rn
+        FROM embeddings a, cent{_IVF_ITERS} c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT q.vec_id, q.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   q.embedding::DOUBLE[], c.emb), 6) DESC,
+                   c.centroid_id) AS rn
+        FROM embeddings q, cent{_IVF_ITERS} c
+        WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rn <= {_NPROBE}
+    ), scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {_DUCK_COS} AS cos
+      FROM assigned a JOIN probes q ON a.centroid_id = q.centroid_id
+      WHERE a.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """,
+    covers=("X-ann-ivf-nprobe",),
+)
+def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with nprobe=2 — the recall lever: each query searches
+    its TWO nearest cells instead of one, trading 2× the probed rows
+    for recall on queries that sit near a cell boundary (the classic
+    IVF recall/latency dial; tests/test_ann_recall.py quantifies the
+    nprobe=1 recall floor). Corpus vectors stay single-cell (the
+    partition-pruned layout is unchanged); only the tiny query side
+    fans out, so the join stays broadcast-shaped at scale."""
+    from etl_sprint_2_5_spark.artifacts import prepared_ivf_centroids
+
+    e = load_table(spark, "embeddings", sf_dir)
+    centroids = prepared_ivf_centroids(
+        spark, sf_dir, centroid_mod=_CENTROID_MOD, iters=_IVF_ITERS
+    )
+    assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding")
+    queries = e.where(F.col("vec_id") < _N_QUERIES)
+    q_cells = assign_cells_gemm(
+        queries, centroids, "vec_id", "embedding", nprobe=_NPROBE
+    )
+    return ivf_topk(assigned, q_cells, "vec_id", "embedding", _K).orderBy(
+        "query_id", "rank"
+    )

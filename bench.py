@@ -105,11 +105,13 @@ def main() -> None:
     from etl_sprint_2_5_spark.artifacts import (
         prepared_fulltext_stats,
         prepared_ivf_centroids,
+        prepared_shingle_index,
     )
     from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
 
     t_prep = time.time()
     prepared_ivf_centroids(spark, SF_DIR).count()
+    prepared_shingle_index(spark, SF_DIR).count()
     prepared_fulltext_stats(
         load_documents_spread(spark, SF_DIR),
         SF_DIR,

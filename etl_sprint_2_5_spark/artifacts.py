@@ -114,6 +114,61 @@ def prepared_ivf_centroids(
 
 
 # --------------------------------------------------------------------
+# Hashed shingle sets (the persisted dedup index)
+# --------------------------------------------------------------------
+
+
+def prepared_shingle_index(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    use_artifact: bool = True,
+) -> DataFrame:
+    """Per-doc hashed shingle sets (doc_id, hs array<long>) as a
+    persisted artifact — the dedup INDEX. MinHash-LSH, cluster, and
+    incremental dedup all start from these integers; at corpus scale
+    the shingling+md5 pass over the raw text is the expensive step
+    and runs once per corpus, not once per query. Deterministic
+    (md5-based), so artifact and inline are identical; the DuckDB
+    oracles recompute from text and stay green."""
+    from etl_sprint_2_5_spark.operators.dedup import hashed_shingle_sets
+    from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
+
+    def inline() -> DataFrame:
+        return hashed_shingle_sets(
+            load_documents_spread(spark, sf_dir), text_col, id_col, n
+        )
+
+    if not use_artifact:
+        return inline()
+
+    key = _key(
+        {
+            "kind": "shingle_index",
+            "fp": table_fingerprint(sf_dir, table),
+            "table": table,
+            "text": text_col,
+            "id": id_col,
+            "n": n,
+        }
+    )
+    dest = artifact_root() / f"shingle_index-{key}"
+    if (dest / "_SUCCESS").exists():
+        return spark.read.parquet(str(dest))
+    tmp = dest.with_name(dest.name + f".tmp{os.getpid()}")
+    inline().write.mode("overwrite").parquet(str(tmp))
+    try:
+        tmp.rename(dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(str(dest))
+
+
+# --------------------------------------------------------------------
 # Full-text corpus term statistics
 # --------------------------------------------------------------------
 

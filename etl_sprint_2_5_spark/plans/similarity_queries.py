@@ -242,14 +242,16 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     what int8 mis-ranks OUT of a 4× pool; the float stage orders
     everything the user sees. Candidate selection is a per-partition
     partial top-k on BIGINT scores (same merge shape as the gemm
-    brute force)."""
+    brute force). The int8 codes probe the prepared artifact
+    (artifacts.prepared_quantized_codes) — the compressed index is
+    built once per corpus, not re-quantized per query."""
+    from etl_sprint_2_5_spark.artifacts import prepared_quantized_codes
     from etl_sprint_2_5_spark.operators.dedup import cosine_pandas
-    from etl_sprint_2_5_spark.operators.quantize import quantize_embeddings
     from etl_sprint_2_5_spark.operators.similarity import round6_col
     from pyspark.sql import Window
 
     e = load_table(spark, "embeddings", sf_dir)
-    q8 = quantize_embeddings(e, "vec_id", "embedding").select("vec_id", "qvec")
+    q8 = prepared_quantized_codes(spark, sf_dir).select("vec_id", "qvec")
     queries = (
         q8.where(F.col("vec_id") < _N_QUERIES)
         .select(F.col("vec_id").alias("query_id"), F.col("qvec").alias("q_qv"))

@@ -108,6 +108,20 @@ def test_shingle_index_prepared_equals_inline(spark, artifact_dir):
     assert len(dirs) == 1 and (dirs[0] / "_SUCCESS").exists()
 
 
+def test_quantized_codes_prepared_equals_inline(spark, artifact_dir):
+    inline = {
+        r["vec_id"]: (list(r["qvec"]), r["qvec_scale"])
+        for r in A.prepared_quantized_codes(
+            spark, SF_DIR, use_artifact=False
+        ).collect()
+    }
+    prepared = {
+        r["vec_id"]: (list(r["qvec"]), r["qvec_scale"])
+        for r in A.prepared_quantized_codes(spark, SF_DIR).collect()
+    }
+    assert prepared == inline and len(prepared) > 0
+
+
 def test_fingerprint_invalidates_on_table_change(tmp_path, monkeypatch):
     src = tmp_path / "sf"
     src.mkdir()

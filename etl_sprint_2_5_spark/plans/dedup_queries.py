@@ -629,7 +629,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, "embeddings", sf_dir)
     centroids = prepared_ivf_centroids(spark, sf_dir)
-    assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding")
+    # cache: the assignment feeds BOTH sides of the cell self-join —
+    # without it the corpus gemm pass runs twice
+    assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding").cache()
     a = assigned.select(
         "centroid_id",
         F.col("vec_id").alias("prior_id"),

@@ -140,7 +140,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = prepared_ivf_centroids(
         spark, sf_dir, centroid_mod=_CENTROID_MOD, iters=_IVF_ITERS
     )
-    assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding")
+    # cache: the assignment feeds BOTH sides of the cell self-join —
+    # without it the corpus gemm pass runs twice
+    assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding").cache()
     q_cells = assigned.where(F.col("vec_id") < _N_QUERIES)
     return ivf_topk(assigned, q_cells, "vec_id", "embedding", _K).orderBy(
         "query_id", "rank"
@@ -395,7 +397,9 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = prepared_ivf_centroids(
         spark, sf_dir, centroid_mod=_CENTROID_MOD, iters=_IVF_ITERS
     )
-    assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding")
+    # cache: the assignment feeds BOTH sides of the cell self-join —
+    # without it the corpus gemm pass runs twice
+    assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding").cache()
     queries = e.where(F.col("vec_id") < _N_QUERIES)
     q_cells = assign_cells_gemm(
         queries, centroids, "vec_id", "embedding", nprobe=_NPROBE

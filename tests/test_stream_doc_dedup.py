@@ -1,0 +1,103 @@
+"""Streaming incremental dedup (streaming/doc_dedup.py): the
+micro-batched stream over a file feed must produce exactly the batch
+``incremental_dedup`` verdicts, regardless of how the feed is chopped
+into batches, and resume idempotently from the checkpoint."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from etl_sprint_2_5_spark.plans import load_all
+from etl_sprint_2_5_spark.plans.registry import REGISTRY
+from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
+from etl_sprint_2_5_spark.streaming.doc_dedup import (
+    CorpusDedupIndex,
+    stream_doc_dedup,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+INCOMING = ("src16", "src17", "src18", "src19")
+FEED_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+def _run_stream(spark, tmp_path, n_batches: int) -> dict:
+    d = load_documents_spread(spark, SF_DIR)
+    incoming = d.where(F.col("source").isin(*INCOMING)).select(
+        "doc_id", "text"
+    )
+    corpus = d.where(~F.col("source").isin(*INCOMING)).select(
+        "doc_id", "text"
+    )
+    feed = tmp_path / f"feed{n_batches}"
+    rows = sorted(incoming.collect(), key=lambda r: r["doc_id"])
+    chunk = -(-len(rows) // n_batches)
+    for b in range(n_batches):
+        part = rows[b * chunk : (b + 1) * chunk]
+        if part:
+            spark.createDataFrame(part, FEED_SCHEMA).coalesce(1).write.mode(
+                "append"
+            ).parquet(str(feed))
+
+    index = CorpusDedupIndex(corpus)
+    out = tmp_path / f"out{n_batches}"
+    q = stream_doc_dedup(
+        spark,
+        index,
+        str(feed),
+        FEED_SCHEMA,
+        str(out),
+        str(tmp_path / f"ckpt{n_batches}"),
+    )
+    q.awaitTermination(120)
+    return {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+
+
+def test_stream_matches_batch_incremental_dedup(spark, tmp_path):
+    load_all()
+    want = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in REGISTRY["incremental_dedup"].fn(spark, SF_DIR).collect()
+    }
+    got = _run_stream(spark, tmp_path, n_batches=1)
+    assert got == want
+    # verdicts are batch-chop invariant (corpus-side stop list)
+    got2 = _run_stream(spark, tmp_path, n_batches=3)
+    assert got2 == want
+    # sanity: the near tier actually fires on the fixture (the stream
+    # is not vacuously 'unique'); exact dups are absent at sf0.01
+    verdicts = {v for v, _ in want.values()}
+    assert "near" in verdicts and "unique" in verdicts
+
+
+def test_stream_checkpoint_no_reprocess(spark, tmp_path):
+    """Restarting the availableNow stream with no new feed files must
+    not re-emit verdicts (file-source checkpoint = exactly-once)."""
+    d = load_documents_spread(spark, SF_DIR)
+    incoming = d.where(F.col("source").isin(*INCOMING)).select(
+        "doc_id", "text"
+    )
+    corpus = d.where(~F.col("source").isin(*INCOMING)).select(
+        "doc_id", "text"
+    )
+    feed = tmp_path / "feed"
+    incoming.coalesce(1).write.parquet(str(feed))
+    index = CorpusDedupIndex(corpus)
+    out, ckpt = tmp_path / "out", tmp_path / "ckpt"
+    for _ in range(2):
+        q = stream_doc_dedup(
+            spark, index, str(feed), FEED_SCHEMA, str(out), str(ckpt)
+        )
+        q.awaitTermination(120)
+    n_docs = incoming.count()
+    assert spark.read.parquet(str(out)).count() == n_docs

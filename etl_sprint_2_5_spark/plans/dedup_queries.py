@@ -661,3 +661,58 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@query(
+    "streaming_incremental_dedup",
+    oracle=None,  # set below — identical to incremental_dedup's oracle
+    covers=("X-dedup-incremental-stream",),
+)
+def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STREAMING twin of incremental_dedup, hash-verified against
+    the SAME DuckDB oracle: the incoming four sources are written to
+    a file feed, consumed as Structured Streaming micro-batches, and
+    classified exact/near/unique against the static corpus index
+    (streaming/doc_dedup.py — prepared shingle artifact, corpus-side
+    stop list, checkpointed exactly-once). Verdicts are batch-chop
+    invariant, so the streamed result equals the batch query
+    bit-for-bit and the one oracle gates both execution modes."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from etl_sprint_2_5_spark.streaming.doc_dedup import (
+        CorpusDedupIndex,
+        stream_doc_dedup,
+    )
+
+    d = load_documents_spread(spark, sf_dir)
+    incoming = d.where(F.col("source").isin(*_INCOMING)).select(
+        "doc_id", "text"
+    )
+    corpus = d.where(~F.col("source").isin(*_INCOMING)).select(
+        "doc_id", "text"
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_incdedup_")
+    incoming.coalesce(2).write.parquet(f"{tmp}/feed")
+    index = CorpusDedupIndex(corpus, max_df=MAX_SHINGLE_DF)
+    q = stream_doc_dedup(
+        spark, index, f"{tmp}/feed", schema, f"{tmp}/out", f"{tmp}/ckpt"
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(f"{tmp}/out").orderBy("doc_id")
+
+
+# one oracle gates both execution modes (stream == batch parity is
+# additionally pytest-asserted in tests/test_stream_doc_dedup.py)
+from etl_sprint_2_5_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["streaming_incremental_dedup"].oracle = _REG["incremental_dedup"].oracle

@@ -49,6 +49,9 @@ class BadRequest(ValueError):
     """Invalid request params (HTTP 422 in the reference)."""
 
 
+ANALYZERS = ("plain", "en", "ru_en")
+
+
 @dataclass
 class ListParams:
     limit: int = 50
@@ -56,6 +59,11 @@ class ListParams:
     sort: str = "id"
     sort_order: str = "asc"
     search: str | None = None
+    # "plain" = raw-token match (oracle-expressible default); "en" =
+    # Porter; "ru_en" = the reference's full ES analyzer chain
+    # (movies.es.schema.json:4-40) — standard tokenize → lowercase →
+    # english_stop → Porter → russian_stop → Snowball-Russian
+    analyzer: str = "plain"
 
     def __post_init__(self) -> None:
         if self.limit < 1 or self.page < 1:
@@ -64,6 +72,8 @@ class ListParams:
             raise BadRequest(f"sort must be one of {SORT_FIELDS}")
         if self.sort_order not in ORDERS:
             raise BadRequest(f"sort_order must be one of {ORDERS}")
+        if self.analyzer not in ANALYZERS:
+            raise BadRequest(f"analyzer must be one of {ANALYZERS}")
 
 
 def get_movie(movies: DataFrame, movie_id: str) -> Row | None:
@@ -85,7 +95,10 @@ def list_movies(movies: DataFrame, params: ListParams) -> DataFrame:
             scored_src = scored_src.withColumn(
                 f"{arr}_str", F.array_join(F.col(arr), " ")
             )
-        scores = fulltext_score(scored_src, "id", terms, SEARCH_FIELDS)
+        stem = False if params.analyzer == "plain" else (
+            True if params.analyzer == "en" else "ru_en"
+        )
+        scores = fulltext_score(scored_src, "id", terms, SEARCH_FIELDS, stem=stem)
         df = movies.join(scores.where(F.col("score") > 0), "id")
         order = [F.col("score").desc()]
     else:

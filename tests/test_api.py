@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.api.query import (
     BadRequest,
@@ -112,3 +113,35 @@ def test_admin_envelope(movies):
     assert titles == sorted(titles) and len(titles) == 20
     last = admin_movie_list(movies, page=env["total_pages"], per_page=20)
     assert last["next"] is None
+
+
+def test_search_ru_en_analyzer(spark):
+    """The analyzer='ru_en' search path matches inflected Russian and
+    stemmed English the way the reference's ES ru_en analyzer does
+    (movies.es.schema.json:4-40)."""
+    rows = [
+        ("m1", "Бегущая по волнам", "приключения по роману Грина",
+         ["Драма"], ["Актёр Один"], [], []),
+        ("m2", "The Running Man", "dystopian running adventure",
+         ["Action"], ["Arnold"], [], []),
+        ("m3", "Зелёная миля", "тюремная драма",
+         ["Драма"], [], [], []),
+    ]
+    movies = spark.createDataFrame(
+        rows,
+        "id string, title string, description string, "
+        "genres_names array<string>, actors_names array<string>, "
+        "writers_names array<string>, directors_names array<string>",
+    ).withColumn("imdb_rating", F.lit(5.0))
+    # inflected query: 'бегущие' stems to 'бегущ', matching m1 and...
+    # m2 only via 'running'→'run' if the query also carries it
+    got = list_movies(
+        movies, ListParams(search="бегущие runs", analyzer="ru_en")
+    ).collect()
+    ids = {r["id"] for r in got}
+    assert ids == {"m1", "m2"}
+    # plain analyzer finds nothing for the inflected forms
+    assert not list_movies(movies, ListParams(search="бегущие runs")).collect()
+    # bad analyzer name is a 422
+    with pytest.raises(BadRequest):
+        ListParams(search="x", analyzer="de")

@@ -162,3 +162,51 @@ def test_porter_untouched_by_ru_chain():
     # the ascii half of the chain is exactly Porter
     for w in ("running", "hopefulness", "adjustable"):
         assert stem_term_ru_en(w) == porter_stem(w)
+
+
+def test_russian_stem_properties():
+    """Property sweep: every Snowball-Russian step is a DELETION (the
+    only rewrite is the ё→е prelude), so the stem must be a prefix of
+    the folded word, non-empty for non-empty input, and deterministic."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    cyr = st.text(alphabet="абвгдежзийклмнопрстуфхцчшщъыьэюяё", min_size=1, max_size=24)
+
+    @settings(max_examples=300, deadline=None)
+    @given(cyr)
+    def check(w):
+        s = russian_stem(w)
+        folded = w.replace("ё", "е")
+        assert folded.startswith(s), (w, s)
+        assert len(s) >= 1
+        assert russian_stem(w) == s  # deterministic
+
+    check()
+
+
+def test_ru_en_chain_properties():
+    """Mixed-script chain: a dropped token must actually be a
+    stopword, and surviving tokens are lowercase. (A surviving STEM
+    may coincide with a stopword string — ES drops stopwords BEFORE
+    stemming, not after — so no assertion on the output side.)"""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    token = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyzабвгдежзиклмнопрстуфхя0123456789",
+        min_size=1,
+        max_size=16,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(token)
+    def check(t):
+        out = stem_term_ru_en(t)
+        if out is None:
+            lowered = t.lower().replace("ё", "е")
+            assert lowered in RUSSIAN_STOPWORDS or lowered in ES_ENGLISH_STOPWORDS
+        else:
+            assert out == out.lower()
+
+    check()

@@ -783,3 +783,85 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_idx")
     )
+
+
+_PPL_Q = ("0.33333333", "0.66666667")  # tertile fractions, literal on both engines
+
+
+@query(
+    "perplexity_buckets",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ),
+    consts AS (
+      SELECT CAST(sum(c) AS BIGINT) AS n_total, count(*) AS v FROM vocab
+    ),
+    costs AS (
+      SELECT tok,
+             CAST(floor(
+               -ln((c + 1) / CAST(n_total + v AS DOUBLE)) * 1e6 + 0.5e0
+             ) AS BIGINT) AS cost_ppm
+      FROM vocab, consts
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             CAST(sum(cost_ppm) AS BIGINT) // count(*) AS avg_nll_ppm
+      FROM toks t JOIN costs USING (tok)
+      GROUP BY t.doc_id
+    ),
+    with_src AS (
+      SELECT s.doc_id, d.source, s.avg_nll_ppm
+      FROM scored s JOIN documents d USING (doc_id)
+    ),
+    th AS (
+      SELECT source,
+             round(quantile_cont(avg_nll_ppm, {_PPL_Q[0]}), 4) AS q33,
+             round(quantile_cont(avg_nll_ppm, {_PPL_Q[1]}), 4) AS q67
+      FROM with_src GROUP BY source
+    )
+    SELECT w.source,
+           CASE WHEN avg_nll_ppm <= q33 THEN 'head'
+                WHEN avg_nll_ppm <= q67 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           count(*) AS n_docs,
+           CAST(sum(avg_nll_ppm) AS BIGINT) AS sum_nll_ppm
+    FROM with_src w JOIN th USING (source)
+    GROUP BY w.source, bucket
+    ORDER BY w.source, bucket
+    """,
+    covers=("X-text-ppl-buckets",),
+)
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing: score every doc with the
+    corpus unigram LM (ppm-fixed-point surprisal), compute PER-SOURCE
+    tertile thresholds, and bucket docs head/middle/tail — the
+    adaptive keep-filter a curation pipeline applies per domain
+    (head = cleanest third). Thresholds are rounded to 4 decimals on
+    both engines so interpolation ulp differences cannot flip a
+    bucket; per-doc scores stay integer end-to-end."""
+    d = load_documents_spread(spark, sf_dir)
+    scored = unigram_nll(d, "text", "doc_id").select("doc_id", "avg_nll_ppm")
+    with_src = scored.join(d.select("doc_id", "source"), "doc_id")
+    th = with_src.groupBy("source").agg(
+        F.round(F.expr(f"percentile(avg_nll_ppm, {_PPL_Q[0]})"), 4).alias("q33"),
+        F.round(F.expr(f"percentile(avg_nll_ppm, {_PPL_Q[1]})"), 4).alias("q67"),
+    )
+    bucket = (
+        F.when(F.col("avg_nll_ppm") <= F.col("q33"), "head")
+        .when(F.col("avg_nll_ppm") <= F.col("q67"), "middle")
+        .otherwise("tail")
+    )
+    return (
+        with_src.join(F.broadcast(th), "source")
+        .select("source", bucket.alias("bucket"), "avg_nll_ppm")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("avg_nll_ppm").alias("sum_nll_ppm"),
+        )
+        .orderBy("source", "bucket")
+    )

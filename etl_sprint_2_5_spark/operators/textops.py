@@ -36,20 +36,31 @@ def _hits(tokens: Column, words: tuple[str, ...]) -> Column:
 
 
 def language_id(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Marker-word vote: per language, count marker hits; predict the
-    argmax (ties and zero-hit docs → 'und'). Deterministic tie-break:
-    highest count wins, earlier language in sorted order wins ties."""
+    """Two-stage language ID: a SCRIPT check first — a document whose
+    chars are ≥10% CJK ideographs is 'zh' (the ascii marker tokenizer
+    drops CJK entirely, so no word vote can ever see it) — then the
+    marker-word vote over latin-script languages; argmax wins, ties
+    break to the alphabetically earlier language, zero hits → 'und'.
+    The ratio test is integer arithmetic (cjk·10 ≥ len) so both
+    engines decide identically."""
     toks = tokenize(text_col)
     langs = sorted(LANG_MARKERS)
-    out = df.select(F.col(id_col), *[
-        _hits(toks, LANG_MARKERS[lg]).alias(f"hits_{lg}") for lg in langs
-    ])
+    cjk = F.length(
+        F.regexp_replace(F.col(text_col), "[^一-鿿]", "")
+    )
+    total = F.length(F.col(text_col))
+    out = df.select(
+        F.col(id_col),
+        (cjk * 10 >= F.greatest(total, F.lit(1))).alias("_is_cjk"),
+        *[_hits(toks, LANG_MARKERS[lg]).alias(f"hits_{lg}") for lg in langs],
+    )
     best = F.greatest(*[F.col(f"hits_{lg}") for lg in langs])
     pred = F.lit("und")
     for lg in reversed(langs):  # earlier languages override on ties
         pred = F.when(F.col(f"hits_{lg}") == best, F.lit(lg)).otherwise(pred)
     pred = F.when(best == 0, F.lit("und")).otherwise(pred)
-    return out.withColumn("pred_lang", pred)
+    pred = F.when(F.col("_is_cjk"), F.lit("zh")).otherwise(pred)
+    return out.withColumn("pred_lang", pred).drop("_is_cjk")
 
 
 def quality_score(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -107,9 +107,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_language_id",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, lang, {_DUCK_TOKS} AS tk FROM documents
+      SELECT doc_id, lang, text, {_DUCK_TOKS} AS tk FROM documents
     ), hits AS (
       SELECT doc_id, lang,
+             length(regexp_replace(text, '[^一-鿿]', '', 'g')) * 10
+               >= greatest(length(text), 1) AS is_cjk,
              {_duck_hits('de')} AS hits_de,
              {_duck_hits('en')} AS hits_en,
              {_duck_hits('es')} AS hits_es,
@@ -117,7 +119,8 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM toks
     ), pred AS (
       SELECT doc_id, lang,
-             CASE WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
+             CASE WHEN is_cjk THEN 'zh'
+                  WHEN greatest(hits_de, hits_en, hits_es, hits_fr) = 0 THEN 'und'
                   WHEN hits_de = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'de'
                   WHEN hits_en = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'en'
                   WHEN hits_es = greatest(hits_de, hits_en, hits_es, hits_fr) THEN 'es'

@@ -153,3 +153,24 @@ def test_fulltext_score_empty_terms(spark):
     # whitespace-ish term that stems to empty is equivalent to no terms
     out = fulltext_score(df, "id", ("",), {"text": 1.0})
     assert out.count() == 0
+
+
+def test_language_id_cjk_script_detection(spark):
+    """The script stage catches CJK documents that the ascii marker
+    tokenizer is structurally blind to (the fixture's 'zh' rows are
+    synthetic english word-soup, so only a unit fixture can exercise
+    this)."""
+    from etl_sprint_2_5_spark.operators.textops import language_id
+
+    rows = [
+        ("zh1", "机器学习模型的训练数据质量非常重要"),
+        ("zh2", "大数据处理平台 with some spark words"),
+        ("en1", "the quick brown fox jumps over the lazy dog"),
+        ("mix", "only two 汉字 here in a long english sentence overall"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {r["id"]: r["pred_lang"] for r in language_id(df, "text", "id").collect()}
+    assert got["zh1"] == "zh"
+    assert got["zh2"] == "zh"  # majority-CJK mixed doc
+    assert got["en1"] == "en"
+    assert got["mix"] != "zh"  # 2 ideographs in ~50 chars is below 10%

@@ -60,6 +60,7 @@ HEADLINE = [
     "order_count_distribution",
     "large_order_customers",
     "unigram_lm_surprisal",
+    "perplexity_buckets",
     "last_touch_attribution",
     "nation_market_share",
     "tfidf_keywords",

@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.operators.dedup import (
     connected_components,
-    cosine,
     embedding_near_dups,
     exact_dedup,
     hashed_shingle_sets,
@@ -621,11 +620,16 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     is bounded per cell (cells ≈ corpus/k by construction, and the
     cell key partitions the self-join), which is exactly the SemDeDup
     design: cluster first so the O(n²) happens in k small buckets.
-    Cosine is the deterministic in-order fold shared with the
-    embedding near-dup operator (round 6, matches DuckDB
-    list_cosine_similarity bit-for-bit)."""
+    Pair cosine is the Arrow-vectorized numpy path (same as
+    ann_quantized's rescore — 4× faster than the codegen fold on the
+    wide pair stream) rounded to 6; round-6 pins the cross-engine
+    agreement with DuckDB's list_cosine_similarity."""
     from etl_sprint_2_5_spark.artifacts import prepared_ivf_centroids
-    from etl_sprint_2_5_spark.operators.similarity import assign_cells_gemm
+    from etl_sprint_2_5_spark.operators.dedup import cosine_pandas
+    from etl_sprint_2_5_spark.operators.similarity import (
+        assign_cells_gemm,
+        round6_col,
+    )
 
     e = load_table(spark, "embeddings", sf_dir)
     centroids = prepared_ivf_centroids(spark, sf_dir)
@@ -648,7 +652,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "prior_id",
-            F.round(cosine(F.col("_ea"), F.col("_eb")), 6).alias("cos"),
+            round6_col(cosine_pandas(F.col("_ea"), F.col("_eb"))).alias("cos"),
         )
     )
     return (

@@ -720,3 +720,103 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_sprint_2_5_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["streaming_incremental_dedup"].oracle = _REG["incremental_dedup"].oracle
+
+
+_SIMHASH_HAMMING = 1  # near-dup when ≤ 1 of 32 bits differs (the
+# fixture vocabulary is tiny, so 32-bit signatures cluster tightly —
+# at web scale with 64/128-bit signatures the classic threshold is 3)
+_SIMHASH_MAX_BUCKET = 1000  # degenerate band-bucket guard (LSH twin)
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, list_distinct({_DUCK_TOKS}) AS tk FROM documents
+    ), ex AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 8))::BIGINT AS h
+      FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+    ), votes AS (
+      SELECT doc_id, count(*) AS n,
+             {", ".join(f"CAST(sum((h >> {i}) & 1) AS BIGINT) AS b{i}" for i in range(32))}
+      FROM ex GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id,
+             CAST({" + ".join(f"(CASE WHEN 2 * b{i} >= n THEN (1::BIGINT << {i}) ELSE 0 END)" for i in range(32))}
+             AS BIGINT) AS s
+      FROM votes
+    ), bands AS (
+      SELECT doc_id, s, b, (s >> (8 * b)) & 255 AS bv
+      FROM sig, generate_series(0, 3) AS t(b)
+    ), buckets AS (
+      SELECT b, bv FROM bands GROUP BY b, bv
+      HAVING count(*) BETWEEN 2 AND {_SIMHASH_MAX_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             x.s AS sa, y.s AS sb
+      FROM bands x
+      JOIN buckets k ON x.b = k.b AND x.bv = k.bv
+      JOIN bands y ON y.b = x.b AND y.bv = x.bv AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {_SIMHASH_HAMMING}
+    ORDER BY id_a, id_b
+    """,
+    covers=("X-dedup-simhash-pairs",),
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS — the signature's pairing half: band the
+    32-bit signature into 4×8-bit keys (a difference of fewer bits
+    than bands leaves at least one band intact, so banding is a
+    lossless candidate filter at the Hamming threshold), bucket-join within bands, verify exact
+    Hamming distance with one xor+bit_count — all integer arithmetic,
+    identical on both engines.
+
+    Scale shape mirrors MinHash-LSH: the only shuffles are the band
+    bucketing and the pair distinct; degenerate buckets (e.g. the
+    all-zero signature of boilerplate) are capped at
+    {max_bucket} members, the same guard as lsh_candidate_pairs."""
+    d = load_documents_spread(spark, sf_dir)
+    # the signature string is LSB-first (char k = bit k); reverse to
+    # MSB-first and conv() turns it into the integer with vote k at
+    # bit k — exactly the oracle's Σ (vote_k << k)
+    sigs = simhash(d, "text", "doc_id").select(
+        "doc_id",
+        F.conv(F.reverse(F.col("simhash")), 2, 10).cast("long").alias("s"),
+    )
+    bands = sigs.select(
+        "doc_id",
+        "s",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright(F.col("s"), 8 * b).bitwiseAND(F.lit(255)).alias("bv"),
+                )
+                for b in range(4)
+            ])
+        ).alias("k"),
+    ).select("doc_id", "s", "k.b", "k.bv")
+    buckets = (
+        bands.groupBy("b", "bv")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= _SIMHASH_MAX_BUCKET))
+        .select("b", "bv")
+    )
+    kept = bands.join(buckets, ["b", "bv"])
+    left = kept.select("b", "bv", F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
+    right = kept.select("b", "bv", F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
+    cand = (
+        left.join(right, ["b", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sa", "sb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        cand.where(hamming <= _SIMHASH_HAMMING)
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

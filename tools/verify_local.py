@@ -78,7 +78,18 @@ def main() -> int:
     import __spark_entry__ as e
     from etl_sprint_2_5_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    if "--cold" in args:
+        # cold-path check: clear the prepared-artifact cache so every
+        # index/training step runs inline (results must be identical —
+        # training is deterministic)
+        import shutil
+
+        from etl_sprint_2_5_spark.artifacts import artifact_root
+
+        shutil.rmtree(artifact_root(), ignore_errors=True)
+        args = [a for a in args if a != "--cold"]
+    only = set(args)
     spark = get_spark("verify_local")
     con = duck_connect()
     qs = e.queries()

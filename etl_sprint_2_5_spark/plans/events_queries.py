@@ -567,3 +567,82 @@ def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "event_type", "n_events", F.col("value_sum").cast("bigint").alias("value_sum")
     ).orderBy("event_type")
+
+
+@query(
+    "streaming_tumbling_window_agg",
+    oracle="""
+    SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    ORDER BY window_start_us, event_type
+    """,
+    covers=("T1", "X-stream-window-live"),
+)
+def streaming_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window aggregation executed as a LIVE Structured
+    Streaming query, hash-gated by a DuckDB oracle: the events table
+    is staged as a two-file feed, consumed one file per micro-batch
+    (maxFilesPerTrigger=1, so the window state genuinely merges
+    across batches), aggregated with the streaming state store in
+    complete output mode into a memory sink, and the final table is
+    returned.
+
+    n_users (countDistinct) is omitted relative to the batch twin —
+    exact distinct aggregation is unsupported inside a streaming
+    aggregation (it would need a dedup stage feeding a second agg,
+    and chained streaming aggregations are likewise unsupported);
+    the batch query keeps the full contract."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_tumbling_")
+    feed = f"{tmp}/feed"
+    # two files → two micro-batches; ts is already micros-normalized,
+    # so the stream schema is plain timestamp
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    sink = f"t_{os.path.basename(tmp)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )

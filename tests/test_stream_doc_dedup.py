@@ -101,3 +101,44 @@ def test_stream_checkpoint_no_reprocess(spark, tmp_path):
         q.awaitTermination(120)
     n_docs = incoming.count()
     assert spark.read.parquet(str(out)).count() == n_docs
+
+
+def test_stream_resume_with_new_arrivals(spark, tmp_path):
+    """Exactly-once across restarts WITH new data: drain file 1, stop,
+    file 2 arrives, drain again from the same checkpoint — the sink
+    union must equal the batch verdicts exactly (no re-emits of file 1,
+    no misses of file 2)."""
+    load_all()
+    d = load_documents_spread(spark, SF_DIR)
+    incoming = d.where(F.col("source").isin(*INCOMING)).select("doc_id", "text")
+    corpus = d.where(~F.col("source").isin(*INCOMING)).select("doc_id", "text")
+    rows = sorted(incoming.collect(), key=lambda r: r["doc_id"])
+    half = len(rows) // 2
+    feed, out, ckpt = tmp_path / "feed", tmp_path / "out", tmp_path / "ckpt"
+    index = CorpusDedupIndex(corpus)
+
+    spark.createDataFrame(rows[:half], FEED_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(feed))
+    q = stream_doc_dedup(spark, index, str(feed), FEED_SCHEMA, str(out), str(ckpt))
+    q.awaitTermination(120)
+    n_after_first = spark.read.parquet(str(out)).count()
+    assert n_after_first == half
+
+    spark.createDataFrame(rows[half:], FEED_SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(str(feed))
+    q = stream_doc_dedup(spark, index, str(feed), FEED_SCHEMA, str(out), str(ckpt))
+    q.awaitTermination(120)
+
+    got = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    assert len(got) == len(rows)  # dict size == row count → no dup doc_ids
+    assert spark.read.parquet(str(out)).count() == len(rows)
+    want = {
+        r["doc_id"]: (r["verdict"], r["match_id"])
+        for r in REGISTRY["incremental_dedup"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want

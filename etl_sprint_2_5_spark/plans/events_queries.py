@@ -646,3 +646,64 @@ def streaming_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("window_start_us", "event_type")
     )
+
+
+@query(
+    "streaming_sliding_window_agg",
+    oracle=None,  # set below — identical to sliding_window_agg's oracle
+    covers=("X-stream-sliding-live",),
+)
+def streaming_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE streaming twin of sliding_window_agg, hash-gated by
+    the SAME oracle: hopping 1-hour/30-minute windows aggregated with
+    the streaming state store across two micro-batches (one feed file
+    each), complete-mode memory sink. The batch query carries no
+    distinct aggregate, so stream and batch share the full contract."""
+    import os
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "value")
+    tmp = tempfile.mkdtemp(prefix="stream_sliding_")
+    feed = f"{tmp}/feed"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = stream.groupBy(
+        F.window("ts", "1 hour", "30 minutes").alias("w")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    sink = f"t_{os.path.basename(tmp)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(sink)
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_us")
+    )
+
+
+from etl_sprint_2_5_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["streaming_sliding_window_agg"].oracle = _REG["sliding_window_agg"].oracle

@@ -9,8 +9,9 @@ query is only a small-SF convenience — this module makes the
 train-once path real.
 
 Artifacts are keyed by a fingerprint of the source parquet (name,
-size, mtime) plus every training parameter, so a regenerated table or
-a changed config self-invalidates and simply retrains. Training is
+size, mtime) plus every training parameter plus a manually-bumped
+per-kind ALGO_VERSION, so a regenerated table, a changed config, or
+an edited training algorithm self-invalidates and simply retrains. Training is
 fully deterministic (no RNG anywhere), so the prepared path is
 bit-identical to the inline path — the DuckDB oracles, which always
 train inline, stay green either way (pytest asserts equality).
@@ -33,6 +34,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 ARTIFACT_DIR_ENV = "SPARK_GRAFT_ARTIFACT_DIR"
 
+# Bump the entry for an artifact kind whenever its TRAINING CODE
+# changes semantics (train_ivf_centroids, quantize_embeddings,
+# hashed_shingle_sets, the analyzer chain). The version is folded into
+# the cache key, so an algorithm edit self-invalidates cached
+# artifacts instead of silently serving stale state until --cold.
+ALGO_VERSION = {
+    "ivf_centroids": 1,
+    "quantized_codes": 1,
+    "shingle_index": 1,
+    "ftindex": 1,
+}
+
 
 def artifact_root() -> Path:
     env = os.environ.get(ARTIFACT_DIR_ENV)
@@ -52,6 +65,7 @@ def table_fingerprint(sf_dir: str, table: str) -> str:
 
 
 def _key(parts: dict) -> str:
+    parts = dict(parts, algo=ALGO_VERSION[parts["kind"]])
     return hashlib.md5(
         json.dumps(parts, sort_keys=True).encode()
     ).hexdigest()[:16]

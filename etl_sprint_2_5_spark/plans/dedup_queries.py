@@ -362,11 +362,14 @@ _DUCK_INCOMING = "('src16', 'src17', 'src18', 'src19')"
       FROM sh
     ), ex AS (
       SELECT doc_id, is_new, unnest(hs) AS s FROM hsh
-    ), dfc AS (                       -- df across corpus + incoming
-      SELECT s, count(*) AS df FROM ex GROUP BY s
-    ), kept AS (                      -- stop-shingle cap (df <= K)
-      SELECT ex.doc_id, ex.is_new, ex.s
-      FROM ex JOIN dfc ON ex.s = dfc.s AND dfc.df <= {MAX_SHINGLE_DF}
+    ), dfc AS (                       -- df over the CORPUS only: the
+      SELECT s, count(*) AS df        -- stop list is a property of
+      FROM ex WHERE NOT is_new        -- the persisted index, stable
+      GROUP BY s                      -- across incoming batch chops
+    ), kept AS (                      -- stop-shingle cap (df <= K);
+      SELECT ex.doc_id, ex.is_new, ex.s   -- incoming-only shingles
+      FROM ex LEFT JOIN dfc ON ex.s = dfc.s  -- have no corpus df row
+      WHERE coalesce(dfc.df, 0) <= {MAX_SHINGLE_DF}
     ), sz AS (                        -- sizes over the CAPPED sets
       SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
     ), co AS (
@@ -409,13 +412,19 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup index this query incrementally probes. Two hot-key guards:
     the exact tier pre-aggregates the corpus to one (md5 → min id) row
     per fingerprint (a viral text duplicated millions of times joins
-    as ONE row, not millions), and the near tier runs on
-    ``capped_postings`` (df ≤ MAX_SHINGLE_DF across corpus+incoming)
-    so no boilerplate shingle can expand quadratically. The shingle
-    sets probe the prepared index artifact — exactly the 'persisted
-    dedup index' this query's docstring promises at 100 TB."""
+    as ONE row, not millions), and the near tier drops every shingle
+    whose CORPUS df exceeds MAX_SHINGLE_DF so no boilerplate shingle
+    can expand quadratically. The cap population is corpus-only by
+    design: the stop list is then a stable property of the persisted
+    index, independent of how incoming data is chopped into batches —
+    which is what makes the streaming twin (streaming/doc_dedup.py)
+    bit-identical to this query under ANY micro-batch boundary. (An
+    incoming-only boilerplate shingle is uncapped but harmless here:
+    it has no corpus postings to join, so the inc×corpus candidate
+    join cannot expand on it.) The shingle sets probe the prepared
+    index artifact — exactly the 'persisted dedup index' this query's
+    docstring promises at 100 TB."""
     from etl_sprint_2_5_spark.artifacts import prepared_shingle_index
-    from etl_sprint_2_5_spark.operators.dedup import capped_postings
 
     d = load_documents_spread(spark, sf_dir)
     base = d.select(
@@ -438,10 +447,17 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.select("doc_id", "is_new"), "doc_id"
     )
     occ = sh.select("doc_id", "is_new", F.explode("hs").alias("s"))
-    # stop-shingle cap over the combined population; sizes are counted
-    # over the SURVIVING shingles so Jaccard's numerator/denominator
-    # agree (mirrored in the oracle's kept/sz CTEs)
-    kept = capped_postings(occ, "s", MAX_SHINGLE_DF).cache()
+    # corpus-only stop list (see docstring); sizes are counted over
+    # the SURVIVING shingles so Jaccard's numerator/denominator agree
+    # (mirrored in the oracle's dfc/kept/sz CTEs)
+    stop = (
+        occ.where(~F.col("is_new"))
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where(F.col("_df") > MAX_SHINGLE_DF)
+        .select("s")
+    )
+    kept = occ.join(stop, "s", "left_anti").cache()
     sizes = kept.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     inc_p = kept.where(F.col("is_new")).select(F.col("doc_id").alias("id_i"), "s")
     cor_p = kept.where(~F.col("is_new")).select(F.col("doc_id").alias("id_c"), "s")
@@ -705,14 +721,37 @@ def streaming_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = StructType(
         [StructField("doc_id", LongType()), StructField("text", StringType())]
     )
+    import shutil
+
+    from etl_sprint_2_5_spark.artifacts import prepared_shingle_index
+
     tmp = tempfile.mkdtemp(prefix="stream_incdedup_")
-    incoming.coalesce(2).write.parquet(f"{tmp}/feed")
-    index = CorpusDedupIndex(corpus, max_df=MAX_SHINGLE_DF)
-    q = stream_doc_dedup(
-        spark, index, f"{tmp}/feed", schema, f"{tmp}/out", f"{tmp}/ckpt"
-    )
-    q.awaitTermination(300)
-    return spark.read.parquet(f"{tmp}/out").orderBy("doc_id")
+    try:
+        incoming.coalesce(2).write.parquet(f"{tmp}/feed")
+        # corpus side probes the prepared shingle artifact — the
+        # persisted dedup index — instead of reshingling raw text
+        corpus_sh = prepared_shingle_index(spark, sf_dir).join(
+            corpus.select("doc_id"), "doc_id"
+        )
+        index = CorpusDedupIndex(
+            corpus, shingles=corpus_sh, max_df=MAX_SHINGLE_DF
+        )
+        q = stream_doc_dedup(
+            spark, index, f"{tmp}/feed", schema, f"{tmp}/out", f"{tmp}/ckpt"
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(
+                "streaming_incremental_dedup did not drain within 300s"
+            )
+        sink = spark.read.parquet(f"{tmp}/out").select(
+            "doc_id", "verdict", "match_id"
+        )
+        # materialize before the temp feed/sink is deleted
+        out = spark.createDataFrame(sink.collect(), sink.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("doc_id")
 
 
 # one oracle gates both execution modes (stream == batch parity is

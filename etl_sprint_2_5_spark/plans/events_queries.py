@@ -569,6 +569,16 @@ def salted_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("event_type")
 
 
+def _drain_or_raise(q, name: str, timeout: int = 300) -> None:
+    """availableNow streams must fully drain before the sink is read:
+    on timeout, stop the query and fail loudly instead of returning a
+    silently-partial table (which would surface as a baffling
+    oracle-hash mismatch) and leaking the running stream."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(f"{name} did not drain within {timeout}s")
+
+
 @query(
     "streaming_tumbling_window_agg",
     oracle="""
@@ -597,6 +607,7 @@ def streaming_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame
     and chained streaming aggregations are likewise unsupported);
     the batch query keeps the full contract."""
     import os
+    import shutil
     import tempfile
 
     ev = load_table(spark, "events", sf_dir).select(
@@ -635,7 +646,10 @@ def streaming_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain_or_raise(q, "streaming_tumbling_window_agg")
+    # memory-sink rows live on the driver — the feed/checkpoint tmp
+    # dir is no longer needed once the stream has drained
+    shutil.rmtree(tmp, ignore_errors=True)
     return (
         spark.table(sink)
         .select(
@@ -660,6 +674,7 @@ def streaming_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     each), complete-mode memory sink. The batch query carries no
     distinct aggregate, so stream and batch share the full contract."""
     import os
+    import shutil
     import tempfile
 
     ev = load_table(spark, "events", sf_dir).select("event_id", "ts", "value")
@@ -692,7 +707,8 @@ def streaming_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    _drain_or_raise(q, "streaming_sliding_window_agg")
+    shutil.rmtree(tmp, ignore_errors=True)
     return (
         spark.table(sink)
         .select(

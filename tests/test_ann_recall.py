@@ -216,3 +216,43 @@ def test_quantization_reconstruction_quality(spark):
         deq = q * r["qvec_scale"]
         cos = (x @ deq) / (np.linalg.norm(x) * np.linalg.norm(deq))
         assert cos > 0.999, cos
+
+
+def test_registered_ivf_search_nprobe_sweep(spark):
+    """The registered artifact-probing IVF path (ivf_search — what
+    ann_ivf_topk / ann_ivf_nprobe_topk run) must show monotone
+    recall in nprobe, and probing EVERY cell must reproduce the
+    brute-force top-k exactly — the ceiling of the dial."""
+    from etl_sprint_2_5_spark.artifacts import prepared_ivf_centroids
+    from etl_sprint_2_5_spark.plans.similarity_queries import (
+        _IVF_ITERS,
+        _K,
+        _N_QUERIES,
+        ivf_search,
+    )
+    from etl_sprint_2_5_spark.operators.similarity import brute_force_topk_gemm
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    sf = SF_SMOKE
+    e = load_table(spark, "embeddings", sf)
+    q = e.where(F.col("vec_id") < _N_QUERIES)
+    truth_rows = brute_force_topk_gemm(
+        e, q, "vec_id", "embedding", _K
+    ).collect()
+    truth = {(r["query_id"], r["neighbor_id"]) for r in truth_rows}
+
+    def result(nprobe: int):
+        return ivf_search(spark, sf, nprobe=nprobe).collect()
+
+    recalls = {}
+    for nprobe in (1, 2, 4):
+        got = {(r["query_id"], r["neighbor_id"]) for r in result(nprobe)}
+        recalls[nprobe] = len(truth & got) / len(truth)
+    assert recalls[1] <= recalls[2] <= recalls[4], recalls
+    assert recalls[4] <= 1.0
+
+    n_cells = prepared_ivf_centroids(
+        spark, sf, centroid_mod=100, iters=_IVF_ITERS
+    ).count()
+    ceiling = sorted(map(tuple, result(int(n_cells))))
+    assert ceiling == sorted(map(tuple, truth_rows))

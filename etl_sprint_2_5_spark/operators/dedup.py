@@ -309,6 +309,60 @@ def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash as TWO 32-bit integer words — the web-scale
+    operating point (64 bits / Hamming ≤ 3 is the classic
+    Manku-et-al configuration; the 32-bit simhash() exists for the
+    tiny-vocabulary fixture regime). Same vote arithmetic as
+    simhash(), widened: each distinct token is md5-hashed once, hex
+    chars 1-8 vote the LO word's 32 bits and chars 9-16 vote the HI
+    word's, so (id, sim_lo, sim_hi) with each word in [0, 2^32) —
+    two BIGINT halves, no signed-64 overflow anywhere, and the LO
+    word is bit-identical to the 32-bit signature's integer form
+    (property-tested in tests/test_dedup_operators.py).
+
+    Plan shape matches simhash(): explode + 64 codegen'd conditional
+    sums with map-side combine; the shuffle carries 65 ints per doc.
+    Zero-token docs keep the all-zero signature."""
+    toks = F.array_distinct(tokenize(text_col))
+    ex = (
+        df.select(F.col(id_col), F.explode(toks).alias("_t"))
+        .select(F.col(id_col), F.md5("_t").alias("_m"))
+        .select(
+            F.col(id_col),
+            F.conv(F.substring("_m", 1, 8), 16, 10).cast("long").alias("_hlo"),
+            F.conv(F.substring("_m", 9, 8), 16, 10).cast("long").alias("_hhi"),
+        )
+    )
+    votes = [
+        F.sum(F.shiftright(F.col(w), i).bitwiseAND(F.lit(1))).alias(f"_{w}{i}")
+        for w in ("_hlo", "_hhi")
+        for i in range(32)
+    ]
+    g = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n"), *votes)
+
+    def word(src: str):
+        terms = [
+            F.when(
+                2 * F.col(f"_{src}{i}") >= F.col("_n"), F.lit(1 << i)
+            ).otherwise(F.lit(0))
+            for i in range(32)
+        ]
+        out = terms[0]
+        for t in terms[1:]:
+            out = out + t
+        return out.cast("long")
+
+    sigs = g.select(
+        F.col(id_col), word("_hlo").alias("sim_lo"), word("_hhi").alias("sim_hi")
+    )
+    return df.select(F.col(id_col)).join(sigs, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("sim_lo", F.lit(0)).cast("long").alias("sim_lo"),
+        F.coalesce("sim_hi", F.lit(0)).cast("long").alias("sim_hi"),
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     """Cosine similarity of two array<float> columns in double
     precision, as an in-order left fold (deterministic summation order

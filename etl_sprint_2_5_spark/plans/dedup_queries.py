@@ -763,8 +763,86 @@ _REG["streaming_incremental_dedup"].oracle = _REG["incremental_dedup"].oracle
 
 _SIMHASH_HAMMING = 1  # near-dup when ≤ 1 of 32 bits differs (the
 # fixture vocabulary is tiny, so 32-bit signatures cluster tightly —
-# at web scale with 64/128-bit signatures the classic threshold is 3)
+# the 64-bit variant below runs the web-scale 64-bit/≤3 point)
 _SIMHASH_MAX_BUCKET = 1000  # degenerate band-bucket guard (LSH twin)
+_SIMHASH64_HAMMING = 3  # the classic Manku et al. web-scale threshold
+
+
+def _simhash_band_pairs(
+    sigs: DataFrame,
+    word_cols: tuple[str, ...],
+    hamming_max: int,
+    max_bucket: int = _SIMHASH_MAX_BUCKET,
+) -> DataFrame:
+    """Band-bucketed Hamming pairing over a SimHash signature held as
+    one or more 32-bit integer words (column names in ``word_cols``,
+    doc ids in ``doc_id``): band each word into 4×8-bit keys, bucket-
+    join within bands (capped at ``max_bucket`` members — degenerate
+    buckets like the all-zero boilerplate signature never expand),
+    verify exact Hamming with per-word xor+bit_count. With B total
+    bands, a pair differing in fewer than B bits intact in at least
+    one band — banding is a LOSSLESS candidate filter whenever
+    ``hamming_max < B`` (1 < 4 for the 32-bit caller, 3 < 8 for the
+    64-bit one). All integer arithmetic, identical on both engines;
+    the 32-bit and 64-bit registered queries are this one function
+    at different word counts/thresholds."""
+    n_bands_per_word = 4
+    band_structs = []
+    b = 0
+    for wc in word_cols:
+        for j in range(n_bands_per_word):
+            band_structs.append(
+                F.struct(
+                    F.lit(b).alias("b"),
+                    F.shiftright(F.col(wc), 8 * j)
+                    .bitwiseAND(F.lit(255))
+                    .alias("bv"),
+                )
+            )
+            b += 1
+    assert hamming_max < b, "banding would not be lossless"
+    bands = sigs.select(
+        "doc_id", *word_cols, F.explode(F.array(*band_structs)).alias("k")
+    ).select("doc_id", *word_cols, "k.b", "k.bv")
+    buckets = (
+        bands.groupBy("b", "bv")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where((F.col("_n") >= 2) & (F.col("_n") <= max_bucket))
+        .select("b", "bv")
+    )
+    kept = bands.join(buckets, ["b", "bv"])
+    left = kept.select(
+        "b",
+        "bv",
+        F.col("doc_id").alias("id_a"),
+        *[F.col(w).alias(f"{w}_a") for w in word_cols],
+    )
+    right = kept.select(
+        "b",
+        "bv",
+        F.col("doc_id").alias("id_b"),
+        *[F.col(w).alias(f"{w}_b") for w in word_cols],
+    )
+    cand = (
+        left.join(right, ["b", "bv"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            *[f"{w}_a" for w in word_cols],
+            *[f"{w}_b" for w in word_cols],
+        )
+        .distinct()
+    )
+    hamming = None
+    for w in word_cols:
+        term = F.bit_count(F.col(f"{w}_a").bitwiseXOR(F.col(f"{w}_b")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.where(hamming <= hamming_max)
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )
 
 
 @query(
@@ -825,40 +903,91 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.conv(F.reverse(F.col("simhash")), 2, 10).cast("long").alias("s"),
     )
-    bands = sigs.select(
-        "doc_id",
-        "s",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("b"),
-                    F.shiftright(F.col("s"), 8 * b).bitwiseAND(F.lit(255)).alias("bv"),
-                )
-                for b in range(4)
-            ])
-        ).alias("k"),
-    ).select("doc_id", "s", "k.b", "k.bv")
-    buckets = (
-        bands.groupBy("b", "bv")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .where((F.col("_n") >= 2) & (F.col("_n") <= _SIMHASH_MAX_BUCKET))
-        .select("b", "bv")
+    return _simhash_band_pairs(sigs, ("s",), _SIMHASH_HAMMING)
+
+
+def _simhash64_sig_ctes() -> str:
+    """DuckDB CTEs producing the two-word 64-bit signature (lo, hi)
+    per doc — the oracle mirror of operators/dedup.py simhash64."""
+    lo_votes = ", ".join(
+        f"CAST(sum((hlo >> {i}) & 1) AS BIGINT) AS lo{i}" for i in range(32)
     )
-    kept = bands.join(buckets, ["b", "bv"])
-    left = kept.select("b", "bv", F.col("doc_id").alias("id_a"), F.col("s").alias("sa"))
-    right = kept.select("b", "bv", F.col("doc_id").alias("id_b"), F.col("s").alias("sb"))
-    cand = (
-        left.join(right, ["b", "bv"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sa", "sb")
-        .distinct()
+    hi_votes = ", ".join(
+        f"CAST(sum((hhi >> {i}) & 1) AS BIGINT) AS hi{i}" for i in range(32)
     )
-    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
-    return (
-        cand.where(hamming <= _SIMHASH_HAMMING)
-        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
-        .orderBy("id_a", "id_b")
+    lo_sum = " + ".join(
+        f"(CASE WHEN 2 * lo{i} >= n THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(32)
     )
+    hi_sum = " + ".join(
+        f"(CASE WHEN 2 * hi{i} >= n THEN (1::BIGINT << {i}) ELSE 0 END)"
+        for i in range(32)
+    )
+    return f"""toks AS (
+      SELECT doc_id, list_distinct({_DUCK_TOKS}) AS tk FROM documents
+    ), ex AS (
+      SELECT doc_id, md5(t) AS m
+      FROM (SELECT doc_id, unnest(tk) AS t FROM toks)
+    ), hw AS (
+      SELECT doc_id, ('0x' || substr(m, 1, 8))::BIGINT AS hlo,
+                     ('0x' || substr(m, 9, 8))::BIGINT AS hhi
+      FROM ex
+    ), votes AS (
+      SELECT doc_id, count(*) AS n, {lo_votes}, {hi_votes}
+      FROM hw GROUP BY doc_id
+    ), sig AS (
+      SELECT doc_id, CAST({lo_sum} AS BIGINT) AS lo,
+                     CAST({hi_sum} AS BIGINT) AS hi
+      FROM votes
+    )"""
+
+
+@query(
+    "simhash64_near_pairs",
+    oracle=f"""
+    WITH {_simhash64_sig_ctes()}, bands AS (
+      SELECT doc_id, lo, hi, b,
+             CASE WHEN b < 4 THEN (lo >> (8 * b)) & 255
+                  ELSE (hi >> (8 * (b - 4))) & 255 END AS bv
+      FROM sig, generate_series(0, 7) AS t(b)
+    ), buckets AS (
+      SELECT b, bv FROM bands GROUP BY b, bv
+      HAVING count(*) BETWEEN 2 AND {_SIMHASH_MAX_BUCKET}
+    ), cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+             x.lo AS la, x.hi AS ha, y.lo AS lb, y.hi AS hb
+      FROM bands x
+      JOIN buckets k ON x.b = k.b AND x.bv = k.bv
+      JOIN bands y ON y.b = x.b AND y.bv = x.bv AND x.doc_id < y.doc_id
+    )
+    SELECT id_a, id_b,
+           CAST(bit_count(xor(la, lb)) + bit_count(xor(ha, hb)) AS INT)
+             AS hamming
+    FROM cand
+    WHERE bit_count(xor(la, lb)) + bit_count(xor(ha, hb))
+          <= {_SIMHASH64_HAMMING}
+    ORDER BY id_a, id_b
+    """,
+    covers=("X-dedup-simhash64-pairs",),
+)
+def simhash64_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at the WEB-SCALE operating point: 64-bit
+    signature (two 32-bit words, operators/dedup.py simhash64),
+    Hamming threshold 3, 8×8-bit banding — the classic Manku et al.
+    configuration. Identical plan shape to the 32-bit pairing (the
+    two queries share _simhash_band_pairs): band bucketing + capped
+    bucket join + exact xor/bit_count verify; 3 < 8 bands keeps the
+    banding a lossless candidate filter. Property tests assert the
+    LO word equals the 32-bit signature bit-for-bit and that the
+    banded pairing equals brute-force all-pairs Hamming on the
+    fixture."""
+    from etl_sprint_2_5_spark.operators.dedup import simhash64
+
+    d = load_documents_spread(spark, sf_dir)
+    sigs = simhash64(d, "text", "doc_id").select(
+        "doc_id", F.col("sim_lo").alias("lo"), F.col("sim_hi").alias("hi")
+    )
+    return _simhash_band_pairs(sigs, ("lo", "hi"), _SIMHASH64_HAMMING)
 
 
 _SPAN_K = 15  # span length in tokens. Lee et al. 2021 ("Deduplicating

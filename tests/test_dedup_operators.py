@@ -229,3 +229,64 @@ def test_inverted_index_jaccard_cap_changes_set_semantics(spark):
     }
     assert out[(1, 2)] == 1.0  # identical bodies; boilerplate ignored
     assert all(k == (1, 2) for k in out)  # nothing else reaches 0.5
+
+
+def test_simhash64_lo_word_equals_32bit_signature(spark):
+    """simhash64's LO word votes on the same md5-prefix hash word as
+    the 32-bit simhash(), so on every fixture document the LO word
+    must equal the integer form of the 32-bit signature bit-for-bit
+    (and the HI word must stay in [0, 2^32))."""
+    from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
+
+    d = load_documents_spread(spark, "/root/testdata/sf0.001")
+    s32 = {
+        r["doc_id"]: r["s"]
+        for r in D.simhash(d, "text", "doc_id")
+        .select(
+            "doc_id",
+            F.conv(F.reverse(F.col("simhash")), 2, 10).cast("long").alias("s"),
+        )
+        .collect()
+    }
+    s64 = {
+        r["doc_id"]: (r["sim_lo"], r["sim_hi"])
+        for r in D.simhash64(d, "text", "doc_id").collect()
+    }
+    assert set(s32) == set(s64) and len(s32) > 0
+    for doc_id, s in s32.items():
+        lo, hi = s64[doc_id]
+        assert lo == s, doc_id
+        assert 0 <= hi < (1 << 32), doc_id
+
+
+def test_simhash64_banded_pairing_equals_bruteforce(spark):
+    """The 8-band bucketed pairing (simhash64_near_pairs) must find
+    EXACTLY the pairs a brute-force all-pairs Hamming scan finds at
+    threshold 3 — banding is a lossless candidate filter (3 < 8
+    bands) and the bucket cap never fires on the fixture."""
+    from etl_sprint_2_5_spark.plans import load_all
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+    from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    d = load_documents_spread(spark, sf)
+    sigs = {
+        r["doc_id"]: (r["sim_lo"], r["sim_hi"])
+        for r in D.simhash64(d, "text", "doc_id").collect()
+    }
+    ids = sorted(sigs)
+    want = {}
+    for i, a in enumerate(ids):
+        la, ha = sigs[a]
+        for b in ids[i + 1 :]:
+            lb, hb = sigs[b]
+            ham = bin(la ^ lb).count("1") + bin(ha ^ hb).count("1")
+            if ham <= 3:
+                want[(a, b)] = ham
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in REGISTRY["simhash64_near_pairs"].fn(spark, sf).collect()
+    }
+    assert got == want
+    assert len(want) > 0, "fixture should contain 64-bit near-dup pairs"

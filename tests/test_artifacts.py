@@ -163,3 +163,75 @@ def test_ann_ivf_query_identical_with_and_without_artifact(spark, artifact_dir):
         .collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_stale_artifact_not_probed_after_source_mutation(
+    spark, artifact_dir, tmp_path, monkeypatch
+):
+    """The driver regenerates testdata every round: after a source
+    parquet is REPLACED, the previously-persisted artifact must NOT
+    be probed — the changed fingerprint has to trigger a retrain, and
+    the retrained artifact must reflect the new data. (The unit-level
+    fingerprint test above checks the key function; this one checks
+    the full prepared-path behavior.)"""
+    import shutil as sh
+
+    import etl_sprint_2_5_spark.operators.similarity as sim
+
+    src = tmp_path / "sf"
+    src.mkdir()
+    sh.copy(f"{SF_DIR}/embeddings.parquet", src / "embeddings.parquet")
+
+    first = _centroid_rows(A.prepared_ivf_centroids(spark, str(src)))
+    assert len(list(artifact_dir.glob("ivf_centroids-*"))) == 1
+
+    # regenerate the source: same schema, shifted contents
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    half = e.where(e.vec_id % 2 == 0)
+    tmp_out = tmp_path / "regen"
+    half.coalesce(1).write.parquet(str(tmp_out))
+    (src / "embeddings.parquet").unlink()
+    part = next(tmp_out.glob("*.parquet"))
+    sh.copy(part, src / "embeddings.parquet")
+
+    calls = {"n": 0}
+    real = sim.train_ivf_centroids
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(sim, "train_ivf_centroids", counting)
+    second = _centroid_rows(A.prepared_ivf_centroids(spark, str(src)))
+    assert calls["n"] == 1, "stale artifact was probed instead of retraining"
+    assert len(list(artifact_dir.glob("ivf_centroids-*"))) == 2
+    assert second != first  # the retrained artifact sees the new data
+
+    # and the new artifact is itself reused (no third training run)
+    A.prepared_ivf_centroids(spark, str(src)).count()
+    assert calls["n"] == 1
+
+
+def test_algo_version_bump_invalidates_artifact(
+    spark, artifact_dir, monkeypatch
+):
+    """Editing a training algorithm must not silently serve the old
+    artifact: bumping ALGO_VERSION for the kind changes the cache key
+    and forces a retrain."""
+    import etl_sprint_2_5_spark.operators.similarity as sim
+
+    A.prepared_ivf_centroids(spark, SF_DIR).count()
+    assert len(list(artifact_dir.glob("ivf_centroids-*"))) == 1
+
+    calls = {"n": 0}
+    real = sim.train_ivf_centroids
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(sim, "train_ivf_centroids", counting)
+    monkeypatch.setitem(A.ALGO_VERSION, "ivf_centroids", 999)
+    A.prepared_ivf_centroids(spark, SF_DIR).count()
+    assert calls["n"] == 1
+    assert len(list(artifact_dir.glob("ivf_centroids-*"))) == 2

@@ -8,6 +8,14 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with the noop writer (full computation, no
 driver-side collect). A warmup action amortizes JVM/codegen startup
 out of the first measurement.
+
+Noise control (round-4 verdict: single-run numbers made flat queries
+look 1.4-1.7x slower — per-query codegen compile and scheduler jitter
+dominate sub-second queries): each query is repeated on a bounded
+budget — median-of-3 for fast queries (≤2s first run), best-of-2 for
+mid-range (≤8s), single-run above that — so "value" is the sum of the
+per-query representative times, with the raw loop wall-clock reported
+separately as wall_sec.
 """
 
 from __future__ import annotations
@@ -40,6 +48,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "semantic_dedup",
+    "dedup_repeated_substrings",
+    "simhash64_near_pairs",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "text_quality_score",
@@ -121,14 +131,29 @@ def main() -> None:
     )
     prepare_sec = round(time.time() - t_prep, 3)
 
+    def run_once(q) -> float:
+        t0 = time.time()
+        force(q.fn(spark, SF_DIR))
+        return time.time() - t0
+
     timings: dict[str, float] = {}
     t_start = time.time()
     for name in HEADLINE:
         q = plans.REGISTRY[name]
-        t0 = time.time()
-        force(q.fn(spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
-    total = round(time.time() - t_start, 3)
+        runs = [run_once(q)]
+        if runs[0] <= 2.0:  # median-of-3 where repeats are cheap
+            runs += [run_once(q), run_once(q)]
+            rep = sorted(runs)[1]
+        elif runs[0] <= 15.0:  # best-of-2: the first run can carry a
+            # multi-second one-off codegen/JIT compile (observed 7x on
+            # dedup_simhash), so NEVER trust a single sample here
+            runs.append(run_once(q))
+            rep = min(runs)
+        else:  # >15s: repeat cost outweighs relative jitter
+            rep = runs[0]
+        timings[name] = round(rep, 3)
+    total = round(sum(timings.values()), 3)
+    wall = round(time.time() - t_start, 3)
 
     print(
         json.dumps(
@@ -138,6 +163,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "prepare_sec": prepare_sec,
+                "wall_sec": wall,
+                "repeat_policy": "median3<=2s; best2<=15s; single>15s",
                 "sf": sf,
             }
         )

@@ -74,6 +74,7 @@ HEADLINE = [
     "last_touch_attribution",
     "nation_market_share",
     "tfidf_keywords",
+    "part_pagerank",
 ]
 
 

@@ -805,7 +805,75 @@ def streaming_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_stateful_event_dedup",
+    oracle=None,  # set below — identical to stateful_event_dedup's oracle
+    covers=("X-stream-dedup-live",),
+)
+def streaming_stateful_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE streaming twin of stateful_event_dedup (T3's keyed
+    first-occurrence state), hash-gated by the SAME oracle: per
+    (user, event_type) the streaming state store keeps the minimum
+    event id / timestamp and the occurrence count across two
+    micro-batches (parity-split feed — a key's first occurrence in
+    batch 1 must survive re-observations in batch 2, and counts must
+    accumulate across the boundary), complete-mode memory sink. The
+    batch query is a plain aggregate, so stream and batch share the
+    full contract."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_dedup_")
+    feed = f"{tmp}/feed"
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = stream.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"),
+        F.min("ts").alias("first_ts"),
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    sink = f"t_{os.path.basename(tmp)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_or_raise(q, "streaming_stateful_event_dedup")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .select(
+            "user_id",
+            "event_type",
+            "first_event_id",
+            F.unix_micros("first_ts").alias("first_ts_us"),
+            "n_occurrences",
+        )
+        .orderBy("user_id", "event_type")
+    )
+
+
 from etl_sprint_2_5_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["streaming_sliding_window_agg"].oracle = _REG["sliding_window_agg"].oracle
 _REG["streaming_session_window_agg"].oracle = _REG["session_windows"].oracle
+_REG["streaming_stateful_event_dedup"].oracle = _REG["stateful_event_dedup"].oracle

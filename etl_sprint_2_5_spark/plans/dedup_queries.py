@@ -1136,3 +1136,165 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BLOOM_M = 4096  # bits — deliberately small so the fixture exercises
+# real false positives (~400 corpus docs x 3 hashes -> ~25% bit load,
+# ~1.5% FP rate); at corpus scale m grows with n and the words table
+# stays m/32 BIGINTs (a 1-billion-doc filter at 10 bits/doc is ~400MB
+# — broadcastable, or kept as a tiny co-partitioned table)
+_BLOOM_K = 3  # salted hash functions
+
+
+@query(
+    "bloom_membership_filter",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, md5(text) AS h, source IN {_DUCK_INCOMING} AS is_new
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, is_new, h,
+             ('0x' || substr(md5(h || ':' || i), 1, 15))::BIGINT % {_BLOOM_M}
+               AS p
+      FROM base, generate_series(0, {_BLOOM_K - 1}) AS t(i)
+    ), words AS (                    -- the Bloom filter: set bits per
+      SELECT p // 32 AS word,        -- 32-bit word (BIGINT-safe shifts)
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS mask
+      FROM pos WHERE NOT is_new GROUP BY p // 32
+    ), probe AS (
+      SELECT pos.doc_id,
+             min(CASE WHEN w.mask IS NOT NULL
+                       AND (w.mask & (1::BIGINT << CAST(pos.p % 32 AS INT)))
+                           <> 0
+                 THEN 1 ELSE 0 END) AS all_bits
+      FROM pos LEFT JOIN words w ON pos.p // 32 = w.word
+      WHERE pos.is_new
+      GROUP BY pos.doc_id
+    ), exact AS (
+      SELECT DISTINCT i.doc_id
+      FROM base i JOIN base c ON i.h = c.h AND i.is_new AND NOT c.is_new
+    )
+    SELECT b.doc_id,
+           p.all_bits AS bloom_hit,
+           CASE WHEN e.doc_id IS NOT NULL THEN 1 ELSE 0 END AS exact_hit,
+           CASE WHEN p.all_bits = 1 AND e.doc_id IS NOT NULL
+                  THEN 'true_positive'
+                WHEN p.all_bits = 1 THEN 'false_positive'
+                ELSE 'true_negative' END AS class
+    FROM base b
+    JOIN probe p ON b.doc_id = p.doc_id
+    LEFT JOIN exact e ON b.doc_id = e.doc_id
+    WHERE b.is_new
+    ORDER BY b.doc_id
+    """,
+    covers=("X-dedup-bloom",),
+)
+def bloom_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate for incremental dedup — the front
+    door a 100 TB ingest pipeline puts BEFORE the exact fingerprint
+    join: the corpus's md5 fingerprints are folded into an m-bit
+    Bloom filter stored as m/32 little-endian 32-bit words (BIGINT
+    cells, k salted md5-derived bit positions per fingerprint,
+    bit_or aggregation — mergeable across partitions and across
+    corpus snapshots by construction). Each incoming doc probes its
+    k bits; only Bloom-positives need the exact corpus join, so at
+    scale the big shuffle runs over (dup_rate + fp_rate) of the
+    batch instead of all of it. The query emits the per-doc audit:
+    bloom_hit, exact_hit, and the class label — Bloom's zero-false-
+    negative guarantee means 'exact_hit=1, bloom_hit=0' is
+    impossible (pytest-asserted), and m is sized so the fixture
+    exercises genuine false positives rather than vacuously passing.
+
+    All arithmetic is integer/md5 and mirrored in the oracle: word
+    index p//32, bit p%32 (shifts stay under 2^31 — DuckDB's <<
+    overflow-checks at bit 63), salted positions from
+    md5(h || ':' || i)."""
+    d = load_documents_spread(spark, sf_dir)
+    base = d.select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.col("source").isin(*_INCOMING).alias("is_new"),
+    )
+    pos = base.select(
+        "doc_id",
+        "is_new",
+        "h",
+        F.explode(
+            F.array(*[
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat("h", F.lit(f":{i}"))), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _BLOOM_M
+                )
+                for i in range(_BLOOM_K)
+            ])
+        ).alias("p"),
+    )
+    words = (
+        pos.where(~F.col("is_new"))
+        .groupBy((F.col("p") / 32).cast("long").alias("word"))
+        .agg(
+            F.bit_or(F.expr("shiftleft(1L, cast(p % 32 as int))")).alias(
+                "mask"
+            )
+        )
+    )
+    probe = (
+        pos.where(F.col("is_new"))
+        .join(
+            words,
+            (F.col("p") / 32).cast("long") == F.col("word"),
+            "left",
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("mask").isNotNull()
+                    & (
+                        F.expr(
+                            "mask & shiftleft(1L, cast(p % 32 as int))"
+                        )
+                        != 0
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("bloom_hit")
+        )
+    )
+    exact = (
+        base.where(F.col("is_new"))
+        .select("doc_id", "h")
+        .join(
+            base.where(~F.col("is_new")).select("h").distinct(),
+            "h",
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("_e", F.lit(1))
+    )
+    return (
+        base.where(F.col("is_new"))
+        .select("doc_id")
+        .join(probe, "doc_id")
+        .join(exact, "doc_id", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.when(F.col("_e").isNotNull(), 1).otherwise(0).alias("exact_hit"),
+            F.when(
+                (F.col("bloom_hit") == 1) & F.col("_e").isNotNull(),
+                "true_positive",
+            )
+            .when(F.col("bloom_hit") == 1, "false_positive")
+            .otherwise("true_negative")
+            .alias("class"),
+        )
+        .orderBy("doc_id")
+    )

@@ -290,3 +290,87 @@ def test_simhash64_banded_pairing_equals_bruteforce(spark):
     }
     assert got == want
     assert len(want) > 0, "fixture should contain 64-bit near-dup pairs"
+
+
+def test_bloom_membership_no_false_negatives_and_real_fps(spark):
+    """Bloom guarantee: an exact duplicate can never be bloom-negative
+    (zero false negatives, structurally). The filter is sized so the
+    fixture exercises REAL false positives — otherwise the class
+    column would be vacuous — and every class label must be
+    consistent with its (bloom_hit, exact_hit) pair."""
+    from etl_sprint_2_5_spark.plans import load_all
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+
+    load_all()
+    rows = (
+        REGISTRY["bloom_membership_filter"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    assert rows
+    classes = {}
+    for r in rows:
+        assert not (r["exact_hit"] == 1 and r["bloom_hit"] == 0), (
+            "false negative: %s" % r
+        )
+        want = (
+            "true_positive"
+            if r["bloom_hit"] == 1 and r["exact_hit"] == 1
+            else "false_positive"
+            if r["bloom_hit"] == 1
+            else "true_negative"
+        )
+        assert r["class"] == want, r
+        classes[r["class"]] = classes.get(r["class"], 0) + 1
+    assert classes.get("false_positive", 0) >= 1, classes
+    assert classes.get("true_negative", 0) >= 1, classes
+
+
+def test_bloom_words_merge_across_corpus_splits(spark):
+    """The word-table representation is mergeable: building the filter
+    over two disjoint corpus halves and bit_or-merging the word rows
+    must equal building it over the whole corpus — the property that
+    lets corpus snapshots union without a rebuild."""
+    from etl_sprint_2_5_spark.plans.dedup_queries import _BLOOM_K, _BLOOM_M
+    from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
+
+    d = load_documents_spread(spark, "/root/testdata/sf0.001").select(
+        "doc_id", F.md5("text").alias("h")
+    )
+
+    def words(df):
+        pos = df.select(
+            F.explode(
+                F.array(*[
+                    (
+                        F.conv(
+                            F.substring(
+                                F.md5(F.concat("h", F.lit(f":{i}"))), 1, 15
+                            ),
+                            16,
+                            10,
+                        ).cast("long")
+                        % _BLOOM_M
+                    )
+                    for i in range(_BLOOM_K)
+                ])
+            ).alias("p")
+        )
+        return {
+            r["word"]: r["mask"]
+            for r in pos.groupBy((F.col("p") / 32).cast("long").alias("word"))
+            .agg(
+                F.bit_or(
+                    F.expr("shiftleft(1L, cast(p % 32 as int))")
+                ).alias("mask")
+            )
+            .collect()
+        }
+
+    whole = words(d)
+    a = words(d.where(F.col("doc_id") % 2 == 0))
+    b = words(d.where(F.col("doc_id") % 2 == 1))
+    merged = dict(a)
+    for w, m in b.items():
+        merged[w] = merged.get(w, 0) | m
+    assert merged == whole

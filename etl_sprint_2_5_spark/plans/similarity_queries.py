@@ -58,17 +58,22 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_ITERS = 2  # Lloyd refinement rounds (mirrored in the oracle CTEs)
 
 
-def _ivf_trained_ctes(iters: int) -> str:
+def _ivf_trained_ctes(iters: int, train_where: str = "") -> str:
     """Unrolled k-means: cent0 = mod-key seeds; each round re-assigns
     by round(cos,6)+centroid_id and averages members element-wise,
-    rounding components to 6 decimals (the cross-engine pin)."""
+    rounding components to 6 decimals (the cross-engine pin).
+    ``train_where`` (an extra AND-predicate on vec_id) restricts the
+    TRAINING population — the index-upsert query trains on the base
+    corpus only while assignment still covers every vector."""
+    extra = f" AND ({train_where})" if train_where else ""
     parts = [
         f"""cent0 AS (
       SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS emb FROM embeddings
-      WHERE vec_id % {_CENTROID_MOD} = 0
+      WHERE vec_id % {_CENTROID_MOD} = 0{extra}
     )"""
     ]
     for i in range(1, iters + 1):
+        where_i = f" WHERE true{extra}" if train_where else ""
         parts.append(f"""asg{i} AS (
       SELECT vec_id, embedding, centroid_id FROM (
         SELECT a.vec_id, a.embedding, c.centroid_id,
@@ -76,7 +81,7 @@ def _ivf_trained_ctes(iters: int) -> str:
                  PARTITION BY a.vec_id
                  ORDER BY round(list_cosine_similarity(
                    a.embedding::DOUBLE[], c.emb), 6) DESC, c.centroid_id) AS rn
-        FROM embeddings a, cent{i - 1} c
+        FROM embeddings a, cent{i - 1} c{where_i}
       ) WHERE rn = 1
     )""")
         parts.append(f"""cent{i} AS (
@@ -431,3 +436,73 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-shaped at scale. This is ``ivf_search`` at nprobe=2 —
     see that function for the measured recall/latency curve."""
     return ivf_search(spark, sf_dir, nprobe=_NPROBE)
+
+
+_UPSERT_BASE = "vec_id % 10 <> 9"  # 90% of vectors are the existing
+# index; vec_id % 10 == 9 is the arriving batch ("upserts")
+
+
+@query(
+    "ann_index_upsert_topk",
+    oracle=f"""
+    WITH {_ivf_trained_ctes(_IVF_ITERS, train_where=_UPSERT_BASE)}, assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT a.vec_id, a.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], c.emb), 6) DESC,
+                   c.centroid_id) AS rn
+        FROM embeddings a, cent{_IVF_ITERS} c
+      ) WHERE rn = 1
+    ), scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {_DUCK_COS} AS cos
+      FROM assigned a JOIN assigned q ON a.centroid_id = q.centroid_id
+      WHERE q.vec_id < {_N_QUERIES} AND a.vec_id <> q.vec_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """,
+    covers=("X-ann-upsert",),
+)
+def ann_index_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN index maintenance — the continuously-growing
+    vector index: centroids are trained on the BASE corpus only (90%
+    of vectors; the frozen index), and the arriving 10% batch joins
+    the index with a single deterministic assignment pass against the
+    frozen centroids — NO retrain, no re-assignment of the base, which
+    is exactly how IVF indexes absorb upserts in production (periodic
+    retrain is a separate offline event; the artifact path already
+    covers it). Queries then search the MERGED index and new vectors
+    are immediately retrievable (the pytest asserts upserted ids
+    appear among the top-k neighbors).
+
+    Scale shape: the upsert cost is one gemm assignment over the new
+    batch only — O(batch x cells) — plus an append to the assigned
+    table; nothing touches the existing postings. The oracle mirrors
+    the base-only training via a filtered unrolled-k-means CTE."""
+    from etl_sprint_2_5_spark.operators.similarity import train_ivf_centroids
+
+    e = load_table(spark, "embeddings", sf_dir)
+    base = e.where(F.expr(_UPSERT_BASE))
+    seeds = base.where(F.col("vec_id") % _CENTROID_MOD == 0)
+    frozen = train_ivf_centroids(
+        base, seeds, "vec_id", "embedding", _IVF_ITERS
+    ).cache()
+    # the existing index: base assigned once; the upsert: ONLY the new
+    # batch runs an assignment pass against the frozen centroids
+    base_cells = assign_cells_gemm(base, frozen, "vec_id", "embedding")
+    new_cells = assign_cells_gemm(
+        e.where(~F.expr(_UPSERT_BASE)), frozen, "vec_id", "embedding"
+    )
+    merged = base_cells.unionByName(new_cells).cache()
+    q_cells = merged.where(F.col("vec_id") < _N_QUERIES)
+    return ivf_topk(merged, q_cells, "vec_id", "embedding", _K).orderBy(
+        "query_id", "rank"
+    )

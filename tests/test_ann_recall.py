@@ -256,3 +256,45 @@ def test_registered_ivf_search_nprobe_sweep(spark):
     ).count()
     ceiling = sorted(map(tuple, result(int(n_cells))))
     assert ceiling == sorted(map(tuple, truth_rows))
+
+
+def test_index_upsert_new_vectors_retrievable(spark):
+    """ann_index_upsert_topk: vectors added to the FROZEN base-trained
+    index by a single assignment pass must be retrievable — at least
+    one upserted id (vec_id % 10 == 9) appears among the top-k
+    neighbors — and the result must differ from nothing: the base
+    portion of the index is untouched (its assignments are identical
+    to assigning base vectors alone)."""
+    from etl_sprint_2_5_spark.operators.similarity import (
+        assign_cells_gemm,
+        train_ivf_centroids,
+    )
+    from etl_sprint_2_5_spark.plans import load_all
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    load_all()
+    rows = REGISTRY["ann_index_upsert_topk"].fn(spark, SF_SMOKE).collect()
+    assert any(r["neighbor_id"] % 10 == 9 for r in rows), (
+        "no upserted vector retrievable"
+    )
+
+    # no-retrain property: the merged index's base assignments equal
+    # assigning the base alone against the same frozen centroids
+    e = load_table(spark, "embeddings", SF_SMOKE)
+    base = e.where(F.expr("vec_id % 10 <> 9"))
+    seeds = base.where(F.col("vec_id") % 100 == 0)
+    frozen = train_ivf_centroids(base, seeds, "vec_id", "embedding", 2).cache()
+    solo = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_cells_gemm(
+            base, frozen, "vec_id", "embedding"
+        ).collect()
+    }
+    merged = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_cells_gemm(e, frozen, "vec_id", "embedding")
+        .where(F.expr("vec_id % 10 <> 9"))
+        .collect()
+    }
+    assert merged == solo

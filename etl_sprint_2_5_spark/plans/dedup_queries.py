@@ -1298,3 +1298,69 @@ def bloom_membership_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "leakage_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_VERIFIED_CTES}, sym AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ), reach AS (
+      SELECT a AS src, b AS dst FROM sym
+      UNION
+      SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a
+    ), labels AS (
+      SELECT src AS doc_id, least(min(dst), src) AS label
+      FROM reach GROUP BY src
+    ), units AS (
+      SELECT d.doc_id, coalesce(l.label, d.doc_id) AS unit
+      FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id
+    )
+    SELECT doc_id, unit AS cluster_label,
+           CASE WHEN ('0x' || substr(md5('split-v1' || unit::VARCHAR), 1, 8))::BIGINT
+                     % 10000 < 8000 THEN 'train'
+                WHEN ('0x' || substr(md5('split-v1' || unit::VARCHAR), 1, 8))::BIGINT
+                     % 10000 < 9000 THEN 'val'
+                ELSE 'test' END AS split
+    FROM units
+    ORDER BY doc_id
+    """,
+    covers=("X-curation-leakage-split",),
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-AWARE train/val/test split — the reason training
+    pipelines dedup at all (Lee et al. 2021): a per-document hash
+    split sends near-duplicate documents to BOTH sides, leaking
+    training text into eval. Here the split unit is the near-dup
+    CLUSTER (connected components over the verified MinHash-LSH
+    pairs; singleton docs are their own unit), salted-md5-bucketed
+    with the same 80/10/10 arithmetic as dataset_split — so a whole
+    near-dup family lands on one side atomically, and the assignment
+    keeps hash_split's replay properties (stable across runs,
+    engines, and corpus growth, since a cluster's min-id label is
+    stable unless the cluster itself changes).
+
+    Scale shape: reuses the prepared shingle artifact, the banded
+    LSH candidate join, and the byte-gated connected components —
+    then one broadcast-size label join and a stateless hash. The
+    pytest proves the guarantee (zero cross-side near-dup pairs)
+    and that the naive per-doc split DOES leak on the same fixture."""
+    from etl_sprint_2_5_spark.artifacts import prepared_shingle_index
+    from etl_sprint_2_5_spark.operators.curation import hash_split
+
+    shingled = prepared_shingle_index(spark, sf_dir).cache()
+    signed = minhash_signature(shingled, num_hashes=12)
+    pairs = lsh_candidate_pairs(signed, "doc_id", num_hashes=12, rows_per_band=3)
+    verified = verify_jaccard(pairs, shingled, "doc_id", threshold=0.5)
+    cc = connected_components(verified.select("id_a", "id_b"))
+    d = load_documents_spread(spark, sf_dir).select("doc_id")
+    units = d.join(
+        cc.select(F.col("id").alias("doc_id"), "label"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("unit")
+    )
+    s = hash_split(units, "unit", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return s.select(
+        "doc_id", F.col("unit").alias("cluster_label"), "split"
+    ).orderBy("doc_id")

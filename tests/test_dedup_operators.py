@@ -374,3 +374,42 @@ def test_bloom_words_merge_across_corpus_splits(spark):
     for w, m in b.items():
         merged[w] = merged.get(w, 0) | m
     assert merged == whole
+
+
+def test_leakage_safe_split_no_cross_side_near_dups(spark):
+    """The leakage guarantee: every verified near-dup pair must land
+    on ONE side of the split — and the naive per-document hash split
+    demonstrably leaks on the same fixture (so the operator is doing
+    real work, not vacuously passing)."""
+    from etl_sprint_2_5_spark.artifacts import prepared_shingle_index
+    from etl_sprint_2_5_spark.operators.curation import hash_split
+    from etl_sprint_2_5_spark.plans import load_all
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+    from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
+
+    load_all()
+    sf = "/root/testdata/sf0.01"
+    split = {
+        r["doc_id"]: r["split"]
+        for r in REGISTRY["leakage_safe_split"].fn(spark, sf).collect()
+    }
+    sh = prepared_shingle_index(spark, sf)
+    signed = D.minhash_signature(sh, num_hashes=12)
+    pairs = D.lsh_candidate_pairs(signed, "doc_id", num_hashes=12, rows_per_band=3)
+    verified = [
+        (r["id_a"], r["id_b"])
+        for r in D.verify_jaccard(pairs, sh, "doc_id", threshold=0.5).collect()
+    ]
+    assert len(verified) >= 10, "fixture should have near-dup pairs"
+    assert all(split[a] == split[b] for a, b in verified)
+
+    naive = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(
+            load_documents_spread(spark, sf).select("doc_id"),
+            "doc_id",
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+        ).collect()
+    }
+    leaks = sum(1 for a, b in verified if naive[a] != naive[b])
+    assert leaks > 0, "naive split did not leak — fixture too easy"

@@ -1364,3 +1364,93 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id", F.col("unit").alias("cluster_label"), "split"
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_keep_longest",
+    oracle=f"""
+    WITH RECURSIVE {_MINHASH_VERIFIED_CTES}, sym AS (
+      SELECT id_a AS a, id_b AS b FROM verified
+      UNION SELECT id_b, id_a FROM verified
+    ), reach AS (
+      SELECT a AS src, b AS dst FROM sym
+      UNION
+      SELECT r.src, s.b AS dst FROM reach r JOIN sym s ON r.dst = s.a
+    ), labels AS (
+      SELECT src AS doc_id, least(min(dst), src) AS label
+      FROM reach GROUP BY src
+    ), ranked AS (
+      SELECT l.label, l.doc_id, d.n_chars,
+             row_number() OVER (
+               PARTITION BY l.label
+               ORDER BY d.n_chars DESC, l.doc_id) AS rn
+      FROM labels l JOIN documents d ON l.doc_id = d.doc_id
+    )
+    SELECT label AS cluster_rep,
+           max(CASE WHEN rn = 1 THEN doc_id END)  AS keeper,
+           max(CASE WHEN rn = 1 THEN n_chars END) AS keeper_chars,
+           CAST(count(*) - 1 AS BIGINT)           AS n_dropped,
+           string_agg(CASE WHEN rn > 1 THEN doc_id::VARCHAR END, ','
+                      ORDER BY doc_id)            AS dropped_ids
+    FROM ranked
+    GROUP BY label
+    ORDER BY cluster_rep
+    """,
+    covers=("X-dedup-keep-longest",),
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster representative SELECTION — the curation decision after
+    clustering: within each near-dup cluster keep the LONGEST member
+    (highest n_chars, id tiebreak; the RefinedWeb/MassiveText
+    heuristic — the longest variant usually subsumes truncated
+    copies), drop the rest. Complements dedup_clusters (min-id
+    keeper: cheapest deterministic choice) with the quality-aware
+    choice a production pipeline actually ships.
+
+    Scale shape: clustering reuses the prepared shingle artifact +
+    banded LSH + byte-gated CC; selection is one n_chars join and a
+    per-cluster window (bounded by cluster size — clusters are
+    near-dup families, not the corpus)."""
+    from etl_sprint_2_5_spark.artifacts import prepared_shingle_index
+    from pyspark.sql import Window
+
+    shingled = prepared_shingle_index(spark, sf_dir).cache()
+    signed = minhash_signature(shingled, num_hashes=12)
+    pairs = lsh_candidate_pairs(signed, "doc_id", num_hashes=12, rows_per_band=3)
+    verified = verify_jaccard(pairs, shingled, "doc_id", threshold=0.5)
+    cc = connected_components(verified.select("id_a", "id_b"))
+    d = load_documents_spread(spark, sf_dir).select("doc_id", "n_chars")
+    ranked = (
+        cc.select(F.col("id").alias("doc_id"), "label")
+        .join(d, "doc_id")
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("label").orderBy(
+                    F.desc("n_chars"), F.asc("doc_id")
+                )
+            ),
+        )
+    )
+    return (
+        ranked.groupBy(F.col("label").alias("cluster_rep"))
+        .agg(
+            F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper"),
+            F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias(
+                "keeper_chars"
+            ),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("rn") > 1, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("dropped_ids"),
+        )
+        .orderBy("cluster_rep")
+    )

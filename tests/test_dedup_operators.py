@@ -413,3 +413,40 @@ def test_leakage_safe_split_no_cross_side_near_dups(spark):
     }
     leaks = sum(1 for a, b in verified if naive[a] != naive[b])
     assert leaks > 0, "naive split did not leak — fixture too easy"
+
+
+def test_keep_longest_agrees_with_clusters(spark):
+    """dedup_keep_longest must partition exactly the dedup_clusters
+    membership: same clusters, keeper is the member with max n_chars
+    (id tiebreak), dropped = members minus keeper."""
+    from etl_sprint_2_5_spark.plans import load_all
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+    from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
+
+    load_all()
+    sf = "/root/testdata/sf0.01"
+    chars = {
+        r["doc_id"]: r["n_chars"]
+        for r in load_documents_spread(spark, sf)
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    clusters = {
+        r["cluster_rep"]: [int(x) for x in r["members"].split(",")]
+        for r in REGISTRY["dedup_clusters"].fn(spark, sf).collect()
+    }
+    got = {
+        r["cluster_rep"]: r
+        for r in REGISTRY["dedup_keep_longest"].fn(spark, sf).collect()
+    }
+    assert set(got) == set(clusters)
+    for rep, members in clusters.items():
+        r = got[rep]
+        best = min(members, key=lambda i: (-chars[i], i))
+        assert r["keeper"] == best
+        assert r["keeper_chars"] == chars[best]
+        dropped = sorted(set(members) - {best})
+        assert r["n_dropped"] == len(dropped)
+        assert [int(x) for x in r["dropped_ids"].split(",")] == dropped
+    # the heuristic must differ from min-id somewhere, or it's vacuous
+    assert any(got[rep]["keeper"] != rep for rep in got)

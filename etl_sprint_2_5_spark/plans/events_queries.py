@@ -872,8 +872,88 @@ def streaming_stateful_event_dedup(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "streaming_last_touch_attribution",
+    oracle=None,  # set below — identical to last_touch_attribution's
+    covers=("X-events-attribution-live",),
+)
+def streaming_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE twin of last_touch_attribution running the CUSTOM
+    applyInPandasWithState operator (streaming/stateful.py
+    attribution_state_stream) — not a built-in aggregation: one
+    (ts, channel) pair of user state in the state store credits each
+    purchase to the user's most recent click/view within 24h. The
+    feed is split at the MIDPOINT OF THE GLOBAL (ts, event_id)
+    TIMELINE (unlike the window twins' parity split): last-touch
+    state is order-sensitive, and a real stream arrives in event-time
+    order — a click in micro-batch 1 must credit a purchase arriving
+    in micro-batch 2 through the checkpointed state, which the
+    timeline split exercises for every user active in both halves.
+    After the drain, the per-purchase emissions roll up to the same
+    3-row channel table the batch oracle computes."""
+    import shutil
+    import tempfile
+    import time
+
+    from etl_sprint_2_5_spark.streaming.stateful import (
+        ATTRIB_OUTPUT,
+        attribution_state_stream,
+    )
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    n = ev.count()
+    ranked = ev.withColumn(
+        "_rn", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_attrib_")
+    feed = f"{tmp}/feed"
+    ranked.where(F.col("_rn") <= n // 2).drop("_rn").coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    time.sleep(0.05)  # file-source orders batches by mtime: keep half 2 later
+    ranked.where(F.col("_rn") > n // 2).drop("_rn").coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        attribution_state_stream(stream)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_or_raise(q, "streaming_last_touch_attribution")
+    sink = spark.read.schema(ATTRIB_OUTPUT).parquet(f"{tmp}/out")
+    rollup = (
+        sink.groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+        .orderBy("channel")
+    )
+    out = spark.createDataFrame(rollup.collect(), rollup.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("channel")
+
+
 from etl_sprint_2_5_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["streaming_sliding_window_agg"].oracle = _REG["sliding_window_agg"].oracle
 _REG["streaming_session_window_agg"].oracle = _REG["session_windows"].oracle
 _REG["streaming_stateful_event_dedup"].oracle = _REG["stateful_event_dedup"].oracle
+_REG["streaming_last_touch_attribution"].oracle = _REG[
+    "last_touch_attribution"
+].oracle

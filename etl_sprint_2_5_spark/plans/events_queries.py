@@ -957,3 +957,81 @@ _REG["streaming_stateful_event_dedup"].oracle = _REG["stateful_event_dedup"].ora
 _REG["streaming_last_touch_attribution"].oracle = _REG[
     "last_touch_attribution"
 ].oracle
+
+
+@query(
+    "streaming_enriched_purchase_rollup",
+    oracle="""
+    SELECT cu.c_mktsegment     AS segment,
+           count(*)            AS n_purchases,
+           round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer cu ON e.user_id = cu.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY cu.c_mktsegment
+    ORDER BY segment
+    """,
+    covers=("X-stream-static-live", "J10"),
+)
+def streaming_enriched_purchase_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE stream-static enrichment under the oracle gate: the
+    purchase stream is joined per micro-batch to the customer
+    dimension (streaming/joins.enrich_stream — the dim is broadcast
+    into every batch and re-resolved from storage each time, the
+    reference daemon's re-read-dims-every-cycle shape,
+    postgres_to_es/daemon.py enrichment queries), then rolled up by
+    market segment with the streaming state store across two
+    parity-split micro-batches in complete mode.
+
+    Stateless join + stateful aggregation compose: the join buffers
+    nothing (no watermark needed — the dim is a static snapshot), the
+    aggregation state carries per-segment counts/sums across the
+    boundary. At scale the dim side stays a broadcast as long as it
+    fits one executor; bigger dims switch to a pre-bucketed table and
+    a shuffle-free sort-merge join."""
+    import os
+    import shutil
+    import tempfile
+
+    purchases = load_table(spark, "events", sf_dir).where(
+        F.col("event_type") == "purchase"
+    ).select("event_id", "user_id", "value")
+    dim = load_table(spark, "customer", sf_dir).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_enrich_")
+    feed = f"{tmp}/feed"
+    purchases.where(F.col("event_id") % 2 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+    purchases.where(F.col("event_id") % 2 == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(feed)
+
+    from etl_sprint_2_5_spark.streaming.joins import enrich_stream
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = enrich_stream(stream, dim, ("user_id",)).groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    sink = f"t_{os.path.basename(tmp)}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_or_raise(q, "streaming_enriched_purchase_rollup")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .select("segment", "n_purchases", "total_value")
+        .orderBy("segment")
+    )

@@ -100,3 +100,49 @@ def test_stream_stream_interval_join(spark, tmp_path):
         & (bc.click_ts <= F.expr("view_ts + interval 10 minutes")),
     ).select("view_id", "click_id")
     assert sorted(map(tuple, batch.collect())) == got
+
+
+def test_stream_static_live_twin_matches_batch(spark):
+    """The registered live stream-static enrichment query must equal
+    the same rollup computed in one batch pass, and the fixture must
+    put purchases for at least one segment in BOTH parity halves —
+    so the per-segment aggregation state provably accumulates across
+    the micro-batch boundary."""
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.plans import load_all
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    load_all()
+    got = {
+        r["segment"]: (r["n_purchases"], r["total_value"])
+        for r in REGISTRY["streaming_enriched_purchase_rollup"]
+        .fn(spark, SF_SMOKE)
+        .collect()
+    }
+    ev = load_table(spark, "events", SF_SMOKE).where(
+        F.col("event_type") == "purchase"
+    )
+    dim = load_table(spark, "customer", SF_SMOKE).select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    batch = ev.join(dim, "user_id").groupBy("segment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("v"),
+    )
+    want = {r["segment"]: (r["n"], r["v"]) for r in batch.collect()}
+    assert got == want
+    both_halves = (
+        ev.join(dim, "user_id")
+        .groupBy("segment")
+        .agg(
+            F.sum(F.when(F.col("event_id") % 2 == 0, 1).otherwise(0)).alias("even"),
+            F.sum(F.when(F.col("event_id") % 2 == 1, 1).otherwise(0)).alias("odd"),
+        )
+        .where((F.col("even") > 0) & (F.col("odd") > 0))
+        .count()
+    )
+    assert both_halves >= 1, "no segment spans both micro-batches"

@@ -647,3 +647,53 @@ def domain_quota_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rk") <= 10)
         .orderBy("source", "rk")
     )
+
+
+@query(
+    "corpus_shuffle_shards",
+    oracle="""
+    WITH hashed AS (
+      SELECT doc_id,
+             md5('shuffle-epoch0:' || doc_id::VARCHAR) AS h
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, h,
+             ('0x' || substr(h, 1, 8))::BIGINT % 8 AS shard
+      FROM hashed
+    )
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+    FROM sharded
+    ORDER BY shard, pos
+    """,
+    covers=("X-curation-shuffle",),
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle: the training-order primitive every
+    LLM data pipeline runs before writing shards. Each doc gets a
+    salted md5 hash (salt = epoch tag, so epoch 1 is a fresh
+    permutation by changing one literal); shard = first 8 hex digits
+    mod NSHARDS, position within the shard = rank by (hash, doc_id).
+
+    Scale shape: hashing and shard assignment are map-side; the only
+    shuffle is the partition-by-shard window — shards sort
+    INDEPENDENTLY in parallel (the terasort pattern minus the global
+    total order nobody needs: readers consume shards, not a single
+    sequence). No global sort, no driver bottleneck; at 100 TB this
+    is exactly `repartition(shard).sortWithinPartitions(h)` feeding
+    the shard writer. Stable across runs, engines and retries —
+    properties rand()-based shuffling cannot give a resumable
+    pipeline."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, "documents", sf_dir).select("doc_id")
+    h = F.md5(F.concat(F.lit("shuffle-epoch0:"), F.col("doc_id").cast("string")))
+    hv = F.conv(F.substring(F.col("h"), 1, 8), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.withColumn("h", h)
+        .withColumn("shard", hv % 8)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
+    )

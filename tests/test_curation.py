@@ -162,3 +162,33 @@ def test_stratified_sample_exact_k(spark):
     # deterministic: same ids both runs
     again = stratified_sample(df, ("g",), "id", k=5).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_corpus_shuffle_shards_is_a_partition(spark):
+    """Epoch shuffle output must be a true partition of the corpus:
+    every doc exactly once, per-shard positions contiguous from 1,
+    and shard sizes balanced within the md5-uniformity bound."""
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.plans import load_all
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    load_all()
+    out = REGISTRY["corpus_shuffle_shards"].fn(spark, SF_SMOKE).cache()
+    n = out.count()
+    assert out.select("doc_id").distinct().count() == n
+    per_shard = out.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("pos").alias("lo"),
+        F.max("pos").alias("hi"),
+        F.countDistinct("pos").alias("npos"),
+    )
+    rows = per_shard.collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert (r["lo"], r["hi"], r["npos"]) == (1, r["n"], r["n"])
+    sizes = sorted(r["n"] for r in rows)
+    assert sizes[0] >= n // 8 - int(4 * (n / 8) ** 0.5) - 1
+    assert sizes[-1] <= n // 8 + int(4 * (n / 8) ** 0.5) + 1
+    out.unpersist()

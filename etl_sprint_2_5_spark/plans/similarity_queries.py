@@ -506,3 +506,146 @@ def ann_index_upsert_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(merged, q_cells, "vec_id", "embedding", _K).orderBy(
         "query_id", "rank"
     )
+
+
+# --- CountSketch (feature-hashing) projection ANN ----------------------
+# 64-d -> 16-d sparse random projection: input dim i lands in output
+# bucket i % 16 with a deterministic sign from md5("proj-v1:i") (the
+# Charikar CountSketch / Weinberger feature-hashing construction — a
+# JL-type projection with one nonzero per input dim, so projecting is
+# O(d), not O(d·d')). Signs are plan-build-time CONSTANTS embedded
+# identically in the Spark expression and the DuckDB oracle.
+_CS_OUT = 16
+_CS_C = 40  # candidates per query from the projected space
+
+
+def _cs_sign(i: int) -> int:
+    import hashlib
+
+    return 1 if hashlib.md5(f"proj-v1:{i}".encode()).digest()[0] & 1 else -1
+
+
+_CS_SIGNS = [_cs_sign(i) for i in range(64)]
+
+
+def _cs_project_sql(alias: str) -> str:
+    """DuckDB list_value(...) of the 16 bucket sums, terms in ascending
+    input-dim order (matches the Spark expression's fold order)."""
+    buckets = []
+    for j in range(_CS_OUT):
+        terms = [
+            f"{alias}.embedding[{i + 1}]::DOUBLE * ({_CS_SIGNS[i]})"
+            for i in range(64)
+            if i % _CS_OUT == j
+        ]
+        buckets.append(" + ".join(terms))
+    return "list_value(" + ", ".join(buckets) + ")"
+
+
+def _cs_project_col(vec_col: str):
+    """Spark array<double> of the 16 bucket sums, same term order."""
+    buckets = []
+    for j in range(_CS_OUT):
+        term_cols = [
+            F.element_at(F.col(vec_col), i + 1).cast("double")
+            * F.lit(float(_CS_SIGNS[i]))
+            for i in range(64)
+            if i % _CS_OUT == j
+        ]
+        acc = term_cols[0]
+        for t in term_cols[1:]:
+            acc = acc + t
+        buckets.append(acc)
+    return F.array(*buckets)
+
+
+@query(
+    "ann_countsketch_topk",
+    oracle=f"""
+    WITH proj AS (
+      SELECT a.vec_id, a.embedding,
+             {_cs_project_sql('a')} AS pvec
+      FROM embeddings a
+    ), cand AS (
+      SELECT query_id, neighbor_id, embedding, qembedding FROM (
+        SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+               a.embedding, q.embedding AS qembedding,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(a.pvec, q.pvec), 6)
+                          DESC, a.vec_id) AS crank
+        FROM proj a, proj q
+        WHERE q.vec_id < {_N_QUERIES} AND a.vec_id <> q.vec_id
+      ) WHERE crank <= {_CS_C}
+    ), ranked AS (
+      SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(embedding::DOUBLE[],
+                                          qembedding::DOUBLE[]), 6) AS cos,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY round(list_cosine_similarity(embedding::DOUBLE[],
+                                                     qembedding::DOUBLE[]), 6)
+                        DESC, neighbor_id) AS rank
+      FROM cand
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """,
+    covers=("X-ann-countsketch",),
+)
+def ann_countsketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN via CountSketch projection: candidates are ranked
+    in the 16-d projected space (4× cheaper per comparison, and at
+    scale the 4× smaller vectors are the shuffle/bandwidth lever the
+    way int8 codes are in ann_quantized_topk), then the top
+    {_CS_C}-per-query candidates are re-ranked by EXACT 64-d cosine.
+
+    Projection is a per-row map-side expression (one nonzero per
+    input dim — O(d) work, no shuffle); candidate generation
+    broadcasts the 8 projected queries; re-rank joins the tiny
+    candidate set back to full vectors map-side. The only shuffles
+    are the two per-query top-k windows over already-cut sets.
+    Determinism: ranking on round(cos, 6) with id tiebreak at BOTH
+    stages, so the candidate cut and the final order are
+    engine-independent."""
+    from etl_sprint_2_5_spark.operators.dedup import cosine_pandas
+    from etl_sprint_2_5_spark.operators.similarity import round6_col
+    from pyspark.sql import Window
+
+    e = load_table(spark, "embeddings", sf_dir)
+    proj = e.select(
+        "vec_id", "embedding", _cs_project_col("embedding").alias("pvec")
+    )
+    q = proj.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qemb"),
+        F.col("pvec").alias("_qpvec"),
+    )
+    scored = (
+        proj.join(F.broadcast(q))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "embedding",
+            "_qemb",
+            round6_col(cosine_pandas("pvec", "_qpvec")).alias("pcos"),
+        )
+    )
+    cw = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("neighbor_id"))
+    cand = (
+        scored.withColumn("crank", F.row_number().over(cw))
+        .where(F.col("crank") <= _CS_C)
+        .drop("pcos", "crank")
+    )
+    rw = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn(
+            "cos", round6_col(cosine_pandas("embedding", "_qemb"))
+        )
+        .withColumn("rank", F.row_number().over(rw))
+        .where(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )

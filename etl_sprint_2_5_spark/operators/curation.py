@@ -272,3 +272,71 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+def dsir_scores(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    is_target,
+    buckets: int = 256,
+    salt: str = "dsir-v1",
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, hashed-n-gram
+    construction): per-document sum of log(p_target/p_raw) over
+    hashed-unigram buckets, both distributions add-one-smoothed.
+
+    ``is_target`` is a boolean Column marking the target population.
+    Per-bucket log-ratios are fixed-pointed to ppm BIGINTs before the
+    per-doc sum, so the score is an order-independent integer —
+    hash-stable across engines and runs (the unigram_nll trick).
+
+    Scale shape: the bucket table has ``buckets`` rows regardless of
+    corpus size (always broadcastable); the token stream shuffles
+    once for bucket counts (map-side partial agg) and once for the
+    per-doc sum. Returns (id_col, n_tokens, lr_total_ppm)."""
+    from etl_sprint_2_5_spark.functions.text import tokenize
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(tokenize(text_col)).alias("tok"),
+        is_target.cast("int").alias("ist"),
+    )
+    bt = toks.select(
+        id_col,
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), F.col("tok"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % buckets
+        ).alias("bucket"),
+        "ist",
+    )
+    counts = bt.groupBy("bucket").agg(
+        F.sum("ist").alias("t_c"),
+        F.sum(F.lit(1) - F.col("ist")).alias("r_c"),
+    )
+    consts = counts.agg(F.sum("t_c").alias("nt"), F.sum("r_c").alias("nr"))
+    lr = counts.crossJoin(F.broadcast(consts)).select(
+        "bucket",
+        F.floor(
+            (
+                F.log((F.col("t_c") + 1) / (F.col("nt") + buckets).cast("double"))
+                - F.log((F.col("r_c") + 1) / (F.col("nr") + buckets).cast("double"))
+            )
+            * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lr_ppm"),
+    )
+    return (
+        bt.join(F.broadcast(lr), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr_ppm").alias("lr_total_ppm"),
+        )
+    )

@@ -697,3 +697,76 @@ def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
     )
+
+
+@query(
+    "dsir_importance_selection",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest({_DUCK_TOKS}) AS tok FROM documents
+    ), bt AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5('dsir-v1' || tok), 1, 8))::BIGINT % 256
+               AS bucket,
+             CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS ist
+      FROM toks
+    ), counts AS (
+      SELECT bucket,
+             CAST(sum(ist) AS BIGINT)     AS t_c,
+             CAST(sum(1 - ist) AS BIGINT) AS r_c
+      FROM bt GROUP BY bucket
+    ), consts AS (
+      SELECT CAST(sum(t_c) AS BIGINT) AS nt,
+             CAST(sum(r_c) AS BIGINT) AS nr
+      FROM counts
+    ), lr AS (
+      SELECT bucket,
+             CAST(floor(
+               (ln((t_c + 1) / CAST(nt + 256 AS DOUBLE))
+                - ln((r_c + 1) / CAST(nr + 256 AS DOUBLE))) * 1e6 + 0.5e0
+             ) AS BIGINT) AS lr_ppm
+      FROM counts, consts
+    ), scored AS (
+      SELECT b.doc_id, b.source,
+             count(*)                     AS n_tokens,
+             CAST(sum(lr_ppm) AS BIGINT)  AS lr_total_ppm
+      FROM bt b JOIN lr USING (bucket)
+      GROUP BY b.doc_id, b.source
+    )
+    SELECT doc_id, source, n_tokens, lr_total_ppm
+    FROM scored
+    ORDER BY lr_total_ppm DESC, doc_id
+    LIMIT 100
+    """,
+    covers=("X-curation-dsir",),
+)
+def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling" — the public
+    hashed-n-gram construction): rank raw documents by how much more
+    likely their tokens are under the TARGET distribution (source
+    'src0' plays the target corpus) than under the raw distribution.
+
+    Features are hashed unigrams (md5 -> 256 buckets); both
+    distributions are add-one-smoothed bucket frequencies; a doc's
+    importance is the sum of per-bucket log-likelihood ratios.
+    Ratios are fixed-pointed to ppm BIGINTs before the per-doc sum,
+    so the score is an order-independent integer — exactly
+    hash-stable across engines (the unigram_lm_surprisal trick).
+
+    Scale shape: the bucket table is 256 rows (broadcast — at ANY
+    corpus size, since buckets are fixed); the token stream shuffles
+    once for bucket counts (map-side partial agg) and once for the
+    per-doc sum; selection is a TakeOrdered top-100, no global
+    sort. This is the standard pretraining-data selection pass run
+    over the full raw corpus at 100 TB."""
+    from etl_sprint_2_5_spark.operators.curation import dsir_scores
+
+    d = load_documents_spread(spark, sf_dir)
+    scored = dsir_scores(d, "text", "doc_id", F.col("source") == "src0")
+    return (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_tokens", "lr_total_ppm")
+        .orderBy(F.desc("lr_total_ppm"), F.asc("doc_id"))
+        .limit(100)
+    )

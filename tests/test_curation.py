@@ -192,3 +192,38 @@ def test_corpus_shuffle_shards_is_a_partition(spark):
     assert sizes[0] >= n // 8 - int(4 * (n / 8) ** 0.5) - 1
     assert sizes[-1] <= n // 8 + int(4 * (n / 8) ** 0.5) + 1
     out.unpersist()
+
+
+def test_dsir_scores_detect_distribution_shift(spark):
+    """On a corpus with REAL signal (the parquet fixture is uniform
+    word soup, where selection is correctly hash-noise), DSIR must
+    rank raw docs drawn from the target vocabulary above raw docs
+    from a disjoint vocabulary — the entire point of importance
+    resampling."""
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.operators.curation import dsir_scores
+
+    a_vocab = [f"alpha{i}" for i in range(30)]
+    b_vocab = [f"beta{i}" for i in range(30)]
+
+    def doc(vocab, seed, n=40):
+        return " ".join(vocab[(seed * 7 + k * 13) % len(vocab)] for k in range(n))
+
+    rows = []
+    for i in range(20):  # target: pure A-vocabulary
+        rows.append((i, "target", doc(a_vocab, i)))
+    for i in range(20, 40):  # raw, in-distribution
+        rows.append((i, "raw_a", doc(a_vocab, i)))
+    for i in range(40, 60):  # raw, out-of-distribution
+        rows.append((i, "raw_b", doc(b_vocab, i)))
+    d = spark.createDataFrame(rows, "doc_id long, grp string, text string")
+    scored = dsir_scores(d, "text", "doc_id", F.col("grp") == "target").join(
+        d.select("doc_id", "grp"), "doc_id"
+    )
+    rowsc = {r["doc_id"]: (r["grp"], r["lr_total_ppm"]) for r in scored.collect()}
+    a_scores = [v for g, v in rowsc.values() if g == "raw_a"]
+    b_scores = [v for g, v in rowsc.values() if g == "raw_b"]
+    assert min(a_scores) > max(b_scores), (
+        "in-distribution raw docs must strictly outrank out-of-distribution"
+    )

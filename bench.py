@@ -75,6 +75,9 @@ HEADLINE = [
     "nation_market_share",
     "tfidf_keywords",
     "part_pagerank",
+    "ann_countsketch_topk",
+    "dsir_importance_selection",
+    "corpus_shuffle_shards",
 ]
 
 

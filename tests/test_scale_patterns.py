@@ -196,3 +196,39 @@ def test_pagerank_edges_stationary_under_aqe(spark):
     # 3 iterations x 2 exchanges; anything above means the edge table
     # (or a degree re-join) is being re-shuffled per iteration
     assert n_exchanges <= 6, f"{n_exchanges} exchanges\n{plan}"
+
+
+# ------------------------------------------- round-5 new-query plans
+
+
+def _n_exchanges(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Exchange")
+
+
+def test_corpus_shuffle_plan_is_one_exchange(spark):
+    """Epoch shuffle must cost exactly one shuffle (the partition-by-
+    shard window); hash + shard assignment stay map-side."""
+    from etl_sprint_2_5_spark.plans import load_all
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+
+    load_all()
+    df = REGISTRY["corpus_shuffle_shards"].fn(spark, SF_SMOKE)
+    # one Exchange for the per-shard window; the final orderBy of the
+    # oracle-shaped output may add a rangepartitioning exchange
+    assert _n_exchanges(df) <= 2
+
+
+def test_countsketch_projection_is_mapside(spark):
+    """The 64->16 projection must not introduce any exchange of the
+    corpus: the only shuffles are the two per-query top-k windows."""
+    from etl_sprint_2_5_spark.plans import load_all
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+
+    load_all()
+    df = REGISTRY["ann_countsketch_topk"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # broadcast of the 8 queries, no corpus hash-exchange before the
+    # candidate window
+    assert "BroadcastExchange" in plan
+    assert _n_exchanges(df) <= 4

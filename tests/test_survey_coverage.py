@@ -30,7 +30,6 @@ MODULE_COVERED = {
     "S6": "api/query.py — gold DataFrame is the search index (Q1-Q4 run on it)",
     "S7": "schemas.py StructType registry + sources/parquet.py schema assertion",
     "S8": "streaming/state.py OffsetStore (tests/test_ivm.py)",
-    "J10": "pipeline/movie_gold.py movies_gold — prefetch+annotate == J3 shape",
     "A7": "streaming/es_sink.py es.batch.size.entries + multimodal repartition_by_bytes",
     "W5": "api/query.py admin_movie_list prev/next envelope (tests/test_api.py)",
     "F5": "functions/kernel.py uuid_sentinel (used by keyset defaults)",

@@ -770,3 +770,115 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lr_total_ppm"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+@query(
+    "training_shard_pipeline",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), gated AS (
+      SELECT doc_id, len(tk) AS n_tokens,
+             md5(array_to_string(list_sort(tk), ' ')) AS fp
+      FROM toks WHERE len(tk) >= 20
+    ), deduped AS (
+      SELECT doc_id, n_tokens FROM (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        FROM gated
+      ) WHERE rn = 1
+    ), train AS (
+      SELECT doc_id, n_tokens FROM deduped
+      WHERE ('0x' || substr(md5('split-v1' || doc_id::VARCHAR), 1, 8))::BIGINT
+            % 10000 < 8000
+    ), sharded AS (
+      SELECT doc_id, n_tokens,
+             md5('shuffle-epoch0:' || doc_id::VARCHAR) AS h,
+             ('0x' || substr(md5('shuffle-epoch0:' || doc_id::VARCHAR), 1, 8))::BIGINT
+               % 4 AS shard
+      FROM train
+    ), packed AS (
+      SELECT shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (
+               PARTITION BY shard ORDER BY h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // 2048 AS pack_id
+      FROM sharded
+    )
+    SELECT shard, CAST(pack_id AS BIGINT) AS pack_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed
+    GROUP BY shard, pack_id
+    ORDER BY shard, pack_id
+    """,
+    covers=("X-curation-shard-pipeline",),
+)
+def training_shard_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining-shard build, composed from the
+    engine's curation primitives in one plan: token-count quality
+    gate → bag-of-words-fingerprint exact dedup (keep lowest id) →
+    salted-hash 80% train split → deterministic epoch shuffle into 4
+    shards → 2048-token sequence packing — reported as per-(shard,
+    pack) document/token counts.
+
+    Scale shape: three shuffles total for five pipeline stages — the
+    fingerprint window (dedup), the shard window (position AND pack
+    cumsum share one exchange: same partitioning, same ordering), and
+    the final rollup. The gate, split and shard assignment are
+    map-side md5/length arithmetic; nothing materializes between
+    stages. This is the composition a 100 TB corpus actually runs
+    nightly, expressed as one Catalyst plan so the optimizer sees —
+    and prunes across — stage boundaries."""
+    from pyspark.sql import Window
+
+    from etl_sprint_2_5_spark.functions.text import tokenize
+
+    d = load_documents_spread(spark, sf_dir)
+    gated = d.select(
+        "doc_id",
+        F.size(tokenize("text")).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", F.array_sort(tokenize("text")))).alias("fp"),
+    ).where(F.col("n_tokens") >= 20)
+    dw = Window.partitionBy("fp").orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(dw))
+        .where(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    split_bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split-v1"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 10000
+    )
+    train = deduped.where(split_bucket < 8000)
+    h = F.md5(F.concat(F.lit("shuffle-epoch0:"), F.col("doc_id").cast("string")))
+    sharded = train.withColumn("h", h).withColumn(
+        "shard", F.conv(F.substring("h", 1, 8), 16, 10).cast("long") % 4
+    )
+    pw = (
+        Window.partitionBy("shard")
+        .orderBy("h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    packed = (
+        sharded.withColumn("cum_before", F.sum("n_tokens").over(pw))
+        .withColumn(
+            "pack_id", F.expr("coalesce(cum_before, 0) div 2048")
+        )
+    )
+    return (
+        packed.groupBy("shard", "pack_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+        .orderBy("shard", "pack_id")
+    )

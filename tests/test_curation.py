@@ -227,3 +227,53 @@ def test_dsir_scores_detect_distribution_shift(spark):
     assert min(a_scores) > max(b_scores), (
         "in-distribution raw docs must strictly outrank out-of-distribution"
     )
+
+
+def test_training_shard_pipeline_dedup_fires_and_packs_bound(spark, tmp_path):
+    """The composed shard pipeline on a CRAFTED corpus: permuted
+    bag-of-words duplicates must collapse to one representative
+    (the fixture corpus has no exact dups, so this is where the
+    dedup stage is proven live), the split stage must follow the
+    salted-md5 rule exactly, and pack token totals must respect the
+    2048 budget up to one straddling document."""
+    import hashlib
+
+    from etl_sprint_2_5_spark.plans import load_all
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    load_all()
+    rows = []
+    for pair in range(5):
+        words = [f"w{pair}x{i}" for i in range(25)]  # per-pair vocabulary
+        rows.append((2 * pair, " ".join(words), "en", "src0", 100))
+        rows.append(
+            (2 * pair + 1, " ".join(reversed(words)), "en", "src0", 100)
+        )
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    out = REGISTRY["training_shard_pipeline"].fn(spark, str(tmp_path)).collect()
+
+    def in_train(doc_id: int) -> bool:
+        h = hashlib.md5(f"split-v1{doc_id}".encode()).hexdigest()
+        return int(h[:8], 16) % 10000 < 8000
+
+    reps = [i for i in range(0, 10, 2)]  # dedup keeps the even (lower) ids
+    expected_docs = sum(1 for i in reps if in_train(i))
+    assert sum(r["n_docs"] for r in out) == expected_docs
+    assert sum(r["n_tokens"] for r in out) == 25 * expected_docs
+    assert all(r["pack_id"] == 0 for r in out)  # far below one budget
+
+    # fixture corpus: packs contiguous per shard, totals bounded by
+    # budget + one straddling doc (max fixture doc is 99 tokens)
+    real = REGISTRY["training_shard_pipeline"].fn(spark, SF_SMOKE).collect()
+    by_shard = {}
+    for r in real:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard, packs in by_shard.items():
+        ids = [p["pack_id"] for p in packs]
+        assert ids == list(range(len(ids))), f"shard {shard} gaps: {ids}"
+        for p in packs[:-1]:  # all but the trailing partial pack
+            assert p["n_tokens"] <= 2048 + 99

@@ -207,3 +207,64 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id", "frame_idx")
     )
+
+
+@query(
+    "multimodal_exact_dedup",
+    oracle="""
+    WITH payloads AS (
+      SELECT doc_id AS src_id, text FROM documents
+    ), blobs AS (
+      SELECT d.doc_id, p.text
+      FROM documents d
+      JOIN payloads p ON p.src_id = (d.doc_id // 4) * 4
+    ), stats AS (
+      SELECT doc_id,
+             md5(text)                  AS blob_md5,
+             octet_length(encode(text)) AS byte_len
+      FROM blobs
+    )
+    SELECT min(doc_id)        AS rep_id,
+           count(*)           AS n_copies,
+           min(byte_len)      AS byte_len,
+           blob_md5
+    FROM stats
+    GROUP BY blob_md5
+    HAVING count(*) > 1
+    ORDER BY rep_id
+    """,
+    covers=("X-multimodal-exact-dedup",),
+)
+def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blob dedup — THE baseline image/audio dedup every
+    multimodal corpus runs before any perceptual hashing: group by
+    content fingerprint, keep the lowest id, report the duplicate
+    groups. The fingerprint (md5 of the payload bytes) is computed
+    JVM-SIDE on the binary column (attach_blob_stats), so at 100 TB
+    the blobs are hashed where they are read and only (hash, id,
+    length) — not the bytes — cross the one dedup shuffle.
+
+    The fixture corpus has no duplicate payloads, so blobs are staged
+    deterministically with groups of four doc_ids sharing one payload
+    (the augmented-fixture convention of text_pii_scrub) — both
+    engines build the same assignment, and every group must surface
+    with n_copies in {2..4} (tail groups are smaller)."""
+    d = load_table(spark, "documents", sf_dir)
+    payloads = d.select(
+        F.col("doc_id").alias("src_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    blobs = d.select(
+        "doc_id", (F.floor(F.col("doc_id") / 4) * 4).cast("long").alias("src_id")
+    ).join(payloads, "src_id")
+    stats = M.attach_blob_stats(blobs, "payload")
+    return (
+        stats.groupBy("blob_md5")
+        .agg(
+            F.min("doc_id").alias("rep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("byte_len").alias("byte_len"),
+        )
+        .where(F.col("n_copies") > 1)
+        .select("rep_id", "n_copies", "byte_len", "blob_md5")
+        .orderBy("rep_id")
+    )

@@ -764,11 +764,16 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_documents_spread(spark, sf_dir)
     scored = dsir_scores(d, "text", "doc_id", F.col("source") == "src0")
+    # cut to the top-100 BEFORE attaching metadata: the selection is a
+    # TakeOrdered over the score table, and the source join is then a
+    # broadcast of 100 rows against the corpus instead of a
+    # corpus-sized shuffle join
+    top = scored.orderBy(F.desc("lr_total_ppm"), F.asc("doc_id")).limit(100)
     return (
-        scored.join(d.select("doc_id", "source"), "doc_id")
+        d.select("doc_id", "source")
+        .join(F.broadcast(top), "doc_id")
         .select("doc_id", "source", "n_tokens", "lr_total_ppm")
         .orderBy(F.desc("lr_total_ppm"), F.asc("doc_id"))
-        .limit(100)
     )
 
 

@@ -277,3 +277,30 @@ def test_training_shard_pipeline_dedup_fires_and_packs_bound(spark, tmp_path):
         assert ids == list(range(len(ids))), f"shard {shard} gaps: {ids}"
         for p in packs[:-1]:  # all but the trailing partial pack
             assert p["n_tokens"] <= 2048 + 99
+
+
+def test_dsir_scores_partition_invariant(spark):
+    """The ppm fixed-point makes per-doc scores integer sums, so they
+    must be bit-identical regardless of how the token stream is
+    partitioned — the property that makes the oracle hash gate safe
+    on a distributed engine."""
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.operators.curation import dsir_scores
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+    from tests.conftest import SF_SMOKE
+
+    d = load_table(spark, "documents", SF_SMOKE)
+    base = {
+        r["doc_id"]: (r["n_tokens"], r["lr_total_ppm"])
+        for r in dsir_scores(
+            d, "text", "doc_id", F.col("source") == "src0"
+        ).collect()
+    }
+    skewed = {
+        r["doc_id"]: (r["n_tokens"], r["lr_total_ppm"])
+        for r in dsir_scores(
+            d.repartition(7, "lang"), "text", "doc_id", F.col("source") == "src0"
+        ).collect()
+    }
+    assert base == skewed

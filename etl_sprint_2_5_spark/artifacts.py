@@ -44,6 +44,7 @@ ALGO_VERSION = {
     "quantized_codes": 1,
     "shingle_index": 1,
     "ftindex": 1,
+    "pq_index": 1,
 }
 
 
@@ -369,3 +370,62 @@ def prepared_fulltext_stats(
         "avglen": meta["avglen"],
     }
     return stats, terms
+
+
+# --------------------------------------------------------------------
+# Product-quantization index (codebook + per-vector codes)
+# --------------------------------------------------------------------
+
+
+def prepared_pq_index(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    use_artifact: bool = True,
+) -> "tuple[DataFrame, DataFrame]":
+    """The PQ index as a prepared artifact pair: the trained codebook
+    (m, code, cv array<bigint>) and the compressed corpus codes
+    (id, codes array<int> — ~8 bytes/vector, the 32× ADC-scan lever).
+    Training (one deterministic Lloyd round over int8 subvectors,
+    operators/pq.py) is pure integer arithmetic, so artifact and
+    inline builds are bit-identical and the DuckDB oracle reproduces
+    the exact codes. Returns (codebook, codes)."""
+    from etl_sprint_2_5_spark.operators.pq import encode_pq, train_pq_codebook
+
+    def inline() -> "tuple[DataFrame, DataFrame]":
+        q8 = prepared_quantized_codes(
+            spark, sf_dir, table=table, id_col=id_col, vec_col=vec_col,
+            use_artifact=use_artifact,
+        ).select(id_col, "qvec")
+        cb = train_pq_codebook(q8, id_col, "qvec")
+        return cb, encode_pq(q8, cb, id_col, "qvec")
+
+    if not use_artifact:
+        return inline()
+
+    key = _key(
+        {
+            "kind": "pq_index",
+            "fp": table_fingerprint(sf_dir, table),
+            "table": table,
+            "id": id_col,
+            "vec": vec_col,
+        }
+    )
+    cb_dest = artifact_root() / f"pq_codebook-{key}"
+    codes_dest = artifact_root() / f"pq_codes-{key}"
+    if (cb_dest / "_SUCCESS").exists() and (codes_dest / "_SUCCESS").exists():
+        return spark.read.parquet(str(cb_dest)), spark.read.parquet(str(codes_dest))
+
+    cb, codes = inline()
+    for df, dest, single in ((cb, cb_dest, True), (codes, codes_dest, False)):
+        tmp = dest.with_name(dest.name + f".tmp{os.getpid()}")
+        (df.coalesce(1) if single else df).write.mode("overwrite").parquet(str(tmp))
+        try:
+            tmp.rename(dest)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(str(cb_dest)), spark.read.parquet(str(codes_dest))

@@ -649,3 +649,207 @@ def ann_countsketch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+# --------------------------------------------------------------------
+# Product quantization (PQ) — Jégou et al. 2011, the 32× index lever
+# --------------------------------------------------------------------
+
+_PQ_CAND = 40  # ADC candidate pool = 8x the final k (coarser quantizer)
+
+# integer squared L2 between two 8-long BIGINT lists (aliases s, c)
+_PQ_D2 = (
+    "list_sum(list_transform(range(1, 9), i -> "
+    "(s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)]) * "
+    "(s.sv[CAST(i AS INT)] - c.cv[CAST(i AS INT)])))"
+)
+
+
+def _pq_ctes() -> str:
+    """Shared oracle CTE chain mirroring operators/pq.py exactly:
+    int8 quantization → 8 subvectors → 16 fixed seeds per subspace →
+    one Lloyd round (integer sq-L2 assignment, floored integer mean)
+    → encode. Every step is integer arithmetic, so codes are
+    bit-identical across engines."""
+    return f"""qv AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x * (127.0 / list_max(
+                      list_transform(embedding::DOUBLE[], y -> abs(y))))
+                    + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, CAST(m AS INT) AS m, qv[m*8+1 : m*8+8] AS sv
+      FROM qv, (SELECT unnest(range(8)) AS m)
+    ),
+    seed AS (
+      SELECT m, CAST(rn - 1 AS INT) AS code, sv AS cv
+      FROM (SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
+            FROM sub WHERE vec_id % 7 = 3)
+      WHERE rn <= 16
+    ),
+    asg1 AS (
+      SELECT vec_id, m, code, sv FROM (
+        SELECT s.vec_id, s.m, c.code, s.sv,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_PQ_D2}, c.code) AS rn
+        FROM sub s JOIN seed c ON s.m = c.m
+      ) WHERE rn = 1
+    ),
+    cb AS (
+      SELECT m, code, list(cv ORDER BY i) AS cv FROM (
+        SELECT m, code, i,
+               CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
+        FROM (SELECT m, code, unnest(sv) AS v, generate_subscripts(sv, 1) AS i
+              FROM asg1)
+        GROUP BY m, code, i)
+      GROUP BY m, code
+    ),
+    codes AS (
+      SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                 ORDER BY {_PQ_D2}, c.code) AS rn
+        FROM sub s JOIN cb c ON s.m = c.m
+      ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "ann_pq_topk",
+    oracle=f"""
+    WITH {_pq_ctes()},
+    adc AS (
+      SELECT qs.vec_id AS query_id, x.vec_id AS neighbor_id,
+             CAST(sum(list_dot_product(qs.sv, c.cv)) AS BIGINT) AS score
+      FROM codes x
+      JOIN cb c ON x.m = c.m AND x.code = c.code
+      JOIN sub qs ON qs.m = x.m
+      WHERE qs.vec_id < {_N_QUERIES} AND x.vec_id <> qs.vec_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS crank
+        FROM adc) WHERE crank <= {_PQ_CAND}
+    ),
+    rescored AS (
+      SELECT c2.query_id, c2.neighbor_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 6) AS cos
+      FROM cand c2
+      JOIN embeddings a ON a.vec_id = c2.neighbor_id
+      JOIN embeddings q ON q.vec_id = c2.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM rescored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """,
+    covers=("X-ann-pq",),
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) — the third and
+    strongest compression rung of the family (int8 = 4×, CountSketch
+    = 4×, PQ = 32×): every vector is stored as 8 four-bit-sized codes
+    into per-subspace codebooks trained by one deterministic Lloyd
+    round over the int8 domain; the candidate scan reads ONLY the
+    codes column and scores each vector as a BIGINT sum of 8
+    query-codebook dot-product table lookups (symmetric ADC), then
+    the 8×k pool is re-ranked in exact float cosine.
+
+    Cross-engine exactness: unlike the IVF family (round-6 float
+    pin), the entire PQ index and candidate cut are INTEGER
+    arithmetic — quantize floor(x·s+0.5), integer squared-L2 encode,
+    floored-integer-mean Lloyd update, BIGINT ADC sums — so codes and
+    candidates are bit-identical to the oracle by construction; only
+    the final re-rank uses the repo-wide round(cos,6)+id contract.
+
+    Index and codebook probe the PREPARED artifact
+    (artifacts.prepared_pq_index — train once per corpus fingerprint,
+    scan many); first run trains inline, bit-identical either way
+    (tests/test_pq.py asserts it)."""
+    from etl_sprint_2_5_spark.artifacts import prepared_pq_index
+    from etl_sprint_2_5_spark.operators.dedup import cosine_pandas
+    from etl_sprint_2_5_spark.operators.pq import adc_topc
+    from etl_sprint_2_5_spark.operators.similarity import round6_col
+
+    e = load_table(spark, "embeddings", sf_dir)
+    codebook, codes = prepared_pq_index(spark, sf_dir)
+    from etl_sprint_2_5_spark.artifacts import prepared_quantized_codes
+
+    query_q8 = (
+        prepared_quantized_codes(spark, sf_dir)
+        .where(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "qvec")
+    )
+    cand = adc_topc(codes, codebook, query_q8, "vec_id", "qvec", _PQ_CAND).select(
+        "query_id", "neighbor_id"
+    )
+    emb_n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+    emb_q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    rescored = (
+        cand.join(emb_n, "neighbor_id")
+        .join(F.broadcast(emb_q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            round6_col(cosine_pandas("n_emb", "q_emb")).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _K)
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "pq_code_stats",
+    oracle=f"""
+    WITH {_pq_ctes()},
+    members AS (
+      SELECT m, code, count(*) AS n FROM codes GROUP BY 1, 2
+    )
+    SELECT cb.m, cb.code,
+           CAST(coalesce(mem.n, 0) AS BIGINT) AS n_members,
+           CAST(list_sum(cb.cv) AS BIGINT) AS cv_sum
+    FROM cb LEFT JOIN members mem ON cb.m = mem.m AND cb.code = mem.code
+    ORDER BY cb.m, cb.code
+    """,
+    covers=("X-ann-pq",),
+)
+def pq_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ INDEX itself under the hash gate: per (subspace, code)
+    the trained-codebook component checksum and the number of corpus
+    vectors encoded to it — bit-exact integers, so this row set
+    verifies the trained codebook and every stored code directly
+    (ann_pq_topk only witnesses them through the candidate cut).
+    Doubles as the index-health profile a corpus team reads: dead
+    codes (n_members=0) and hot codes signal a retrain."""
+    from etl_sprint_2_5_spark.artifacts import prepared_pq_index
+
+    codebook, codes = prepared_pq_index(spark, sf_dir)
+    exploded = codes.select(F.posexplode("codes").alias("m", "code"))
+    members = exploded.groupBy("m", "code").agg(F.count("*").alias("n"))
+    return (
+        codebook.join(F.broadcast(members), ["m", "code"], "left")
+        .select(
+            "m",
+            "code",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_members"),
+            F.aggregate("cv", F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "cv_sum"
+            ),
+        )
+        .orderBy("m", "code")
+    )

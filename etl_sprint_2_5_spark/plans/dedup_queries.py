@@ -1454,3 +1454,156 @@ def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_rep")
     )
+
+
+_SEG_TOKENS = 10  # tokens per segment ("line" stand-in — corpus has no \n)
+_SEG_PK = 1_048_576  # pk = doc_id·2^20 + seg_no (seg_no ≪ 2^20 by construction)
+
+
+@query(
+    "line_dedup_clean",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), base AS (
+      SELECT doc_id, len(tk) AS n_tokens, tk FROM toks
+    ), segs AS (
+      SELECT doc_id, CAST(seg_no AS BIGINT) AS seg_no,
+             array_to_string(tk[seg_no*{_SEG_TOKENS}+1 :
+                                seg_no*{_SEG_TOKENS}+{_SEG_TOKENS}], ' ')
+               AS seg_text,
+             len(tk[seg_no*{_SEG_TOKENS}+1 :
+                    seg_no*{_SEG_TOKENS}+{_SEG_TOKENS}]) AS seg_len
+      FROM (SELECT doc_id, tk,
+                   unnest(generate_series(0,
+                     CAST(ceil(len(tk) / {_SEG_TOKENS}.0) AS BIGINT) - 1))
+                     AS seg_no
+            FROM base WHERE len(tk) > 0)
+    ), h AS (
+      SELECT doc_id, seg_no, seg_text, seg_len,
+             ('0x' || substr(md5(seg_text), 1, 15))::BIGINT AS s,
+             doc_id * {_SEG_PK} + seg_no AS pk
+      FROM segs
+    ), firsts AS (
+      SELECT s, min(pk) AS min_pk FROM h GROUP BY s
+    ), kept AS (
+      SELECT h.doc_id, h.seg_no, h.seg_text, h.seg_len
+      FROM h JOIN firsts ON h.s = firsts.s AND h.pk = firsts.min_pk
+    ), clean AS (
+      SELECT doc_id, string_agg(seg_text, ' ' ORDER BY seg_no) AS t,
+             CAST(sum(seg_len) AS BIGINT) AS kept_tokens,
+             count(*) AS kept_segs
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens,
+           CAST(ceil(b.n_tokens / {_SEG_TOKENS}.0) AS BIGINT) AS n_segs,
+           CAST(ceil(b.n_tokens / {_SEG_TOKENS}.0) AS BIGINT)
+             - coalesce(c.kept_segs, 0) AS dropped_segs,
+           CASE WHEN b.n_tokens = 0 THEN 1000000
+                ELSE coalesce(c.kept_tokens, 0) * 1000000 // b.n_tokens
+           END AS kept_ppm,
+           md5(coalesce(c.t, '')) AS clean_md5
+    FROM base b LEFT JOIN clean c ON b.doc_id = c.doc_id
+    ORDER BY b.doc_id
+    """,
+    covers=("X-dedup-line-clean",),
+)
+def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level exact dedup that REWRITES the corpus — the C4 /
+    FineWeb policy (Raffel et al. 2020 §2.2 "we discarded all but one
+    of any three-sentence span occurring more than once"): every
+    duplicated segment is dropped everywhere except its single global
+    first occurrence, and each document is REASSEMBLED from its kept
+    segments. This is the family's only rewriting operator —
+    dedup_repeated_substrings measures boilerplate coverage, this one
+    produces the cleaned corpus a training run actually reads. The
+    fixture corpus has no newlines, so "lines" are non-overlapping
+    {10}-token segments (the policy, hashing, and reassembly are
+    identical either way; the md5 of every rebuilt document crosses
+    the oracle gate, so the rewrite itself is hash-verified).
+
+    Keep policy: global first occurrence under the total order
+    (doc_id, seg_no), packed as one BIGINT (doc_id·2^20 + seg_no) so
+    "first" is a map-side-combinable MIN — unique segments are their
+    own first occurrence, so one rule covers df=1 and df>1.
+
+    Scale shape: linear end-to-end — one shuffle on the 60-bit
+    segment hash for the MIN (no df cap needed: an aggregate, never a
+    posting self-join), the keep-filter join is occurrences × one-
+    row-per-hash, and reassembly is one shuffle on doc_id bounded by
+    document length. Nothing pairwise, segments cross shuffles as
+    (hash, pk) integers; only the doc_id reassembly moves text."""
+    from etl_sprint_2_5_spark.functions.text import tokenize
+    from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
+
+    docs = load_documents_spread(spark, sf_dir)
+    base = docs.select(
+        "doc_id", tokenize("text").alias("tk")
+    ).withColumn("n_tokens", F.size("tk").cast("long"))
+
+    nseg = F.ceil(F.col("n_tokens") / F.lit(float(_SEG_TOKENS))).cast("long")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0).cast("long"), nseg - 1),
+        lambda i: F.struct(
+            i.alias("seg_no"),
+            F.concat_ws(
+                " ", F.slice("tk", (i * _SEG_TOKENS + 1).cast("int"), _SEG_TOKENS)
+            ).alias("seg_text"),
+            F.size(
+                F.slice("tk", (i * _SEG_TOKENS + 1).cast("int"), _SEG_TOKENS)
+            ).cast("long").alias("seg_len"),
+        ),
+    )
+    segs = (
+        base.where(F.col("n_tokens") > 0)
+        .select("doc_id", F.inline(seg_arr))
+    )
+    h = segs.select(
+        "doc_id",
+        "seg_no",
+        "seg_text",
+        "seg_len",
+        F.conv(F.substring(F.md5("seg_text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("s"),
+        (F.col("doc_id") * _SEG_PK + F.col("seg_no")).alias("pk"),
+    )
+    firsts = h.groupBy("s").agg(F.min("pk").alias("min_pk"))
+    kept = h.join(firsts, "s").where(F.col("pk") == F.col("min_pk"))
+    clean = (
+        kept.groupBy("doc_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("seg_no", "seg_text"))
+            ).alias("_segs"),
+            F.sum("seg_len").alias("kept_tokens"),
+            F.count("*").alias("kept_segs"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.transform("_segs", lambda x: x["seg_text"])
+            ).alias("t"),
+            "kept_tokens",
+            "kept_segs",
+        )
+    )
+    return (
+        base.select("doc_id", "n_tokens", nseg.alias("n_segs"))
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_segs",
+            (F.col("n_segs") - F.coalesce("kept_segs", F.lit(0))).alias(
+                "dropped_segs"
+            ),
+            F.when(F.col("n_tokens") == 0, F.lit(1000000).cast("long"))
+            .otherwise(
+                F.expr("coalesce(kept_tokens, 0) * 1000000 div n_tokens")
+            )
+            .alias("kept_ppm"),
+            F.md5(F.coalesce("t", F.lit(""))).alias("clean_md5"),
+        )
+        .orderBy("doc_id")
+    )

@@ -78,6 +78,10 @@ HEADLINE = [
     "ann_countsketch_topk",
     "dsir_importance_selection",
     "corpus_shuffle_shards",
+    "ann_pq_topk",
+    "line_dedup_clean",
+    "hybrid_retrieval_rrf",
+    "training_shard_pipeline",
 ]
 
 
@@ -120,6 +124,7 @@ def main() -> None:
     from etl_sprint_2_5_spark.artifacts import (
         prepared_fulltext_stats,
         prepared_ivf_centroids,
+        prepared_pq_index,
         prepared_shingle_index,
     )
     from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
@@ -127,6 +132,8 @@ def main() -> None:
     t_prep = time.time()
     prepared_ivf_centroids(spark, SF_DIR).count()
     prepared_shingle_index(spark, SF_DIR).count()
+    _pq_cb, _pq_codes = prepared_pq_index(spark, SF_DIR)
+    _pq_cb.count(), _pq_codes.count()
     prepared_fulltext_stats(
         load_documents_spread(spark, SF_DIR),
         SF_DIR,

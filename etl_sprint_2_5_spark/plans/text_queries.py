@@ -868,3 +868,143 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+
+
+# --------------------------------------------------------------------
+# Hybrid retrieval: BM25 ⊕ vector search via reciprocal rank fusion
+# --------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_LIST = 20  # depth of each input ranking
+_RRF_TOP = 10  # fused results returned
+
+
+@query(
+    "hybrid_retrieval_rrf",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk,
+             list_filter(string_split(trim(regexp_replace(lower(source),
+               '[^a-z0-9]+', ' ', 'g')), ' '), t -> len(t) > 0) AS srctk
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS n,
+             {_bm25_stat_aggs()},
+             {_ft_df_aggs()}
+      FROM toks
+    ), scored AS (
+      SELECT doc_id,
+             round({_bm25_score_sql()}, 2) AS score
+      FROM toks, stats
+    ), trank AS (
+      SELECT doc_id, text_rank FROM (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+                 AS text_rank
+        FROM scored WHERE score > 0
+      ) WHERE text_rank <= {_RRF_LIST}
+    ), vrank AS (
+      SELECT doc_id, vec_rank FROM (
+        SELECT a.vec_id AS doc_id,
+               CAST(row_number() OVER (
+                 ORDER BY round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                q.embedding::DOUBLE[]), 6) DESC,
+                 a.vec_id) AS BIGINT) AS vec_rank
+        FROM embeddings a, embeddings q
+        WHERE q.vec_id = 0 AND a.vec_id <> 0
+      ) WHERE vec_rank <= {_RRF_LIST}
+    ), fused AS (
+      SELECT coalesce(t.doc_id, v.doc_id) AS doc_id,
+             t.text_rank, v.vec_rank,
+             coalesce(1000000 // ({_RRF_K} + t.text_rank), 0)
+               + coalesce(1000000 // ({_RRF_K} + v.vec_rank), 0) AS rrf_ppm
+      FROM trank t FULL OUTER JOIN vrank v ON t.doc_id = v.doc_id
+    )
+    SELECT doc_id, text_rank, vec_rank, rrf_ppm, rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY rrf_ppm DESC, doc_id)
+                     AS BIGINT) AS rank
+      FROM fused
+    ) WHERE rank <= {_RRF_TOP}
+    ORDER BY rank
+    """,
+    covers=("X-search-hybrid-rrf",),
+)
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval — the RAG-serving shape that combines the two
+    index families this engine already maintains: the BM25 ranking
+    (same terms/fields/stats as fulltext_bm25, probing the prepared
+    term-stats artifact) and a vector ranking (exact cosine of doc 0's
+    embedding over the row-aligned embeddings table), fused by
+    reciprocal rank fusion (Cormack et al. 2009):
+    score(d) = Σ_lists 1/(60 + rank_list(d)).
+
+    RRF is computed in integer ppm (1000000 div (60+rank)) so the
+    fused scores, like both input ranks, are engine-exact — the only
+    float in the pipeline is each list's own ranking contract (BM25
+    round-2, cosine round-6, both inherited unchanged from their
+    standalone queries).
+
+    Scale shape: each input ranking is the already-audited standalone
+    plan (term-filtered BM25 scoring, gemm partial-top-k cosine); the
+    fusion itself touches only 2×{_RRF_LIST} (id, rank) rows — a
+    full-outer join of two driver-size lists. At 100 TB you fuse
+    top-1000 lists, still bytes."""
+    from etl_sprint_2_5_spark.artifacts import prepared_fulltext_stats
+    from etl_sprint_2_5_spark.operators.similarity import brute_force_topk_gemm
+    from etl_sprint_2_5_spark.operators.textops import fulltext_score
+    from etl_sprint_2_5_spark.sources.parquet import load_documents_spread
+    from pyspark.sql import Window
+
+    d = load_documents_spread(spark, sf_dir)
+    stats, _ = prepared_fulltext_stats(
+        d, sf_dir, ("spark", "window", "merge"), ("text", "source")
+    )
+    scored = fulltext_score(
+        d,
+        "doc_id",
+        terms=("spark", "window", "merge"),
+        fields={"text": 3.0, "source": 1.0},
+        stats=stats,
+        k1=1.2,
+        b=0.75,
+    )
+    wt = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    trank = (
+        scored.where(F.col("score") > 0)
+        .withColumn("text_rank", F.row_number().over(wt).cast("long"))
+        .where(F.col("text_rank") <= _RRF_LIST)
+        .select("doc_id", "text_rank")
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    qv = e.where(F.col("vec_id") == 0)
+    vrank = (
+        brute_force_topk_gemm(e, qv, "vec_id", "embedding", _RRF_LIST)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("rank").cast("long").alias("vec_rank"),
+        )
+    )
+
+    fused = (
+        trank.join(vrank, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            "text_rank",
+            "vec_rank",
+            (
+                F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + text_rank)"), F.lit(0)
+                )
+                + F.coalesce(
+                    F.expr(f"1000000 div ({_RRF_K} + vec_rank)"), F.lit(0)
+                )
+            ).cast("long").alias("rrf_ppm"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf_ppm"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("long"))
+        .where(F.col("rank") <= _RRF_TOP)
+        .orderBy("rank")
+    )

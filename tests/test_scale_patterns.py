@@ -232,3 +232,37 @@ def test_countsketch_projection_is_mapside(spark):
     # candidate window
     assert "BroadcastExchange" in plan
     assert _n_exchanges(df) <= 4
+
+
+def test_pq_adc_scan_reads_only_codes(spark, tmp_path, monkeypatch):
+    """The PQ candidate scan must read the compressed index (vec_id +
+    8-int codes), never the 64-float vectors: its scan's ReadSchema
+    must not mention the embedding column, and the only exchange
+    below the candidate cut is the per-query top-C window."""
+    from etl_sprint_2_5_spark import artifacts
+    from etl_sprint_2_5_spark.operators.pq import adc_topc
+
+    monkeypatch.setenv(artifacts.ARTIFACT_DIR_ENV, str(tmp_path))
+    cb, codes = artifacts.prepared_pq_index(spark, SF_SMOKE)
+    q8 = artifacts.prepared_quantized_codes(spark, SF_SMOKE)
+    from pyspark.sql import functions as F
+
+    qq8 = q8.where(F.col("vec_id") < 8).select("vec_id", "qvec")
+    cand = adc_topc(codes, cb, qq8, "vec_id", "qvec", 40)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "embedding" not in plan
+    assert _n_exchanges(cand) <= 1
+
+
+def test_line_dedup_single_hash_and_doc_exchanges(spark):
+    """line_dedup_clean is linear: hash-MIN shuffle, keep join, doc
+    reassembly — no pairwise expansion, bounded exchange count."""
+    from etl_sprint_2_5_spark.plans import load_all
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+
+    load_all()
+    df = REGISTRY["line_dedup_clean"].fn(spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    # hash agg + keep join + doc_id agg + outer join + final sort
+    assert _n_exchanges(df) <= 7

@@ -853,3 +853,80 @@ def pq_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m", "code")
     )
+
+
+_PRUNE_CAP = 30  # per-cluster keep quota
+
+
+@query(
+    "cluster_balanced_prune",
+    oracle=f"""
+    WITH {_ivf_trained_ctes(_IVF_ITERS)}, assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT a.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], c.emb), 6) DESC,
+                   c.centroid_id) AS rn
+        FROM embeddings a, cent{_IVF_ITERS} c
+      ) WHERE rn = 1
+    ), ranked AS (
+      SELECT centroid_id, vec_id,
+             row_number() OVER (PARTITION BY centroid_id
+                                ORDER BY vec_id) AS rk
+      FROM assigned
+    )
+    SELECT centroid_id,
+           count(*) AS n_members,
+           CAST(sum(CASE WHEN rk <= {_PRUNE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           CAST(count(*)
+                - sum(CASE WHEN rk <= {_PRUNE_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pruned,
+           CAST(sum(CASE WHEN rk <= {_PRUNE_CAP} THEN vec_id ELSE 0 END)
+                AS BIGINT) AS kept_id_sum
+    FROM ranked GROUP BY centroid_id ORDER BY centroid_id
+    """,
+    covers=("X-curation-cluster-balance",),
+)
+def cluster_balanced_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus pruning — the embedding-space curation
+    move from SemDeDup / DataComp-style pipelines: assign every vector
+    to its trained IVF cell, then cap each cell at a fixed quota so
+    over-dense regions (near-duplicate content modes) cannot dominate
+    the training mix. Keep rule inside a cell is deterministic lowest
+    vec_id; the kept SET is verified through the gate (per-cell
+    kept_id_sum checksum), not just the counts.
+
+    Scale shape: assignment probes the prepared centroid artifact via
+    one map-side Arrow gemm pass (assign_cells_gemm — zero shuffles);
+    the quota rank + rollup share ONE shuffle on centroid_id. Cells,
+    not vectors, cross to the driver. At 100 TB the same plan runs
+    with cells as write-time partitions and the quota applied per
+    partition."""
+    from etl_sprint_2_5_spark.artifacts import prepared_ivf_centroids
+    from pyspark.sql import Window
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cent = prepared_ivf_centroids(spark, sf_dir)
+    assigned = assign_cells_gemm(e, cent, "vec_id", "embedding").select(
+        "vec_id", "centroid_id"
+    )
+    w = Window.partitionBy("centroid_id").orderBy("vec_id")
+    ranked = assigned.withColumn("rk", F.row_number().over(w))
+    kept = F.when(F.col("rk") <= _PRUNE_CAP, 1).otherwise(0)
+    return (
+        ranked.groupBy("centroid_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.sum(kept).cast("long").alias("n_kept"),
+            (F.count("*") - F.sum(kept)).cast("long").alias("n_pruned"),
+            F.sum(
+                F.when(F.col("rk") <= _PRUNE_CAP, F.col("vec_id")).otherwise(0)
+            )
+            .cast("long")
+            .alias("kept_id_sum"),
+        )
+        .orderBy("centroid_id")
+    )

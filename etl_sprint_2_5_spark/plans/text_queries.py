@@ -1008,3 +1008,70 @@ def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _RRF_TOP)
         .orderBy("rank")
     )
+
+
+@query(
+    "bpe_top_merges",
+    oracle=f"""
+    WITH pieces AS (
+      SELECT unnest(regexp_extract_all(text, '{_BPE_RE}')) AS piece
+      FROM documents
+    ), freq AS (
+      SELECT piece, count(*) AS f FROM pieces GROUP BY piece
+    ), pairs AS (
+      SELECT substr(piece, CAST(i AS INT), 2) AS pair, f
+      FROM freq, unnest(generate_series(1, len(piece) - 1)) AS t(i)
+      WHERE len(piece) >= 2
+    ), counted AS (
+      SELECT pair, CAST(sum(f) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, pair_count, rank FROM (
+      SELECT *, CAST(row_number() OVER (ORDER BY pair_count DESC, pair)
+                     AS BIGINT) AS rank
+      FROM counted
+    ) WHERE rank <= 20 ORDER BY rank
+    """,
+    covers=("X-text-bpe-merges",),
+)
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One real BPE TRAINING iteration (Sennrich et al. 2016) over the
+    corpus: pre-tokenize with the GPT-2-style regex
+    (text_bpe_token_count's pre-tokenizer), collapse to the distinct
+    piece-frequency dictionary, count every adjacent character pair
+    weighted by piece frequency, and emit the top-20 merge candidates
+    — exactly what a tokenizer trainer computes per merge round
+    (subsequent rounds would re-run with the winning pair merged).
+
+    Scale shape: the pair expansion runs over the DISTINCT pieces
+    (the word dictionary — sub-linear in the corpus: vocabulary, not
+    tokens), pairs are 2-char substrings so nothing but (2-char key,
+    count) crosses the map-side-combinable agg, and the top-20 is a
+    TakeOrdered. Shuffles: piece-freq agg + pair agg, both partial-
+    aggregated. All JVM codegen — no Python anywhere."""
+    d = load_documents_spread(spark, sf_dir)
+    pieces = d.select(
+        F.explode(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("piece")
+    )
+    freq = pieces.groupBy("piece").agg(F.count("*").alias("f"))
+    pairs = (
+        freq.where(F.length("piece") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("piece") - 1),
+                    lambda i: F.col("piece").substr(i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "f",
+        )
+    )
+    counted = pairs.groupBy("pair").agg(F.sum("f").cast("long").alias("pair_count"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("pair_count"), F.asc("pair"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= 20)
+        .orderBy("rank")
+    )

@@ -227,13 +227,20 @@ def adc_topc(
     id_col: str,
     qcol: str,
     c: int,
+    query_cells: dict | None = None,
 ) -> DataFrame:
     """Symmetric ADC candidate scan: per query, a (M, K) BIGINT lookup
     table of subspace dot products query·codebook-entry; each corpus
     vector's approximate score is the sum of its M table entries —
     the scan touches ONLY the codes column. Per-batch partial top-C
     (score DESC, id ASC) keeps the ranking shuffle at
-    (N/batch)·Q·C rows. Returns (query_id, neighbor_id, score)."""
+    (N/batch)·Q·C rows. Returns (query_id, neighbor_id, score).
+
+    ``query_cells`` ({query_id: iterable of centroid ids}) enables the
+    IVFPQ composition: codes_df must then carry a ``centroid_id``
+    column and each query scores ONLY vectors in its probe cells — at
+    100 TB the cell is a write-time partition and the restriction is
+    partition pruning, not a filter."""
     mats, codeids, _ = _codebook_np(codebook)
     qrows = sorted(
         query_q8.select(id_col, qcol).collect(), key=lambda r: r[id_col]
@@ -255,6 +262,12 @@ def adc_topc(
         ]
     )
 
+    cell_sets = (
+        {qid: np.array(sorted(cells)) for qid, cells in query_cells.items()}
+        if query_cells is not None
+        else None
+    )
+
     def scan(batches):
         import pandas as pd
 
@@ -263,6 +276,7 @@ def adc_topc(
                 continue
             Ccodes = np.stack(pdf["codes"].values).astype("int64")  # (B, M)
             nids = pdf[id_col].values
+            cells = pdf["centroid_id"].values if cell_sets is not None else None
             score = np.zeros((len(Ccodes), len(qids)), dtype="int64")
             for m in range(PQ_M):
                 # map stored code -> dense row in mats[m]
@@ -271,6 +285,8 @@ def adc_topc(
             out = []
             for j, qid in enumerate(qids):
                 keep = nids != qid
+                if cell_sets is not None:
+                    keep &= np.isin(cells, cell_sets[qid])
                 order = np.lexsort((nids[keep], -score[keep, j]))[:c]
                 out.append(
                     pd.DataFrame(
@@ -283,7 +299,10 @@ def adc_topc(
                 )
             yield pd.concat(out)
 
-    partial = codes_df.select(id_col, "codes").mapInPandas(scan, schema)
+    narrow_cols = [id_col, "codes"] + (
+        ["centroid_id"] if query_cells is not None else []
+    )
+    partial = codes_df.select(*narrow_cols).mapInPandas(scan, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return (
         partial.withColumn("crank", F.row_number().over(w))

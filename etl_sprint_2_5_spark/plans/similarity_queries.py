@@ -689,7 +689,7 @@ def _pq_ctes() -> str:
             FROM sub WHERE vec_id % 7 = 3)
       WHERE rn <= 16
     ),
-    asg1 AS (
+    pq_asg1 AS (
       SELECT vec_id, m, code, sv FROM (
         SELECT s.vec_id, s.m, c.code, s.sv,
                row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -702,7 +702,7 @@ def _pq_ctes() -> str:
         SELECT m, code, i,
                CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
         FROM (SELECT m, code, unnest(sv) AS v, generate_subscripts(sv, 1) AS i
-              FROM asg1)
+              FROM pq_asg1)
         GROUP BY m, code, i)
       GROUP BY m, code
     ),
@@ -929,4 +929,136 @@ def cluster_balanced_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_id_sum"),
         )
         .orderBy("centroid_id")
+    )
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_ivf_trained_ctes(_IVF_ITERS)}, assigned AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT a.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], c.emb), 6) DESC,
+                   c.centroid_id) AS rn
+        FROM embeddings a, cent{_IVF_ITERS} c
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id, centroid_id FROM (
+        SELECT q.vec_id, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   q.embedding::DOUBLE[], c.emb), 6) DESC,
+                   c.centroid_id) AS rn
+        FROM embeddings q, cent{_IVF_ITERS} c
+        WHERE q.vec_id < {_N_QUERIES}
+      ) WHERE rn <= {_NPROBE}
+    ),
+    {_pq_ctes()},
+    adc AS (
+      SELECT p.vec_id AS query_id, x.vec_id AS neighbor_id,
+             CAST(sum(list_dot_product(qs.sv, c.cv)) AS BIGINT) AS score
+      FROM codes x
+      JOIN assigned a2 ON a2.vec_id = x.vec_id
+      JOIN probes p ON p.centroid_id = a2.centroid_id
+      JOIN cb c ON x.m = c.m AND x.code = c.code
+      JOIN sub qs ON qs.m = x.m AND qs.vec_id = p.vec_id
+      WHERE x.vec_id <> p.vec_id
+      GROUP BY 1, 2
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                   ORDER BY score DESC, neighbor_id) AS crank
+        FROM adc) WHERE crank <= {_PQ_CAND}
+    ),
+    rescored AS (
+      SELECT c2.query_id, c2.neighbor_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          q.embedding::DOUBLE[]), 6) AS cos
+      FROM cand c2
+      JOIN embeddings a ON a.vec_id = c2.neighbor_id
+      JOIN embeddings q ON q.vec_id = c2.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM rescored
+    )
+    SELECT query_id, neighbor_id, cos, rank
+    FROM ranked WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """,
+    covers=("X-ann-ivfpq",),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the canonical billion-scale composition (faiss's
+    workhorse index, Jégou et al. 2011 §IV): the IVF cell assignment
+    prunes WHICH vectors each query scores (nprobe=2 cells instead of
+    the whole corpus) and PQ compresses WHAT the scan reads per
+    vector (8 codes instead of 64 floats). Both halves probe their
+    prepared artifacts (trained centroids; codebook+codes) and keep
+    their standalone determinism contracts: cell assignment/probing
+    on round-6 cosine, the ADC cut pure BIGINT, final re-rank
+    round-6 float on the bounded pool.
+
+    Scale shape: the composition ADDS no shuffle — cells ride the
+    codes scan as one join column (at 100 TB: a write-time partition
+    key, so the per-query restriction is partition PRUNING), the
+    probe list (Q·nprobe pairs) ships in the task closure, and the
+    scan still emits only per-batch partial top-C."""
+    from etl_sprint_2_5_spark.artifacts import (
+        prepared_ivf_centroids,
+        prepared_pq_index,
+        prepared_quantized_codes,
+    )
+    from etl_sprint_2_5_spark.operators.dedup import cosine_pandas
+    from etl_sprint_2_5_spark.operators.pq import adc_topc
+    from etl_sprint_2_5_spark.operators.similarity import round6_col
+    from pyspark.sql import Window
+
+    e = load_table(spark, "embeddings", sf_dir)
+    cent = prepared_ivf_centroids(spark, sf_dir)
+    cells = assign_cells_gemm(e, cent, "vec_id", "embedding").select(
+        "vec_id", "centroid_id"
+    )
+    probe_rows = assign_cells_gemm(
+        e.where(F.col("vec_id") < _N_QUERIES), cent, "vec_id", "embedding",
+        nprobe=_NPROBE,
+    ).select("vec_id", "centroid_id").collect()
+    query_cells: dict = {}
+    for r in probe_rows:
+        query_cells.setdefault(r["vec_id"], set()).add(r["centroid_id"])
+
+    codebook, codes = prepared_pq_index(spark, sf_dir)
+    codes_cells = codes.join(cells, "vec_id")
+    query_q8 = (
+        prepared_quantized_codes(spark, sf_dir)
+        .where(F.col("vec_id") < _N_QUERIES)
+        .select("vec_id", "qvec")
+    )
+    cand = adc_topc(
+        codes_cells, codebook, query_q8, "vec_id", "qvec", _PQ_CAND,
+        query_cells=query_cells,
+    ).select("query_id", "neighbor_id")
+
+    emb_n = e.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("n_emb"))
+    emb_q = e.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    rescored = (
+        cand.join(emb_n, "neighbor_id")
+        .join(F.broadcast(emb_q), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            round6_col(cosine_pandas("n_emb", "q_emb")).alias("cos"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        rescored.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= _K)
+        .orderBy("query_id", "rank")
     )

@@ -131,3 +131,31 @@ def test_prepared_artifact_bit_identical_to_inline(spark, tmp_path, monkeypatch)
     # second call must hit the persisted artifact (no retrain)
     cb_b, _ = artifacts.prepared_pq_index(spark, SF_SMOKE)
     assert snap_cb(cb_b) == snap_cb(cb_a)
+
+
+def test_ivfpq_respects_probe_cells(spark):
+    """Every IVFPQ result must come from one of its query's nprobe=2
+    probe cells (the cell restriction is the point of the index), and
+    each query returns a full top-k."""
+    from etl_sprint_2_5_spark.artifacts import prepared_ivf_centroids
+    from etl_sprint_2_5_spark.operators.similarity import assign_cells_gemm
+    from etl_sprint_2_5_spark.plans import load_all
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+
+    load_all()
+    out = REGISTRY["ann_ivfpq_topk"].fn(spark, SF_SMOKE).collect()
+    assert len(out) == 8 * 5
+
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cent = prepared_ivf_centroids(spark, SF_SMOKE)
+    cells = {
+        r["vec_id"]: r["centroid_id"]
+        for r in assign_cells_gemm(e, cent, "vec_id", "embedding").collect()
+    }
+    probes: dict[int, set] = {}
+    for r in assign_cells_gemm(
+        e.where(F.col("vec_id") < 8), cent, "vec_id", "embedding", nprobe=2
+    ).collect():
+        probes.setdefault(r["vec_id"], set()).add(r["centroid_id"])
+    for r in out:
+        assert cells[r["neighbor_id"]] in probes[r["query_id"]]

@@ -79,6 +79,7 @@ HEADLINE = [
     "dsir_importance_selection",
     "corpus_shuffle_shards",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "line_dedup_clean",
     "hybrid_retrieval_rrf",
     "training_shard_pipeline",
@@ -155,13 +156,14 @@ def main() -> None:
         if runs[0] <= 2.0:  # median-of-3 where repeats are cheap
             runs += [run_once(q), run_once(q)]
             rep = sorted(runs)[1]
-        elif runs[0] <= 15.0:  # best-of-2: the first run can carry a
-            # multi-second one-off codegen/JIT compile (observed 7x on
-            # dedup_simhash), so NEVER trust a single sample here
+        else:  # best-of-2 for EVERYTHING slower: the first run can
+            # carry a one-off codegen/JIT compile or artifact-probe
+            # cold start (observed 7x on dedup_simhash, 10x on
+            # dedup_ngram_jaccard) — a single-sample fast path would
+            # record the spike as the query's time exactly when it
+            # looks slowest
             runs.append(run_once(q))
             rep = min(runs)
-        else:  # >15s: repeat cost outweighs relative jitter
-            rep = runs[0]
         timings[name] = round(rep, 3)
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_start, 3)
@@ -175,7 +177,7 @@ def main() -> None:
                 "queries": timings,
                 "prepare_sec": prepare_sec,
                 "wall_sec": wall,
-                "repeat_policy": "median3<=2s; best2<=15s; single>15s",
+                "repeat_policy": "median3<=2s; best2>2s",
                 "sf": sf,
             }
         )

@@ -1035,3 +1035,138 @@ def streaming_enriched_purchase_rollup(spark: SparkSession, sf_dir: str) -> Data
         .select("segment", "n_purchases", "total_value")
         .orderBy("segment")
     )
+
+
+# --- Live watermark semantics -------------------------------------------
+# Constants shared by the Spark query and its DuckDB oracle. The feed is
+# split into THREE micro-batches because Spark's late-row filter uses the
+# watermark with a TWO-batch lag (the watermark used to drop input in
+# batch N was computed from event-time stats of batches <= N-2, while
+# state eviction/emission uses the one-batch-lagged value) — with only
+# two data files the drop watermark never leaves 1970 and nothing is
+# ever late. Empirically pinned (and unit-tested with a crafted feed in
+# tests/test_watermark_streaming.py): drop iff window_end <= wm_drop,
+# emit iff window_end <= wm_evict, both inclusive.
+_WM_HIST_CUT = "2024-01-20 00:00:00"  # file A: history (minus stragglers)
+_WM_BRIDGE_CUT = "2024-01-22 00:00:00"  # file B: (hist, bridge] spends the lag
+_WM_STRAGGLER_MOD = 13  # history rows with event_id % 13 == 0 arrive late
+_WM_DELAY_US = 86_400_000_000  # 1 day watermark delay
+_WM_WIN_US = 14_400_000_000  # 4 hour tumbling windows
+
+
+@query(
+    "streaming_watermark_late_drop",
+    oracle=f"""
+    WITH ev AS (
+      SELECT event_id, ts, event_type, value,
+             (epoch_us(ts) // {_WM_WIN_US}) * {_WM_WIN_US} AS ws_us,
+             (epoch_us(ts) // {_WM_WIN_US}) * {_WM_WIN_US} + {_WM_WIN_US} AS we_us,
+             (ts > TIMESTAMP '{_WM_BRIDGE_CUT}'
+              OR (ts <= TIMESTAMP '{_WM_HIST_CUT}'
+                  AND event_id % {_WM_STRAGGLER_MOD} = 0)) AS in_file_c
+      FROM events
+    ),
+    wm_drop AS (  -- watermark applied to file C's input: max event time of
+                  -- file A (the only data two batches back) minus the delay
+      SELECT max(epoch_us(ts)) - {_WM_DELAY_US} AS us FROM ev
+      WHERE ts <= TIMESTAMP '{_WM_HIST_CUT}'
+        AND event_id % {_WM_STRAGGLER_MOD} <> 0
+    ),
+    wm_final AS (  -- eviction watermark of the trailing no-data batch
+      SELECT max(epoch_us(ts)) - {_WM_DELAY_US} AS us FROM ev
+    ),
+    kept AS (
+      SELECT * FROM ev
+      WHERE NOT in_file_c
+         OR we_us > (SELECT us FROM wm_drop)
+    )
+    SELECT ws_us AS window_start_us,
+           event_type,
+           count(*)             AS n_events,
+           round(sum(value), 2) AS total_value
+    FROM kept
+    WHERE we_us <= (SELECT us FROM wm_final)
+    GROUP BY ws_us, event_type
+    ORDER BY window_start_us, event_type
+    """,
+    covers=("T5", "X-stream-watermark-live"),
+)
+def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIVE watermarked append-mode aggregation where late data is
+    REALLY dropped, hash-gated by an oracle that reproduces Spark's
+    exact drop and emission rules — the missing half of T5 (the batch
+    `late_data_rescan` shows the re-scan remedy; this shows the
+    bounded-state default the remedy compensates for, reference
+    postgres_to_es/daemon.py's cursor never revisiting old rows).
+
+    Feed (three micro-batches via maxFilesPerTrigger=1):
+      A: history  ts <= Jan 20, minus every 13th event_id,
+      B: bridge   Jan 20 < ts <= Jan 22 (spends the watermark lag),
+      C: remainder ts > Jan 22 PLUS the held-back history stragglers.
+    Batch 2's input is filtered against wm_drop = max(ts in A) - 1d:
+    stragglers in windows ending on/before it are dropped (about 18
+    days' worth), the rest genuinely merge into month-old window
+    state. The trailing no-data batch emits windows ending on/before
+    wm_final = max(ts) - 1d; the last day's windows stay unflushed in
+    state, exactly as a continuous deployment would hold them.
+
+    At scale this is the shape that keeps streaming-agg state bounded:
+    state size is O(keys x windows inside the watermark horizon),
+    independent of stream length, and the drop/emit predicates are
+    evaluated inside the state store operator with no extra shuffle
+    (plan: one exchange on the grouping key, as the batch twin)."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    hist = F.col("ts") <= F.lit(_WM_HIST_CUT).cast("timestamp")
+    bridge = F.col("ts") <= F.lit(_WM_BRIDGE_CUT).cast("timestamp")
+    straggler = hist & (F.col("event_id") % _WM_STRAGGLER_MOD == 0)
+    tmp = tempfile.mkdtemp(prefix="stream_wmdrop_")
+    feed = f"{tmp}/feed"
+    for part in (
+        ev.where(hist & ~straggler),
+        ev.where(~hist & bridge),
+        ev.where(~bridge | straggler),
+    ):
+        part.coalesce(1).write.mode("append").parquet(feed)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, event_type string, value double"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "4 hours").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+    )
+    sink = f"t_{os.path.basename(tmp)}"
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_or_raise(q, "streaming_watermark_late_drop")
+    shutil.rmtree(tmp, ignore_errors=True)
+    return (
+        spark.table(sink)
+        .select(
+            F.unix_micros(F.col("w.start")).alias("window_start_us"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_us", "event_type")
+    )

@@ -109,3 +109,72 @@ def test_native_session_window_merges_and_closes(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert (1, _m(200), 2) in got2
+
+
+def test_watermark_lag_and_comparators_pinned(spark, tmp_path):
+    """Pin the exact semantics streaming_watermark_late_drop's oracle
+    encodes (plans/events_queries.py): the late-row filter of batch N
+    uses the TWO-batch-lagged watermark (max event time of batches
+    <= N-2 minus delay, so a 2-file feed never drops anything), state
+    eviction uses the one-batch-lagged value, and both predicates are
+    INCLUSIVE (window_end <= wm). Crafted 4-file feed, 1h windows,
+    2h delay:
+      f1 10:00           -> wm from f1 = 08:00
+      f2 10:30           -> wm from f1+f2 = 08:30
+      f3 05:55 (end 06:00 <  08:00: dropped)
+         07:30 (end 08:00 == 08:00: dropped -> drop is inclusive)
+         08:15 (end 08:30 >  08:00: kept, merges into old state)
+         08:55 (end 09:00 >  08:00: kept)
+      f4 11:00           -> final eviction wm = 09:00
+    Final emission: only window [08:00,09:00) x {08:15, 08:55} has
+    end <= 09:00 -> emit is inclusive too; windows ending 11:00/11:30/
+    12:00 stay in state."""
+    import pyspark.sql.functions as F
+
+    def H(h, m=0):
+        return dt.datetime(2024, 1, 1, h, m)
+
+    feed = f"{tmp_path}/feed"
+    files = [
+        [(1, H(10, 0))],
+        [(2, H(10, 30))],
+        [(3, H(5, 55)), (4, H(7, 30)), (5, H(8, 15)), (6, H(8, 55))],
+        [(7, H(11, 0))],
+    ]
+    for rows in files:
+        spark.createDataFrame(rows, "id long, ts timestamp").coalesce(
+            1
+        ).write.mode("append").parquet(feed)
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_pin")
+        .option("checkpointLocation", f"{tmp_path}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "stream did not drain"
+    got = [
+        (r["we"], tuple(r["ids"]))
+        for r in spark.table("wm_pin")
+        .select(F.col("w.end").cast("string").alias("we"), "ids")
+        .orderBy("we")
+        .collect()
+    ]
+    assert got == [("2024-01-01 09:00:00", (5, 6))], got
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in q.recentProgress
+        for op in (p.get("stateOperators") or [])
+    )
+    assert dropped == 2, dropped

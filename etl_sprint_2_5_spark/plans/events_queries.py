@@ -1170,3 +1170,72 @@ def streaming_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("window_start_us", "event_type")
     )
+
+
+@query(
+    "salted_skew_join",
+    oracle="""
+    WITH ev AS (
+      SELECT event_id, event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    dim AS (
+      SELECT event_type,
+             CAST(sum(cents) AS BIGINT) AS sum_cents,
+             count(*)                   AS n_type
+      FROM ev GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           count(*) FILTER (e.cents * d.n_type > d.sum_cents) AS n_above_avg,
+           round(max(d.sum_cents) / 100.0 / max(d.n_type), 4) AS type_avg
+    FROM ev e JOIN dim d USING (event_type)
+    GROUP BY e.event_type
+    ORDER BY event_type
+    """,
+    covers=("X-skew-join",),
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resilient equi-join under the hash gate: the events fact
+    joins a per-type stats dim back on event_type — a handful of hot
+    keys carrying the whole fact table, the canonical skewed-join
+    shape — through operators/skew.salted_join (fact rows salt by
+    event_id, dim replicates xfactor), and the oracle's PLAIN join
+    proves the salted plan changes nothing but the key distribution.
+
+    The above-average flag cross-multiplies integers
+    (cents * n_type > sum_cents) instead of comparing against a
+    divided double, so the verdict is bitwise identical across
+    engines and row orders. On this 5-key dim Spark broadcasts the
+    replicated side anyway (the right call); the salting matters when
+    the dim outgrows the broadcast threshold and the join must
+    shuffle — tests/test_scale_patterns.py pins that path, and
+    salted_event_counts proves the same trick on the aggregate."""
+    from etl_sprint_2_5_spark.operators.skew import salted_join
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.count(F.lit(1)).alias("n_type"),
+    )
+    joined = salted_join(ev, dim, ["event_type"], "event_id", factor=16)
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("cents") * F.col("n_type") > F.col("sum_cents")).cast(
+                    "long"
+                )
+            ).alias("n_above_avg"),
+            F.round(
+                F.max("sum_cents") / F.lit(100.0) / F.max("n_type"), 4
+            ).alias("type_avg"),
+        )
+        .orderBy("event_type")
+    )

@@ -256,3 +256,117 @@ def zonemap_skip_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+@query(
+    "triangle_count",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY u, v
+      HAVING count(*) >= 2
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    member AS (
+      SELECT a AS part FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    SELECT part, count(*) AS n_triangles
+    FROM member
+    GROUP BY part
+    ORDER BY n_triangles DESC, part
+    LIMIT 20
+    """,
+    covers=("X-graph-triangles",),
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph
+    (parts co-ordered in >= 2 baskets), top 20 — the clustering /
+    community-density primitive next to part_pagerank.
+
+    The oracle enumerates triangles with the naive 3-way join on
+    id-ordered edges (a < b < c, each triangle once); the Spark plan
+    finds the SAME set via the degree-ordered compact-forward
+    algorithm (Latapy 2008): orient every edge from its lower
+    (degree, id) endpoint to the higher, build wedges by self-joining
+    the oriented list on the pivot, and close each wedge with one
+    hash join back to the oriented edges. Orientation bounds every
+    node's out-degree by O(sqrt(m)) regardless of how skewed the raw
+    degree distribution is, so the wedge fan-out — the quadratic
+    hazard in any triangle count — stays O(m^1.5) worst-case instead
+    of sum(deg^2): at 100x this is the difference between a hub part
+    in millions of baskets generating 10^12 wedges and ~10^6. The
+    degree table rides in as a broadcast; wedge-close is one shuffle
+    on the (v, w) pair key."""
+    li = load_table(spark, "lineitem", sf_dir)
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    from etl_sprint_2_5_spark.operators.dedup import pairs_within_bucket
+
+    und = (
+        baskets.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_list("l_partkey")).alias("parts"))
+        .select(F.explode(pairs_within_bucket(F.col("parts"))).alias("p"))
+        .select(F.col("p.id_a").alias("u"), F.col("p.id_b").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_tog"))
+        .where(F.col("n_tog") >= 2)
+        .select("u", "v")
+    )
+    und.cache()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by (deg, id): lower endpoint -> higher endpoint
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("deg_v"))
+    ranked = und.join(F.broadcast(du), "u").join(F.broadcast(dv), "v")
+    u_first = (F.col("deg_u") < F.col("deg_v")) | (
+        (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
+        F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
+        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_hi"),
+    )
+    e1 = oriented.select(
+        F.col("lo").alias("p"), F.col("hi").alias("x"), F.col("deg_hi").alias("dx")
+    )
+    e2 = oriented.select(
+        F.col("lo").alias("p"), F.col("hi").alias("y"), F.col("deg_hi").alias("dy")
+    )
+    # wedge (x, y) around pivot p, oriented once by the same rank order
+    wedges = e1.join(e2, "p").where(
+        (F.col("dx") < F.col("dy"))
+        | ((F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y")))
+    )
+    closing = oriented.select(
+        F.col("lo").alias("x"), F.col("hi").alias("y")
+    )
+    tri = wedges.join(closing, ["x", "y"]).select(
+        F.col("p").alias("a"), F.col("x").alias("b"), F.col("y").alias("c")
+    )
+    member = (
+        tri.select(F.col("a").alias("part"))
+        .unionAll(tri.select(F.col("b").alias("part")))
+        .unionAll(tri.select(F.col("c").alias("part")))
+    )
+    return (
+        member.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), "part")
+        .limit(20)
+    )

@@ -266,3 +266,41 @@ def test_line_dedup_single_hash_and_doc_exchanges(spark):
     assert "CartesianProduct" not in plan
     # hash agg + keep join + doc_id agg + outer join + final sort
     assert _n_exchanges(df) <= 7
+
+
+def test_triangle_count_orientation_exact(spark, tmp_path):
+    """Crafted K4-plus-hub graph for plans/graph_queries.triangle_count:
+    K4 on parts 1-4 (each order pair duplicated so every edge clears
+    the >=2 co-occurrence bar) has exactly 4 triangles — 3 per node —
+    while a hub part co-ordered pairwise with 10 spokes contributes
+    NO triangle despite the highest degree. Degree-ordered
+    compact-forward must count each triangle exactly once (a naive
+    per-pivot wedge count would triple-count) and route all wedge
+    fan-out through the spokes, not the hub."""
+    import etl_sprint_2_5_spark.plans.graph_queries  # noqa: F401 — registers
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+
+    import datetime as dt
+
+    pairs = []
+    for ok in (101, 102):  # K4 twice -> all 6 edges have df 2
+        pairs += [(ok, p) for p in (1, 2, 3, 4)]
+    for i, spoke in enumerate(range(20, 30)):  # hub 10: pair orders only
+        for ok in (200 + 2 * i, 201 + 2 * i):
+            pairs += [(ok, 10), (ok, spoke)]
+    rows = [
+        (ok, pk, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", dt.datetime(2024, 1, 1))
+        for ok, pk in pairs
+    ]
+    spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    got = [
+        (r["part"], r["n_triangles"])
+        for r in REGISTRY["triangle_count"].fn(spark, str(tmp_path)).collect()
+    ]
+    assert got == [(1, 3), (2, 3), (3, 3), (4, 3)], got

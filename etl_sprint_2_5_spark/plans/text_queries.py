@@ -1075,3 +1075,119 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 20)
         .orderBy("rank")
     )
+
+
+@query(
+    "gopher_quality_gate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, text, {_DUCK_TOKS} AS tk FROM documents
+    ), feat AS (
+      SELECT source,
+             len(tk) AS n,
+             coalesce(list_aggregate(list_transform(tk, t -> len(t)), 'sum'), 0) AS sum_len,
+             (length(text) - length(replace(text, '#', '')))
+               + (length(text) - length(replace(text, '...', ''))) // 3 AS syms,
+             len(list_filter(tk, t -> regexp_matches(t, '[a-z]'))) AS alpha,
+             len(list_filter(tk, t -> list_contains(
+               ['the','be','to','of','and','that','have','with'], t))) AS stops
+      FROM toks
+    ), flags AS (
+      SELECT source,
+             (n < 50 OR n > 100000)                 AS f_wc,
+             (sum_len < 3 * n OR sum_len > 10 * n)  AS f_mwl,
+             (syms * 10 > n)                        AS f_sym,
+             (alpha * 5 < n * 4)                    AS f_alpha,
+             (stops < 2)                            AS f_stop
+      FROM feat
+    )
+    SELECT source,
+           count(*)                                  AS n_docs,
+           count(*) FILTER (f_wc)                    AS fail_word_count,
+           count(*) FILTER (f_mwl)                   AS fail_mean_word_len,
+           count(*) FILTER (f_sym)                   AS fail_symbol_ratio,
+           count(*) FILTER (f_alpha)                 AS fail_alpha_words,
+           count(*) FILTER (f_stop)                  AS fail_stopwords,
+           count(*) FILTER (NOT (f_wc OR f_mwl OR f_sym OR f_alpha OR f_stop))
+                                                     AS n_pass_all
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+    covers=("X-text-gopher",),
+)
+def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher rule-based quality gate (Rae et al. 2021 §A1.1, the
+    published pre-filter the C4/MassiveText lineage runs before any
+    model-based scoring), rolled up per source: word count in
+    [50, 1e5], mean word length in [3, 10], symbol-to-word ratio
+    (# or ...) <= 0.1, >= 80% of words contain an alphabetic
+    character, and >= 2 occurrences of the paper's eight stop words.
+    The two line-shape rules (bullet / ellipsis line fractions) are
+    omitted: the fixture corpus is single-line, so they cannot bind —
+    the five implemented rules are the ones with discriminating power
+    here (word-count and stop-word gates genuinely split this corpus).
+
+    Every threshold is evaluated by integer cross-multiplication
+    (sum_len < 3n, alpha*5 < n*4, syms*10 > n) so no float division
+    crosses the oracle hash gate, and the whole query is one codegen
+    pass over the text column plus a single source-level aggregate —
+    at 100x it reads one column, shuffles five counters per source."""
+    from etl_sprint_2_5_spark.functions.text import tokenize
+
+    d = load_documents_spread(spark, sf_dir)
+    tk = tokenize(F.col("text"))
+    n = F.size(tk)
+    sum_len = F.coalesce(
+        F.aggregate(
+            F.transform(tk, lambda t: F.length(t).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ),
+        F.lit(0).cast("long"),
+    )
+    syms = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    ) + (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ).cast("long") / F.lit(3)
+    syms = syms.cast("long")
+    alpha = F.size(F.filter(tk, lambda t: t.rlike("[a-z]")))
+    stops = F.size(
+        F.filter(
+            tk,
+            lambda t: t.isin("the", "be", "to", "of", "and", "that", "have", "with"),
+        )
+    )
+    flags = d.select(
+        "source",
+        ((n < 50) | (n > 100000)).alias("f_wc"),
+        ((sum_len < 3 * n) | (sum_len > 10 * n)).alias("f_mwl"),
+        (syms * 10 > n).alias("f_sym"),
+        (alpha * 5 < n * 4).alias("f_alpha"),
+        (stops < 2).alias("f_stop"),
+    )
+    cnt = lambda c: F.sum(F.col(c).cast("long"))  # noqa: E731
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            cnt("f_wc").alias("fail_word_count"),
+            cnt("f_mwl").alias("fail_mean_word_len"),
+            cnt("f_sym").alias("fail_symbol_ratio"),
+            cnt("f_alpha").alias("fail_alpha_words"),
+            cnt("f_stop").alias("fail_stopwords"),
+            F.sum(
+                (
+                    ~(
+                        F.col("f_wc")
+                        | F.col("f_mwl")
+                        | F.col("f_sym")
+                        | F.col("f_alpha")
+                        | F.col("f_stop")
+                    )
+                ).cast("long")
+            ).alias("n_pass_all"),
+        )
+        .orderBy("source")
+    )

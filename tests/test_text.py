@@ -174,3 +174,39 @@ def test_language_id_cjk_script_detection(spark):
     assert got["zh2"] == "zh"  # majority-CJK mixed doc
     assert got["en1"] == "en"
     assert got["mix"] != "zh"  # 2 ideographs in ~50 chars is below 10%
+
+
+def test_gopher_gate_rule_boundaries(spark, tmp_path):
+    """Each Gopher rule fires on exactly the crafted doc built to
+    violate it, with boundary values sitting on the published
+    thresholds (49 vs 50 words, mean word length exactly 3.0 passes,
+    exactly 2 stop words pass)."""
+    import etl_sprint_2_5_spark.plans.text_queries  # noqa: F401
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+
+    docs = [
+        # short: 49 words -> word-count fail (and 0 stops -> stop fail)
+        (1, " ".join(["abc"] * 49)),
+        # clean: 48x abc + 2 stop words = 50 words, mean len 3.0 -> pass all
+        (2, " ".join(["abc"] * 48 + ["the", "the"])),
+        # squashed: 50 two-char words -> mean word length 2 < 3 fail
+        (3, " ".join(["ab"] * 48 + ["the", "the"])),
+        # numeric: no alphabetic words -> alpha fail (plus stop fail)
+        (4, " ".join(["123"] * 50)),
+        # symbol soup: 10 '#' over 50 words -> symbol ratio 0.2 > 0.1 fail
+        (5, " ".join(["abc"] * 48 + ["the", "the"]) + " ##########"),
+    ]
+    rows = [(i, t, "en", "s", len(t)) for i, t in docs]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    (r,) = REGISTRY["gopher_quality_gate"].fn(spark, str(tmp_path)).collect()
+    assert (
+        r["n_docs"],
+        r["fail_word_count"],
+        r["fail_mean_word_len"],
+        r["fail_symbol_ratio"],
+        r["fail_alpha_words"],
+        r["fail_stopwords"],
+        r["n_pass_all"],
+    ) == (5, 1, 1, 1, 1, 2, 1), dict(r.asDict())

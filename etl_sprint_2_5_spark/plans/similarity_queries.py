@@ -1062,3 +1062,88 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= _K)
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "streaming_ann_topk",
+    oracle=None,  # set below — identical to ann_ivf_topk's oracle
+    covers=("X-ann-live",),
+)
+def streaming_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LIVE serving twin of ann_ivf_topk, hash-gated by the SAME
+    oracle: query vectors arrive as a two-file Structured Streaming
+    feed and each micro-batch is IVF-searched against the static
+    prepared index (trained centroids + cached corpus assignment)
+    inside foreachBatch — the continuous-queries-over-frozen-index
+    shape of a vector-serving deployment, and the streaming
+    counterpart of ann_index_upsert_topk's frozen-centroid contract.
+
+    Per batch: assign the arriving queries to their nearest trained
+    cell with the zero-shuffle Arrow gemm pass, probe only that cell,
+    and write the batch's top-k to a deterministic batch_id
+    subdirectory in overwrite mode (the idempotent-retry idiom of
+    streaming/doc_dedup.py — a retried batch rewrites, never
+    duplicates). Queries are row-independent, so the union over
+    micro-batches is cell-for-cell the batch answer: one oracle
+    binds both execution modes. The corpus-side assignment is
+    computed ONCE and cached across batches; at scale it is the
+    persisted cell-partitioned index and each micro-batch touches
+    only the probed cells' partitions."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.artifacts import prepared_ivf_centroids
+    from etl_sprint_2_5_spark.operators.similarity import (
+        assign_cells_gemm,
+        ivf_topk,
+    )
+
+    e = load_table(spark, "embeddings", sf_dir)
+    centroids = prepared_ivf_centroids(
+        spark, sf_dir, centroid_mod=_CENTROID_MOD, iters=_IVF_ITERS
+    )
+    assigned = assign_cells_gemm(e, centroids, "vec_id", "embedding").cache()
+
+    tmp = tempfile.mkdtemp(prefix="stream_ann_")
+    feed, out = f"{tmp}/feed", f"{tmp}/out"
+    qs = e.where(F.col("vec_id") < _N_QUERIES).select("vec_id", "embedding")
+    for half in (0, 1):
+        qs.where(F.col("vec_id") % 2 == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    def search_batch(batch_df, batch_id: int) -> None:
+        q_cells = assign_cells_gemm(batch_df, centroids, "vec_id", "embedding")
+        ivf_topk(assigned, q_cells, "vec_id", "embedding", _K).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/batch_id={batch_id}")
+
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(search_batch)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("streaming_ann_topk did not drain within 300s")
+    res = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(out)
+        .orderBy("query_id", "rank")
+    )
+    rows = spark.createDataFrame(res.collect(), res.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    assigned.unpersist()
+    return rows.orderBy("query_id", "rank")
+
+
+from etl_sprint_2_5_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["streaming_ann_topk"].oracle = _REG["ann_ivf_topk"].oracle

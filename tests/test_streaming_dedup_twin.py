@@ -47,3 +47,23 @@ def test_stream_dedup_equals_batch_and_merges_state(spark):
     assert len(both) >= 10, "fixture has no cross-batch keys?"
     for key, (mn, n) in both.items():
         assert got[key][0] == mn and got[key][2] == n, key
+
+
+def test_streaming_ann_equals_batch(spark):
+    """The live foreachBatch ANN serving twin must return cell-for-cell
+    the batch ann_ivf_topk answer: queries are row-independent, so
+    chopping them into micro-batches may not change a single
+    (query_id, neighbor_id, cos, rank) row."""
+    import etl_sprint_2_5_spark.plans.similarity_queries  # noqa: F401
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_SMOKE
+
+    batch = [
+        tuple(r)
+        for r in REGISTRY["ann_ivf_topk"].fn(spark, SF_SMOKE).collect()
+    ]
+    live = [
+        tuple(r)
+        for r in REGISTRY["streaming_ann_topk"].fn(spark, SF_SMOKE).collect()
+    ]
+    assert live == batch and len(live) > 0

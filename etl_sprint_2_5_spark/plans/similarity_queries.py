@@ -1147,3 +1147,78 @@ def streaming_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_sprint_2_5_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["streaming_ann_topk"].oracle = _REG["ann_ivf_topk"].oracle
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             a.label AS neighbor_label,
+             {_DUCK_COS} AS cos
+      FROM embeddings a, embeddings q
+      WHERE q.vec_id < {_N_QUERIES}
+        AND a.vec_id <> q.vec_id
+        AND a.label <> q.label
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, neighbor_label, cos, rank
+    FROM ranked WHERE rank <= {_K}
+    ORDER BY query_id, rank
+    """,
+    covers=("X-ann-hard-negatives",),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive/embedding training: per
+    anchor, the top-k most-similar vectors carrying a DIFFERENT
+    label — the pairs that actually move a contrastive loss, mined
+    corpus-wide (the batch-hard strategy of the public
+    in-batch-negatives literature, e.g. Robinson et al. 2021).
+
+    The label-mismatch predicate rides INSIDE the broadcast join
+    condition, so every corpus row scores only against the anchors it
+    could serve as a negative for — the filter runs before the Arrow
+    cosine, not after ranking (filter-then-score, the same
+    push-below-the-expensive-op rule as ann_filtered_topk). Anchors
+    ship as one broadcast; the corpus is scanned once with no
+    shuffle before the final per-anchor top-k window. At 100x the
+    same shape holds, or the scan composes with the IVF cell pruning
+    of ivf_search for an approximate variant."""
+    from etl_sprint_2_5_spark.operators.dedup import cosine_pandas
+    from etl_sprint_2_5_spark.operators.similarity import round6_col
+
+    e = load_table(spark, "embeddings", sf_dir)
+    anchors = e.where(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("_qv"),
+        F.col("label").alias("_qlabel"),
+    )
+    corpus = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("_cv"),
+        F.col("label").alias("neighbor_label"),
+    )
+    scored = corpus.join(
+        F.broadcast(anchors),
+        (F.col("neighbor_id") != F.col("query_id"))
+        & (F.col("neighbor_label") != F.col("_qlabel")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        "neighbor_label",
+        round6_col(cosine_pandas("_qv", "_cv")).alias("cos"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _K)
+        .select("query_id", "neighbor_id", "neighbor_label", "cos", "rank")
+        .orderBy("query_id", "rank")
+    )

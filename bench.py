@@ -83,6 +83,10 @@ HEADLINE = [
     "line_dedup_clean",
     "hybrid_retrieval_rrf",
     "training_shard_pipeline",
+    "triangle_count",
+    "gopher_quality_gate",
+    "salted_skew_join",
+    "hard_negative_mining",
 ]
 
 

@@ -310,12 +310,14 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree table rides in as a broadcast; wedge-close is one shuffle
     on the (v, w) pair key."""
     li = load_table(spark, "lineitem", sf_dir)
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
     from etl_sprint_2_5_spark.operators.dedup import pairs_within_bucket
 
+    # collect_set dedups (order, part) inside the basket aggregate, so
+    # the separate distinct shuffle the oracle's CTE implies is fused
+    # away: basket build + pair expansion is ONE exchange on l_orderkey
     und = (
-        baskets.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_list("l_partkey")).alias("parts"))
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
         .select(F.explode(pairs_within_bucket(F.col("parts"))).alias("p"))
         .select(F.col("p.id_a").alias("u"), F.col("p.id_b").alias("v"))
         .groupBy("u", "v")
@@ -337,11 +339,14 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     u_first = (F.col("deg_u") < F.col("deg_v")) | (
         (F.col("deg_u") == F.col("deg_v")) & (F.col("u") < F.col("v"))
     )
+    # cache: e1/e2/closing all read the oriented list — without this
+    # the rank join recomputes three times and the printed plan (and
+    # the runtime) triples
     oriented = ranked.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("lo"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("hi"),
         F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_hi"),
-    )
+    ).cache()
     e1 = oriented.select(
         F.col("lo").alias("p"), F.col("hi").alias("x"), F.col("deg_hi").alias("dx")
     )

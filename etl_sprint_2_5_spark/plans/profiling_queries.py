@@ -10,6 +10,7 @@ declaratively.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.operators.profile import (
     k_anonymity_audit,
@@ -130,3 +131,137 @@ def cms_event_type_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, keys, "event_type", width=512, depth=4).orderBy(
         "event_type"
     )
+
+
+@query(
+    "expectation_audit",
+    oracle="""
+    SELECT 'lineitem_discount_range' AS check_name,
+           (SELECT count(*) FROM lineitem) AS n_checked,
+           count(*) AS n_violations
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1
+    UNION ALL
+    SELECT 'lineitem_fk_orders',
+           (SELECT count(*) FROM lineitem),
+           count(*)
+    FROM lineitem l WHERE NOT EXISTS
+      (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_pk_unique',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem)
+             - (SELECT count(*) FROM
+                 (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+    UNION ALL
+    SELECT 'lineitem_quantity_range',
+           (SELECT count(*) FROM lineitem),
+           count(*)
+    FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50
+    UNION ALL
+    SELECT 'orders_custkey_fk_customer',
+           (SELECT count(*) FROM orders),
+           count(*)
+    FROM orders o WHERE NOT EXISTS
+      (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'orders_orderkey_unique',
+           (SELECT count(*) FROM orders),
+           (SELECT count(*) FROM orders)
+             - (SELECT count(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           (SELECT count(*) FROM orders),
+           count(*)
+    FROM orders WHERE o_totalprice <= 0
+    ORDER BY check_name
+    """,
+    covers=("P8", "X-profile-expectations"),
+)
+def expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectation suite over the warehouse (the public
+    Deequ/Great-Expectations shape; warehouse-side descendant of the
+    reference's per-row pydantic validation, postgres_to_es/models.py):
+    uniqueness, referential integrity, and range constraints audited
+    as whole-table counts — check_name, n_checked, n_violations.
+
+    Each range/uniqueness check folds into one aggregate over its
+    table's scan (count + conditional count + count-distinct share
+    one pass), and each FK check is a broadcast-able anti-join
+    projected to the key column only; the seven result rows union on
+    the driver. At 100x nothing changes: no check moves row data —
+    only per-check counters — and a violation SAMPLE (first k
+    offending keys) would bolt onto the same scans via a limit."""
+    li = load_table(spark, "lineitem", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    F_ = F
+
+    def one(name: str, checked, violations) -> DataFrame:
+        return checked.crossJoin(violations).select(
+            F_.lit(name).alias("check_name"),
+            F_.col("n_checked"),
+            F_.col("n_violations"),
+        )
+
+    li_n = li.agg(F_.count(F_.lit(1)).alias("n_checked"))
+    o_n = o.agg(F_.count(F_.lit(1)).alias("n_checked"))
+    checks = [
+        one(
+            "lineitem_discount_range",
+            li_n,
+            li.where(
+                (F_.col("l_discount") < 0) | (F_.col("l_discount") > 0.1)
+            ).agg(F_.count(F_.lit(1)).alias("n_violations")),
+        ),
+        one(
+            "lineitem_fk_orders",
+            li_n,
+            li.select("l_orderkey")
+            .join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti")
+            .agg(F_.count(F_.lit(1)).alias("n_violations")),
+        ),
+        one(
+            "lineitem_pk_unique",
+            li_n,
+            li.agg(
+                (
+                    F_.count(F_.lit(1))
+                    - F_.countDistinct("l_orderkey", "l_linenumber")
+                ).alias("n_violations")
+            ),
+        ),
+        one(
+            "lineitem_quantity_range",
+            li_n,
+            li.where(
+                (F_.col("l_quantity") < 1) | (F_.col("l_quantity") > 50)
+            ).agg(F_.count(F_.lit(1)).alias("n_violations")),
+        ),
+        one(
+            "orders_custkey_fk_customer",
+            o_n,
+            o.select("o_custkey")
+            .join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti")
+            .agg(F_.count(F_.lit(1)).alias("n_violations")),
+        ),
+        one(
+            "orders_orderkey_unique",
+            o_n,
+            o.agg(
+                (F_.count(F_.lit(1)) - F_.countDistinct("o_orderkey")).alias(
+                    "n_violations"
+                )
+            ),
+        ),
+        one(
+            "orders_totalprice_positive",
+            o_n,
+            o.where(F_.col("o_totalprice") <= 0).agg(
+                F_.count(F_.lit(1)).alias("n_violations")
+            ),
+        ),
+    ]
+    out = checks[0]
+    for df in checks[1:]:
+        out = out.unionAll(df)
+    return out.orderBy("check_name")

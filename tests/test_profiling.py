@@ -79,3 +79,60 @@ def test_unigram_nll_empty_docs_dropped(spark):
     )
     out = unigram_nll(docs, "text", "doc_id").collect()
     assert {r["doc_id"] for r in out} == {1}
+
+
+def test_expectation_audit_catches_planted_violations(spark, tmp_path):
+    """Every check in the Deequ-style suite fires on exactly its
+    planted violation: a duplicated order key, an orphan o_custkey,
+    an orphan l_orderkey, one negative price, one out-of-range
+    quantity and discount, and a duplicated (orderkey, linenumber)."""
+    import datetime as dt
+
+    import etl_sprint_2_5_spark.plans.profiling_queries  # noqa: F401
+    from etl_sprint_2_5_spark.plans.registry import REGISTRY
+
+    d0 = dt.datetime(2024, 1, 1)
+    orders = [
+        (1, 10, "O", 100.0, d0, "1-URGENT"),
+        (1, 10, "O", 100.0, d0, "1-URGENT"),  # dup orderkey (2 extra rows -> 1 violation)
+        (2, 99, "O", 100.0, d0, "1-URGENT"),  # orphan custkey
+        (3, 10, "F", -5.0, d0, "1-URGENT"),   # non-positive price
+    ]
+    lineitem = [
+        (1, 1, 1, 1, 10.0, 1.0, 0.05, 0.0, "N", "O", d0),
+        (1, 1, 1, 1, 10.0, 1.0, 0.05, 0.0, "N", "O", d0),  # dup pk
+        (9, 1, 1, 2, 10.0, 1.0, 0.05, 0.0, "N", "O", d0),  # orphan orderkey
+        (2, 1, 1, 3, 99.0, 1.0, 0.05, 0.0, "N", "O", d0),  # quantity > 50
+        (3, 1, 1, 4, 10.0, 1.0, 0.50, 0.0, "N", "O", d0),  # discount > 0.1
+    ]
+    customer = [(10, "c10", 1, 0.0, "BUILDING")]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        lineitem,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate timestamp",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/lineitem.parquet")
+    spark.createDataFrame(
+        customer,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    ).write.mode("overwrite").parquet(f"{tmp_path}/customer.parquet")
+    got = {
+        r["check_name"]: (r["n_checked"], r["n_violations"])
+        for r in REGISTRY["expectation_audit"].fn(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "lineitem_discount_range": (5, 1),
+        "lineitem_fk_orders": (5, 1),
+        "lineitem_pk_unique": (5, 1),
+        "lineitem_quantity_range": (5, 1),
+        "orders_custkey_fk_customer": (4, 1),
+        "orders_orderkey_unique": (4, 1),
+        "orders_totalprice_positive": (4, 1),
+    }, got

@@ -1607,3 +1607,116 @@ def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "lsh_recall_report",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM toks
+    ), hsh AS (
+      SELECT doc_id,
+             list_transform(shingles,
+                 s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+      FROM sh
+    ), ex AS (
+      SELECT doc_id, unnest(hs) AS s FROM hsh
+    ), dfc AS (
+      SELECT s, count(*) AS df FROM ex GROUP BY s
+    ), kept AS (
+      SELECT ex.doc_id, ex.s
+      FROM ex JOIN dfc ON ex.s = dfc.s AND dfc.df <= {MAX_SHINGLE_DF}
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+    ), co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), true_pairs AS (
+      SELECT id_a, id_b FROM co
+      JOIN sz la ON la.doc_id = co.id_a
+      JOIN sz lb ON lb.doc_id = co.id_b
+      WHERE round(inter::DOUBLE / (la.n + lb.n - inter), 4) >= 0.5
+    ), mh AS (
+      SELECT doc_id, t.seed,
+             list_min(list_transform(hs,
+                 h -> (t.a * (h % 2147483647) + t.b) % 2147483647)) AS minh
+      FROM hsh, (VALUES {_DUCK_PERMS}) AS t(seed, a, b)
+    ), bands AS (
+      SELECT doc_id, seed // 3 AS band,
+             string_agg(minh::VARCHAR, ',' ORDER BY seed) AS band_key
+      FROM mh GROUP BY doc_id, seed // 3
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ), hits AS (
+      SELECT t.id_a FROM true_pairs t
+      JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+    ), stats AS (
+      SELECT (SELECT count(*) FROM true_pairs) AS nt,
+             (SELECT count(*) FROM cand)       AS nc,
+             (SELECT count(*) FROM hits)       AS nh
+    )
+    SELECT nt AS n_true_pairs, nc AS n_lsh_candidates, nh AS n_hits,
+           CASE WHEN nt = 0 THEN 0 ELSE nh * 1000000 // nt END AS recall_ppm,
+           CASE WHEN nc = 0 THEN 0 ELSE nh * 1000000 // nc END AS precision_ppm
+    FROM stats
+    """,
+    covers=("X-dedup-lsh-audit",),
+)
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-of-approximation audit for the LSH dedup path, AS a
+    query: ground truth = the inverted-index exact-Jaccard pairs
+    (dedup_ngram_jaccard's capped-postings semantics, J >= 0.5),
+    approximation = the MinHash 4x3 band candidates BEFORE verify;
+    reported as integer counts plus recall/precision in ppm (BIGINT
+    div — no float crosses the gate).
+
+    This is the measurement a production dedup pipeline runs when
+    tuning bands x rows: recall tells you what the banding loses at
+    the threshold, precision tells you what the verify stage pays.
+    Both sides reuse the prepared shingle-index artifact and the
+    truth side is the capped postings join — the audit costs the same
+    as running the two dedup queries it compares, never all-pairs.
+    (tests/test_property_round5.py's banding property pins the
+    analytic r=1.0 losslessness case; this query measures the real
+    corpus at r=0.5+.)"""
+    from etl_sprint_2_5_spark.artifacts import prepared_shingle_index
+    from etl_sprint_2_5_spark.operators.dedup import (
+        inverted_index_jaccard,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    sh = prepared_shingle_index(spark, sf_dir).cache()
+    true_pairs = inverted_index_jaccard(
+        sh, "doc_id", "hs", threshold=0.5, max_df=MAX_SHINGLE_DF
+    ).select("id_a", "id_b")
+    cand = lsh_candidate_pairs(
+        minhash_signature(sh, num_hashes=12),
+        "doc_id",
+        num_hashes=12,
+        rows_per_band=3,
+    ).cache()
+    hits = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
+    nt = true_pairs.agg(F.count(F.lit(1)).alias("nt"))
+    nc = cand.agg(F.count(F.lit(1)).alias("nc"))
+    nh = hits.agg(F.count(F.lit(1)).alias("nh"))
+    return (
+        nt.crossJoin(nc)
+        .crossJoin(nh)
+        .select(
+            F.col("nt").alias("n_true_pairs"),
+            F.col("nc").alias("n_lsh_candidates"),
+            F.col("nh").alias("n_hits"),
+            F.when(F.col("nt") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("nh * 1000000 div nt"))
+            .alias("recall_ppm"),
+            F.when(F.col("nc") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("nh * 1000000 div nc"))
+            .alias("precision_ppm"),
+        )
+    )

@@ -1153,3 +1153,65 @@ def price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "pivot_unpivot_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           count(*)                    AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY o_orderpriority, o_orderstatus
+    ORDER BY o_orderpriority, o_orderstatus
+    """,
+    covers=("X-olap-unpivot",),
+)
+def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide→long with df.unpivot (the melt half the pivot family was
+    missing), proven by ROUND-TRIP: the status×priority matrix from
+    status_priority_pivot's shape is melted back to long form and the
+    oracle is simply the plain long GROUP BY — if either direction
+    bent a cell, the hash gate fails. Empty (status, priority)
+    combinations the pivot materialized as zero-count cells are
+    filtered back out, since the long form never had them.
+
+    unpivot is a zero-shuffle Expand on the already-aggregated wide
+    table (3 columns→rows per input row), so the round-trip costs the
+    pivot's single hash aggregate — the cheap direction at any
+    scale."""
+    o = load_table(spark, "orders", sf_dir)
+    wide = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("rev"),
+        )
+    )
+    counts = wide.unpivot(
+        ["o_orderpriority"],
+        ["F_n", "O_n", "P_n"],
+        "status_col",
+        "n_orders",
+    ).select(
+        "o_orderpriority",
+        F.substring("status_col", 1, 1).alias("o_orderstatus"),
+        "n_orders",
+    )
+    revs = wide.unpivot(
+        ["o_orderpriority"],
+        ["F_rev", "O_rev", "P_rev"],
+        "rev_col",
+        "revenue",
+    ).select(
+        "o_orderpriority",
+        F.substring("rev_col", 1, 1).alias("o_orderstatus"),
+        "revenue",
+    )
+    return (
+        counts.join(revs, ["o_orderpriority", "o_orderstatus"])
+        .where(F.col("n_orders").isNotNull() & (F.col("n_orders") > 0))
+        .select("o_orderpriority", "o_orderstatus", "n_orders", "revenue")
+        .orderBy("o_orderpriority", "o_orderstatus")
+    )

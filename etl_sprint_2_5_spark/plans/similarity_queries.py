@@ -1222,3 +1222,90 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", "neighbor_label", "cos", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "ann_recall_report",
+    oracle=f"""
+    WITH {_ivf_trained_ctes(_IVF_ITERS)}, assigned AS (
+      SELECT vec_id, embedding, centroid_id FROM (
+        SELECT a.vec_id, a.embedding, c.centroid_id,
+               row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_cosine_similarity(
+                   a.embedding::DOUBLE[], c.emb), 6) DESC,
+                   c.centroid_id) AS rn
+        FROM embeddings a, cent{_IVF_ITERS} c
+      ) WHERE rn = 1
+    ), ivf_scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {_DUCK_COS} AS cos
+      FROM assigned a JOIN assigned q ON a.centroid_id = q.centroid_id
+      WHERE q.vec_id < {_N_QUERIES} AND a.vec_id <> q.vec_id
+    ), ivf_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM ivf_scored
+      ) WHERE rank <= {_K}
+    ), brute_scored AS (
+      SELECT q.vec_id AS query_id, a.vec_id AS neighbor_id,
+             {_DUCK_COS} AS cos
+      FROM embeddings a, embeddings q
+      WHERE q.vec_id < {_N_QUERIES} AND a.vec_id <> q.vec_id
+    ), brute_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS rank
+        FROM brute_scored
+      ) WHERE rank <= {_K}
+    ), hits AS (
+      SELECT b.query_id FROM brute_topk b
+      JOIN ivf_topk i ON i.query_id = b.query_id
+                     AND i.neighbor_id = b.neighbor_id
+    ), stats AS (
+      SELECT (SELECT count(*) FROM brute_topk) AS nb,
+             (SELECT count(*) FROM ivf_topk)   AS ni,
+             (SELECT count(*) FROM hits)       AS nh
+    )
+    SELECT nb AS n_true_topk, ni AS n_ivf_topk, nh AS n_hits,
+           CASE WHEN nb = 0 THEN 0 ELSE nh * 1000000 // nb END AS recall_ppm
+    FROM stats
+    """,
+    covers=("X-ann-recall-audit",),
+)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit for the IVF path, AS an oracle-gated query —
+    the serving-quality measurement next to lsh_recall_report's dedup
+    twin: brute-force top-k is the ground truth, nprobe=1 IVF is the
+    approximation, and the overlap lands as integer counts + BIGINT-
+    div ppm recall. tests/test_ann_recall.py sweeps the nprobe dial
+    (1/2/4 -> monotone recall to the all-cells ceiling of exactly
+    1.0); this query pins the operating point's number under the
+    cross-engine hash gate so an index or analyzer regression that
+    silently degrades recall fails verification, not just a
+    statistical test. Costs one brute pass over the corpus (the
+    truth) plus the cell-pruned probe — the same price as running
+    the two queries it compares."""
+    e = load_table(spark, "embeddings", sf_dir)
+    queries = e.where(F.col("vec_id") < _N_QUERIES)
+    brute = brute_force_topk_gemm(
+        e, queries, "vec_id", "embedding", _K
+    ).select("query_id", "neighbor_id")
+    ivf = ivf_search(spark, sf_dir, nprobe=1).select("query_id", "neighbor_id")
+    hits = brute.join(ivf, ["query_id", "neighbor_id"], "left_semi")
+    nb = brute.agg(F.count(F.lit(1)).alias("nb"))
+    ni = ivf.agg(F.count(F.lit(1)).alias("ni"))
+    nh = hits.agg(F.count(F.lit(1)).alias("nh"))
+    return (
+        nb.crossJoin(ni)
+        .crossJoin(nh)
+        .select(
+            F.col("nb").alias("n_true_topk"),
+            F.col("ni").alias("n_ivf_topk"),
+            F.col("nh").alias("n_hits"),
+            F.when(F.col("nb") == 0, F.lit(0).cast("long"))
+            .otherwise(F.expr("nh * 1000000 div nb"))
+            .alias("recall_ppm"),
+        )
+    )

@@ -1720,3 +1720,140 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("precision_ppm"),
         )
     )
+
+
+def _sweep_band_ctes(r: int) -> str:
+    """Band/candidate CTE pair for a 12-hash signature cut into
+    rows_per_band=r (suffix _r to keep names distinct in one WITH)."""
+    return f"""bands_{r} AS (
+      SELECT doc_id, seed // {r} AS band,
+             string_agg(minh::VARCHAR, ',' ORDER BY seed) AS band_key
+      FROM mh GROUP BY doc_id, seed // {r}
+    ), cand_{r} AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands_{r} a JOIN bands_{r} b
+        ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )"""
+
+
+def _sweep_row_sql(r: int) -> str:
+    n_bands = 12 // r
+    return f"""
+    SELECT '{n_bands}x{r}' AS config,
+           (SELECT count(*) FROM true_pairs) AS n_true_pairs,
+           (SELECT count(*) FROM cand_{r})   AS n_candidates,
+           (SELECT count(*) FROM true_pairs t
+             JOIN cand_{r} c ON c.id_a = t.id_a AND c.id_b = t.id_b) AS n_hits"""
+
+
+@query(
+    "lsh_band_sweep",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), sh AS (
+      SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM toks
+    ), hsh AS (
+      SELECT doc_id,
+             list_transform(shingles,
+                 s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+      FROM sh
+    ), ex AS (
+      SELECT doc_id, unnest(hs) AS s FROM hsh
+    ), dfc AS (
+      SELECT s, count(*) AS df FROM ex GROUP BY s
+    ), kept AS (
+      SELECT ex.doc_id, ex.s
+      FROM ex JOIN dfc ON ex.s = dfc.s AND dfc.df <= {MAX_SHINGLE_DF}
+    ), sz AS (
+      SELECT doc_id, count(*) AS n FROM kept GROUP BY doc_id
+    ), co AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), true_pairs AS (
+      SELECT id_a, id_b FROM co
+      JOIN sz la ON la.doc_id = co.id_a
+      JOIN sz lb ON lb.doc_id = co.id_b
+      WHERE round(inter::DOUBLE / (la.n + lb.n - inter), 4) >= 0.5
+    ), mh AS (
+      SELECT doc_id, t.seed,
+             list_min(list_transform(hs,
+                 h -> (t.a * (h % 2147483647) + t.b) % 2147483647)) AS minh
+      FROM hsh, (VALUES {_DUCK_PERMS}) AS t(seed, a, b)
+    ), {", ".join(_sweep_band_ctes(r) for r in (2, 3, 4, 6))},
+    raw AS ({" UNION ALL ".join(_sweep_row_sql(r) for r in (2, 3, 4, 6))})
+    SELECT config, n_true_pairs, n_candidates, n_hits,
+           CASE WHEN n_true_pairs = 0 THEN 0
+                ELSE n_hits * 1000000 // n_true_pairs END AS recall_ppm,
+           CASE WHEN n_candidates = 0 THEN 0
+                ELSE n_hits * 1000000 // n_candidates END AS precision_ppm
+    FROM raw
+    ORDER BY config
+    """,
+    covers=("X-dedup-lsh-sweep",),
+)
+def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bands×rows TUNING CURVE in one pass: every way to cut the
+    12-hash MinHash signature (6x2, 4x3, 3x4, 2x6) banded and scored
+    against the same capped-postings exact-Jaccard truth — the sweep
+    an operator runs before fixing the dedup operating point, as one
+    oracle-gated query. More bands with fewer rows -> higher recall,
+    more candidates (the S-curve steepens left); the fixture corpus
+    shows the monotone candidate growth and the recall ordering
+    directly in the four rows.
+
+    The expensive inputs are computed ONCE and shared: one shingle
+    pass (the prepared artifact), one 12-permutation signature, one
+    truth join; each config re-cuts the cached signature — banding
+    itself is a per-row transform, so the sweep costs one extra
+    band-key shuffle per config, never a new corpus scan. Recall and
+    precision land as BIGINT-div ppm."""
+    from etl_sprint_2_5_spark.artifacts import prepared_shingle_index
+    from etl_sprint_2_5_spark.operators.dedup import (
+        inverted_index_jaccard,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    sh = prepared_shingle_index(spark, sf_dir).cache()
+    true_pairs = (
+        inverted_index_jaccard(
+            sh, "doc_id", "hs", threshold=0.5, max_df=MAX_SHINGLE_DF
+        )
+        .select("id_a", "id_b")
+        .cache()
+    )
+    signed = minhash_signature(sh, num_hashes=12).cache()
+    rows = []
+    for r in (2, 3, 4, 6):
+        cand = lsh_candidate_pairs(
+            signed, "doc_id", num_hashes=12, rows_per_band=r
+        ).cache()
+        hits = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
+        rows.append(
+            true_pairs.agg(F.count(F.lit(1)).alias("n_true_pairs"))
+            .crossJoin(cand.agg(F.count(F.lit(1)).alias("n_candidates")))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select(
+                F.lit(f"{12 // r}x{r}").alias("config"),
+                "n_true_pairs",
+                "n_candidates",
+                "n_hits",
+            )
+        )
+    out = rows[0]
+    for df in rows[1:]:
+        out = out.unionAll(df)
+    return out.select(
+        "config",
+        "n_true_pairs",
+        "n_candidates",
+        "n_hits",
+        F.when(F.col("n_true_pairs") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("n_hits * 1000000 div n_true_pairs"))
+        .alias("recall_ppm"),
+        F.when(F.col("n_candidates") == 0, F.lit(0).cast("long"))
+        .otherwise(F.expr("n_hits * 1000000 div n_candidates"))
+        .alias("precision_ppm"),
+    ).orderBy("config")

@@ -1239,3 +1239,76 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_update_mode_counts",
+    oracle="""
+    SELECT event_type,
+           count(*)                                  AS n_events,
+           CAST(sum(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT)                           AS n_first_batch
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    covers=("X-stream-update-live",),
+)
+def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE output mode — the third of Spark's three streaming
+    output semantics, and the one the other live twins don't
+    exercise (complete re-emits everything, append only emits
+    finalized rows; update emits exactly the keys TOUCHED this
+    batch). The memory sink therefore accumulates one row per
+    (key, batch-that-changed-it); because per-key counts only grow,
+    the final state is recovered deterministically as the per-key MAX
+    over emitted rows — and the first batch's emission (= the even
+    event_id half's count, before the second batch arrives) is ALSO
+    pinned, as the per-key MIN: the oracle checks not just the final
+    totals but that update mode really emitted the intermediate
+    state. At scale update mode is the changelog-to-upsert-sink
+    shape: per batch it ships only changed keys, never the full
+    state (complete) and without append's watermark-finalization
+    latency."""
+    import os
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="stream_update_")
+    feed = f"{tmp}/feed"
+    for half in (0, 1):
+        ev.where(F.col("event_id") % 2 == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    stream = (
+        spark.readStream.schema("event_id long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    sink = f"t_{os.path.basename(tmp)}"
+    q = (
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(sink)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_or_raise(q, "streaming_update_mode_counts")
+    out = (
+        spark.table(sink)
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.min("n").alias("n_first_batch"),
+        )
+        .orderBy("event_type")
+    )
+    res = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res.orderBy("event_type")

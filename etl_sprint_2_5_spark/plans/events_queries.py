@@ -1312,3 +1312,57 @@ def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(tmp, ignore_errors=True)
     return res.orderBy("event_type")
+
+
+@query(
+    "variant_props_rollup",
+    oracle="""
+    SELECT event_type,
+           count(*)                                          AS n_events,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT)                                   AS sum_k,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT)                                   AS min_k,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT)                                   AS max_k,
+           CAST(count(CASE WHEN json_extract_string(props, '$.missing')
+                           IS NULL THEN NULL ELSE 1 END) AS BIGINT)
+                                                             AS n_has_missing
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    covers=("X-variant",),
+)
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type: the
+    props JSON column is parsed ONCE with parse_json into the binary
+    variant encoding, then fields come out with try_variant_get —
+    the open-schema path next to json_extract_agg's per-path string
+    extraction (get_json_object re-parses the string per path; a
+    variant parses once and serves every subsequent access, the
+    difference that compounds when many fields leave one document).
+    A probe for an absent path ($.missing) returns NULL rather than
+    erroring — counted to pin the open-schema semantics. All outputs
+    are integer aggregates of the extracted field, so the oracle
+    (DuckDB json_extract arithmetic) is engine-exact."""
+    ev = load_table(spark, "events", sf_dir).select("event_type", "props")
+    v = ev.select(
+        "event_type",
+        F.parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        F.try_variant_get("v", "$.k", "long").alias("k"),
+        F.try_variant_get("v", "$.missing", "long").alias("m"),
+    )
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.min("k").cast("bigint").alias("min_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+            F.count("m").cast("bigint").alias("n_has_missing"),
+        )
+        .orderBy("event_type")
+    )

@@ -1215,3 +1215,55 @@ def pivot_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "o_orderstatus", "n_orders", "revenue")
         .orderBy("o_orderpriority", "o_orderstatus")
     )
+
+
+@query(
+    "observed_pipeline_metrics",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS rows_in,
+           CAST(sum(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END)
+                AS BIGINT)          AS rows_kept,
+           round(sum(CASE WHEN o_totalprice > 100000 THEN o_totalprice
+                          ELSE 0 END), 2) AS revenue_kept
+    FROM orders
+    """,
+    covers=("X-observe",),
+)
+def observed_pipeline_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pipeline observability via df.observe (the production metrics
+    hook the driver-side count()-everything anti-pattern replaces):
+    named aggregate metrics piggyback on the SAME pass that computes
+    the real result — no second scan, no extra action — and are read
+    off the Observation handle after the action fires. Here the
+    filter pipeline's input size, kept size, and kept revenue are
+    observed while the query computes its (discarded) filtered
+    result; the oracle recomputes the three metrics declaratively,
+    so the hash gate proves observe() saw every row exactly once.
+    At scale this is how an ETL job emits row-accounting metrics
+    without doubling its IO."""
+    from pyspark.sql import Observation
+
+    o = load_table(spark, "orders", sf_dir)
+    obs = Observation("pipeline_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_in"),
+        F.sum((F.col("o_totalprice") > 100000).cast("long")).alias("rows_kept"),
+        F.round(
+            F.sum(
+                F.when(F.col("o_totalprice") > 100000, F.col("o_totalprice"))
+                .otherwise(0.0)
+            ),
+            2,
+        ).alias("revenue_kept"),
+    )
+    # the action that drives the pass; the filtered frame is the real
+    # pipeline output, the metrics ride along
+    observed.where(F.col("o_totalprice") > 100000).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["rows_in"], m["rows_kept"], m["revenue_kept"])],
+        "rows_in long, rows_kept long, revenue_kept double",
+    )

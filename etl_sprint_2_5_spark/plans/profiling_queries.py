@@ -265,3 +265,63 @@ def expectation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in checks[1:]:
         out = out.unionAll(df)
     return out.orderBy("check_name")
+
+
+@query(
+    "table_content_checksum",
+    oracle="""
+    WITH canon AS (
+      SELECT l_orderkey % 16 AS bucket,
+             ('0x' || substr(md5(
+                l_orderkey::VARCHAR || ':' || l_partkey::VARCHAR || ':'
+                || l_suppkey::VARCHAR || ':' || l_linenumber::VARCHAR || ':'
+                || CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)::VARCHAR
+             ), 1, 15))::BIGINT % 1000000007 AS h
+      FROM lineitem
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           count(*)               AS n_rows,
+           CAST(sum(h) AS BIGINT) AS checksum
+    FROM canon
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+    covers=("X-profile-checksum",),
+)
+def table_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent content checksum per key bucket — the
+    anti-entropy primitive for replica/backfill comparison (compare
+    16 checksums instead of 6M rows; a mismatched bucket localizes
+    the diff to 1/16th of the keyspace, recursing to a Merkle
+    drill-down at scale). Each row is canonically serialized from
+    INTEGER fields only (price goes through the cents fixed-point,
+    so no float formatting crosses the hash), md5'd, folded to
+    BIGINT mod 1e9+7, and SUMMED — commutative, so partition order,
+    shuffle order, and engine never change the checksum. One scan,
+    one 16-key aggregate; the map side pre-reduces everything."""
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    canon = F.concat_ws(
+        ":",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        cents.cast("string"),
+    )
+    h = (
+        F.conv(F.substring(F.md5(canon), 1, 15), 16, 10).cast("bigint")
+        % 1000000007
+    )
+    return (
+        li.select(
+            (F.col("l_orderkey") % 16).cast("bigint").alias("bucket"),
+            h.alias("h"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("h").cast("bigint").alias("checksum"),
+        )
+        .orderBy("bucket")
+    )

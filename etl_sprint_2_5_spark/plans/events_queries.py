@@ -1366,3 +1366,79 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "jsonl_ingest_quarantine",
+    oracle="""
+    SELECT event_type            AS bucket,
+           count(*)              AS n_rows,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                                 AS sum_cents
+    FROM events WHERE event_id % 97 <> 0
+    GROUP BY event_type
+    UNION ALL
+    SELECT '_CORRUPT_', count(*), CAST(0 AS BIGINT)
+    FROM events WHERE event_id % 97 = 0
+    ORDER BY bucket
+    """,
+    covers=("X-ingest-jsonl",),
+)
+def jsonl_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion with corrupt-record quarantine, END TO END
+    under the hash gate (sources/text_files.py was pytest-only): the
+    events table is staged as a JSONL feed in which every 97th
+    event_id's line is TRUNCATED mid-token, read back through the
+    PERMISSIVE schema-declared reader, split into clean rows and the
+    quarantine, and rolled up — clean rows by type with a cents
+    checksum (doubles survive the JSON round-trip bit-exactly via
+    shortest-round-trip serialization, so the checksum matches the
+    parquet-direct oracle), corrupt rows as one audited '_CORRUPT_'
+    bucket. The reject-sink pattern every file-drop ingestion needs:
+    bad lines never kill the job and never silently vanish — they
+    land countable. JSONL splits by line, so one big file still fans
+    out across executors."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.schemas import TESTDATA_SCHEMAS
+    from etl_sprint_2_5_spark.sources.text_files import (
+        read_jsonl,
+        split_corrupt,
+    )
+    from pyspark.sql.types import StructType
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    line = F.when(
+        F.col("event_id") % 97 == 0,
+        # truncated mid-token: unparseable, lands in _corrupt_record
+        F.concat(F.lit('{"event_id": '), F.col("event_id").cast("string"),
+                 F.lit(', "event_ty')),
+    ).otherwise(F.to_json(F.struct("event_id", "event_type", "value")))
+    tmp = tempfile.mkdtemp(prefix="jsonl_ingest_")
+    feed = f"{tmp}/feed"
+    ev.select(line.alias("value")).coalesce(4).write.mode("overwrite").text(feed)
+
+    schema = StructType(
+        [f for f in TESTDATA_SCHEMAS["events"].fields
+         if f.name in ("event_id", "event_type", "value")]
+    )
+    good, bad = split_corrupt(read_jsonl(spark, feed, schema))
+    clean = good.groupBy(F.col("event_type").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    quarantined = bad.agg(
+        F.lit("_CORRUPT_").alias("bucket"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(0).cast("bigint").alias("sum_cents"),
+    )
+    out = clean.unionAll(quarantined).orderBy("bucket")
+    res = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res.orderBy("bucket")

@@ -1442,3 +1442,76 @@ def jsonl_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(tmp, ignore_errors=True)
     return res.orderBy("bucket")
+
+
+@query(
+    "csv_ingest_quarantine",
+    oracle="""
+    SELECT event_type            AS bucket,
+           count(*)              AS n_rows,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                                 AS sum_cents
+    FROM events WHERE event_id % 89 <> 0
+    GROUP BY event_type
+    UNION ALL
+    SELECT '_CORRUPT_', count(*), CAST(0 AS BIGINT)
+    FROM events WHERE event_id % 89 = 0
+    ORDER BY bucket
+    """,
+    covers=("X-ingest-csv",),
+)
+def csv_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CSV twin of jsonl_ingest_quarantine — same reject-sink
+    contract, format-specific corruption: every 89th event_id's line
+    carries a non-numeric value field ('NaNsense'), which PERMISSIVE
+    schema enforcement quarantines as a type mismatch (CSV's
+    characteristic failure; JSONL's is structural truncation).
+    Headerless single-schema CSV splits by line like JSONL, so the
+    feed fans out across executors. Clean rows roll up by type with
+    the cents checksum — doubles are serialized by Spark's CSV writer
+    round-trip-exactly — and the quarantine lands countable."""
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.schemas import TESTDATA_SCHEMAS
+    from etl_sprint_2_5_spark.sources.text_files import (
+        read_csv,
+        split_corrupt,
+    )
+    from pyspark.sql.types import StructType
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    line = F.concat_ws(
+        ",",
+        F.col("event_id").cast("string"),
+        F.col("event_type"),
+        F.when(F.col("event_id") % 89 == 0, F.lit("NaNsense")).otherwise(
+            F.col("value").cast("string")
+        ),
+    )
+    tmp = tempfile.mkdtemp(prefix="csv_ingest_")
+    feed = f"{tmp}/feed"
+    ev.select(line.alias("value")).coalesce(4).write.mode("overwrite").text(feed)
+
+    schema = StructType(
+        [f for f in TESTDATA_SCHEMAS["events"].fields
+         if f.name in ("event_id", "event_type", "value")]
+    )
+    good, bad = split_corrupt(read_csv(spark, feed, schema, header=False))
+    clean = good.groupBy(F.col("event_type").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("sum_cents"),
+    )
+    quarantined = bad.agg(
+        F.lit("_CORRUPT_").alias("bucket"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.lit(0).cast("bigint").alias("sum_cents"),
+    )
+    out = clean.unionAll(quarantined).orderBy("bucket")
+    res = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res.orderBy("bucket")

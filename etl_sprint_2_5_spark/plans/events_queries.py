@@ -1515,3 +1515,179 @@ def csv_ingest_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(tmp, ignore_errors=True)
     return res.orderBy("bucket")
+
+
+@query(
+    "schema_evolution_merge",
+    oracle="""
+    SELECT event_type            AS bucket,
+           count(*)              AS n_rows,
+           CAST(sum(CASE WHEN event_id % 2 = 1 THEN user_id ELSE NULL END)
+                AS BIGINT)       AS sum_user_v2,
+           CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+                AS BIGINT)       AS n_v2
+    FROM events
+    GROUP BY event_type
+    ORDER BY bucket
+    """,
+    covers=("X-ingest-schema-evolution",),
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: a v1 batch (event_id, event_type)
+    and a WIDER v2 batch (+ user_id) land in the same dataset
+    directory; mergeSchema=true unions the footers into the superset
+    schema and v1 rows surface user_id as NULL — additive column
+    evolution without rewriting history, the contract every
+    long-lived ingestion dataset needs. The rollup counts rows per
+    type, sums user_id (v2-only by construction, pinned by the
+    oracle's parity arithmetic), and counts the v2 rows — so the
+    gate proves both that v1 rows READ (no schema conflict) and
+    that their missing column is NULL, not garbage. At scale,
+    mergeSchema's footer-union cost is why production datasets pin
+    the superset schema in a catalog instead; the read semantics
+    are identical."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "user_id"
+    )
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    data = f"{tmp}/data"
+    ev.where(F.col("event_id") % 2 == 0).select(
+        "event_id", "event_type"
+    ).write.mode("append").parquet(data)
+    ev.where(F.col("event_id") % 2 == 1).write.mode("append").parquet(data)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(data)
+    out = (
+        merged.groupBy(F.col("event_type").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("user_id").cast("bigint").alias("sum_user_v2"),
+            F.count("user_id").cast("bigint").alias("n_v2"),
+        )
+        .orderBy("bucket")
+    )
+    res = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res.orderBy("bucket")
+
+
+@query(
+    "partitioned_write_prune",
+    oracle="""
+    SELECT event_type AS bucket,
+           count(*)   AS n_rows,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                      AS sum_cents
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    GROUP BY event_type
+    ORDER BY bucket
+    """,
+    covers=("X-layout-partition-prune",),
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout end-to-end: write the events
+    table partitionBy(event_type), read it back with an IN-list
+    predicate on the partition column, and roll up — the filter
+    resolves against DIRECTORY NAMES at planning time (PartitionCount
+    in the scan node shows 2 of 5; no byte of the other three
+    partitions is opened), which is THE data-skipping mechanism a
+    100 TB event store lives on: a day/type-partitioned dataset turns
+    a full scan into a handful of directory listings. The cents
+    checksum proves the pruned read returned exactly the two
+    partitions' rows — pruning that dropped rows, or partition-column
+    reconstruction that bent values, both fail the gate."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="part_prune_")
+    data = f"{tmp}/data"
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(data)
+
+    back = spark.read.parquet(data).where(
+        F.col("event_type").isin("click", "purchase")
+    )
+    out = (
+        back.groupBy(F.col("event_type").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+    res = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res.orderBy("bucket")
+
+
+@query(
+    "dynamic_partition_overwrite",
+    oracle="""
+    SELECT event_type AS bucket,
+           count(*)   AS n_rows,
+           CAST(sum(CASE WHEN event_type = 'click'
+                         THEN CAST(floor(value * 2 * 100 + 0.5) AS BIGINT)
+                         ELSE CAST(floor(value * 100 + 0.5) AS BIGINT) END)
+                AS BIGINT) AS sum_cents
+    FROM events
+    GROUP BY event_type
+    ORDER BY bucket
+    """,
+    covers=("X-layout-dynamic-overwrite",),
+)
+def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The partition-level UPSERT a lakehouse backfill runs: the full
+    events dataset lands partitioned by type, then a corrected batch
+    (clicks with value doubled) is written in OVERWRITE mode with
+    partitionOverwriteMode=dynamic — only the 'click' directory is
+    replaced, the other four partitions' files are untouched (static
+    overwrite mode would truncate the whole dataset first, the
+    classic backfill footgun this conf exists to prevent). The final
+    read proves both halves: clicks carry the corrected values,
+    everything else survived the overwrite byte-identical. At scale
+    this is the idempotent day-partition backfill: re-running the
+    job rewrites exactly the partitions it produces."""
+    import shutil
+    import tempfile
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="dyn_overwrite_")
+    data = f"{tmp}/data"
+    ev.write.partitionBy("event_type").mode("overwrite").parquet(data)
+
+    corrected = ev.where(F.col("event_type") == "click").withColumn(
+        "value", F.col("value") * 2
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        corrected.write.partitionBy("event_type").mode("overwrite").parquet(
+            data
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    out = (
+        spark.read.parquet(data)
+        .groupBy(F.col("event_type").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .orderBy("bucket")
+    )
+    res = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res.orderBy("bucket")

@@ -857,3 +857,39 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out.where(F.col("dist") <= 2).orderBy("id_a", "id_b")
+
+
+_SQL_SURFACE = """
+    SELECT n.n_name AS nation,
+           count(DISTINCT c.c_custkey)   AS n_customers,
+           count(*)                      AS n_orders,
+           round(sum(o.o_totalprice), 2) AS revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY n.n_name
+    ORDER BY nation
+"""
+
+
+@query(
+    "sql_surface_revenue",
+    oracle=_SQL_SURFACE,
+    covers=("S3", "X-sql-surface"),
+)
+def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark.sql() text surface under the hash gate: the EXACT
+    SQL string the DuckDB oracle runs is executed by Spark over the
+    registered temp views (sources/parquet.register_views — the S3
+    parameterized-execution path every plans/ query rides implicitly,
+    here exercised explicitly). One string, two engines, one hash:
+    the strongest possible statement that the SQL dialect surface
+    agrees — aggregation, multi-join, DISTINCT, rounding and ORDER BY
+    semantics all included. Catalyst plans it identically to the
+    DataFrame construction (broadcast dims, partial aggs), since both
+    lower to the same logical plan."""
+    from etl_sprint_2_5_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE)

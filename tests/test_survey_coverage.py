@@ -24,7 +24,6 @@ SURVEY_IDS = (
 # Operators whose home is a module/test rather than an oracle query
 # (connector configs, driver-side orchestration, API envelopes).
 MODULE_COVERED = {
-    "S3": "plans/* — spark.sql on registered views is every query's executor",
     "S4": "sources/jdbc.py — JDBC writer options (no DB in container)",
     "S5": "streaming/es_sink.py + streaming/sink.py upsert contract",
     "S6": "api/query.py — gold DataFrame is the search index (Q1-Q4 run on it)",

@@ -1691,3 +1691,91 @@ def dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     res = spark.createDataFrame(out.collect(), out.schema)
     shutil.rmtree(tmp, ignore_errors=True)
     return res.orderBy("bucket")
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH p AS (
+      SELECT user_id,
+             max(ts) AS last_ts,
+             count(*) AS freq,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    ), mx AS (
+      SELECT max(ts) AS m FROM events
+    ), scored AS (
+      SELECT user_id,
+             ntile(5) OVER (ORDER BY date_diff('second', last_ts,
+                                              (SELECT m FROM mx)) ASC,
+                            user_id) AS r_bucket,
+             ntile(5) OVER (ORDER BY freq DESC, user_id)  AS f_bucket,
+             ntile(5) OVER (ORDER BY cents DESC, user_id) AS m_bucket
+      FROM p
+    )
+    SELECT CAST(r_bucket AS BIGINT) AS r_bucket,
+           CAST(f_bucket AS BIGINT) AS f_bucket,
+           CAST(m_bucket AS BIGINT) AS m_bucket,
+           count(*) AS n_users
+    FROM scored
+    GROUP BY r_bucket, f_bucket, m_bucket
+    ORDER BY r_bucket, f_bucket, m_bucket
+    """,
+    covers=("X-olap-rfm",),
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (the classic marketing-analytics
+    rollup): per purchasing user, recency (seconds before the corpus
+    max event time), frequency, and monetary value in exact cents,
+    each quintile-bucketed with ntile — bucket 1 = most recent / most
+    frequent / highest spend — then rolled up to segment counts.
+    Determinism: every ntile orders by (metric, user_id), so equal
+    metrics tie-break identically cross-engine; monetary goes through
+    the cents fixed-point, recency through integer seconds.
+
+    Plan: one purchase aggregate (map-side combinable), one scalar
+    max, three window passes over the per-USER table (already 3-4
+    orders of magnitude smaller than the event stream — the windows
+    sort users, not events), one rollup. ntile's global ordering is
+    the only non-key-partitioned step; at extreme user counts the
+    same buckets come from percent_rank over range-partitioned sort,
+    which Spark plans for this exact shape."""
+    ev = load_table(spark, "events", sf_dir)
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+            ).cast("bigint").alias("cents"),
+        )
+    )
+    mx = ev.agg(F.max("ts").alias("m"))
+    scored = p.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        (F.col("m").cast("long") - F.col("last_ts").cast("long")).alias(
+            "rec_s"
+        ),
+        "freq",
+        "cents",
+    )
+    scored = scored.select(
+        F.ntile(5).over(Window.orderBy(F.asc("rec_s"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("r_bucket"),
+        F.ntile(5).over(Window.orderBy(F.desc("freq"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("f_bucket"),
+        F.ntile(5).over(Window.orderBy(F.desc("cents"), F.asc("user_id")))
+        .cast("bigint")
+        .alias("m_bucket"),
+    )
+    return (
+        scored.groupBy("r_bucket", "f_bucket", "m_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("r_bucket", "f_bucket", "m_bucket")
+    )

@@ -893,3 +893,90 @@ def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_SQL_SURFACE)
+
+
+@query(
+    "set_operator_churn",
+    oracle="""
+    WITH y1 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) = 1998
+    ), y2 AS (
+      SELECT DISTINCT o_custkey FROM orders
+      WHERE EXTRACT(year FROM o_orderdate) = 1999
+    )
+    SELECT 'churned' AS cohort,
+           (SELECT count(*) FROM (SELECT * FROM y1 EXCEPT SELECT * FROM y2))
+             AS n_customers
+    UNION ALL
+    SELECT 'new',
+           (SELECT count(*) FROM (SELECT * FROM y2 EXCEPT SELECT * FROM y1))
+    UNION ALL
+    SELECT 'retained',
+           (SELECT count(*) FROM (SELECT * FROM y1 INTERSECT SELECT * FROM y2))
+    ORDER BY cohort
+    """,
+    covers=("X-set-operators",),
+)
+def set_operator_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer churn through the relational SET
+    OPERATORS themselves — df.intersect and df.exceptAll(distinct),
+    the last ANSI surface the registry exercised only via joins:
+    1998's customer set against 1999's yields retained / churned /
+    new cohorts, and BOTH engines run their native INTERSECT/EXCEPT
+    implementations (Spark lowers them to left-semi/anti aggregates —
+    same shuffle shape as the join formulation, which is why using
+    the clearer operator costs nothing at scale)."""
+    o = load_table(spark, "orders", sf_dir)
+
+    def year_keys(y: int) -> DataFrame:
+        return o.where(F.year("o_orderdate") == y).select("o_custkey").distinct()
+
+    y1, y2 = year_keys(1998), year_keys(1999)
+    rows = [
+        ("churned", y1.exceptAll(y2).distinct()),
+        ("new", y2.exceptAll(y1).distinct()),
+        ("retained", y1.intersect(y2)),
+    ]
+    parts = [
+        df.agg(F.lit(name).alias("cohort"), F.count(F.lit(1)).alias("n_customers"))
+        for name, df in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("cohort")
+
+
+@query(
+    "boolean_aggregate_flags",
+    oracle="""
+    SELECT event_type,
+           count(*)                   AS n_events,
+           bool_or(value > 400)       AS any_large,
+           bool_and(value > 0)        AS all_positive,
+           CAST(sum(CASE WHEN value > 400 THEN 1 ELSE 0 END) AS BIGINT)
+                                      AS n_large
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+    covers=("X-bool-aggs",),
+)
+def boolean_aggregate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bool_or / bool_and (ANSI ANY/EVERY) — quantifier aggregates as
+    first-class citizens instead of count(CASE)>0 circumlocutions;
+    the exact large-value count rides along so the boolean flags are
+    cross-checked against the arithmetic they summarize. Both fold
+    map-side like any other aggregate."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("bool_or(value > 400)").alias("any_large"),
+            F.expr("bool_and(value > 0)").alias("all_positive"),
+            F.sum((F.col("value") > 400).cast("long")).alias("n_large"),
+        )
+        .orderBy("event_type")
+    )

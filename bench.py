@@ -169,6 +169,9 @@ def main() -> None:
             runs.append(run_once(q))
             rep = min(runs)
         timings[name] = round(rep, 3)
+        # release any cached intermediates a query left behind so one
+        # query's storage never leaks into the next one's measurement
+        spark.catalog.clearCache()
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_start, 3)
 

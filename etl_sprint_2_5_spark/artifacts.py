@@ -415,17 +415,22 @@ def prepared_pq_index(
             "vec": vec_col,
         }
     )
-    cb_dest = artifact_root() / f"pq_codebook-{key}"
-    codes_dest = artifact_root() / f"pq_codes-{key}"
+    # the codebook and the codes are one logical artifact: both live
+    # under a single parent key directory published by ONE rename, so
+    # a crash can never leave the pair half-visible (a codebook without
+    # its codes used to wedge the retrain on ENOTEMPTY)
+    dest = artifact_root() / f"pq_index-{key}"
+    cb_dest, codes_dest = dest / "codebook", dest / "codes"
     if (cb_dest / "_SUCCESS").exists() and (codes_dest / "_SUCCESS").exists():
         return spark.read.parquet(str(cb_dest)), spark.read.parquet(str(codes_dest))
 
     cb, codes = inline()
-    for df, dest, single in ((cb, cb_dest, True), (codes, codes_dest, False)):
-        tmp = dest.with_name(dest.name + f".tmp{os.getpid()}")
-        (df.coalesce(1) if single else df).write.mode("overwrite").parquet(str(tmp))
-        try:
-            tmp.rename(dest)
-        except OSError:
-            shutil.rmtree(tmp, ignore_errors=True)
+    tmp = dest.with_name(dest.name + f".tmp{os.getpid()}")
+    cb.coalesce(1).write.mode("overwrite").parquet(str(tmp / "codebook"))
+    codes.write.mode("overwrite").parquet(str(tmp / "codes"))
+    try:
+        tmp.rename(dest)
+    except OSError:
+        # lost the publish race (same deterministic bytes) — discard
+        shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(str(cb_dest)), spark.read.parquet(str(codes_dest))

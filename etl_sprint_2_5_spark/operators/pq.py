@@ -246,6 +246,18 @@ def adc_topc(
         query_q8.select(id_col, qcol).collect(), key=lambda r: r[id_col]
     )
     qids = [r[id_col] for r in qrows]
+    if not qids:
+        # degenerate: no queries → empty result, not a pd.concat([]) crash
+        spark = codes_df.sparkSession
+        id_type = codes_df.schema[id_col].dataType
+        empty_schema = StructType(
+            [
+                StructField("query_id", id_type),
+                StructField("neighbor_id", id_type),
+                StructField("score", LongType()),
+            ]
+        )
+        return spark.createDataFrame([], empty_schema)
     Q = np.array([r[qcol] for r in qrows], dtype="int64")  # (Qn, M*DSUB)
     # LUT[m]: (Qn, K_m) — dense code index via searchsorted over codeids[m]
     luts = []
@@ -286,7 +298,11 @@ def adc_topc(
             for j, qid in enumerate(qids):
                 keep = nids != qid
                 if cell_sets is not None:
-                    keep &= np.isin(cells, cell_sets[qid])
+                    # a query id without probe cells scores nothing
+                    # (not a KeyError mid-executor)
+                    keep &= np.isin(
+                        cells, cell_sets.get(qid, np.empty(0, dtype=cells.dtype))
+                    )
                 order = np.lexsort((nids[keep], -score[keep, j]))[:c]
                 out.append(
                     pd.DataFrame(

@@ -25,7 +25,7 @@ from etl_sprint_2_5_spark.operators.dedup import (
 )
 from etl_sprint_2_5_spark.functions.text import MINHASH_PERMS
 from etl_sprint_2_5_spark.functions.text import word_shingles
-from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.plans.registry import materialize_release, query
 from etl_sprint_2_5_spark.sources.parquet import (
     load_documents_spread,
     load_table,
@@ -1705,7 +1705,7 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     nt = true_pairs.agg(F.count(F.lit(1)).alias("nt"))
     nc = cand.agg(F.count(F.lit(1)).alias("nc"))
     nh = hits.agg(F.count(F.lit(1)).alias("nh"))
-    return (
+    report = (
         nt.crossJoin(nc)
         .crossJoin(nh)
         .select(
@@ -1720,6 +1720,7 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("precision_ppm"),
         )
     )
+    return materialize_release(report, sh, cand)
 
 
 def _sweep_band_ctes(r: int) -> str:
@@ -1826,10 +1827,12 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     signed = minhash_signature(sh, num_hashes=12).cache()
     rows = []
+    cands = []
     for r in (2, 3, 4, 6):
         cand = lsh_candidate_pairs(
             signed, "doc_id", num_hashes=12, rows_per_band=r
         ).cache()
+        cands.append(cand)
         hits = true_pairs.join(cand, ["id_a", "id_b"], "left_semi")
         rows.append(
             true_pairs.agg(F.count(F.lit(1)).alias("n_true_pairs"))
@@ -1845,7 +1848,7 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = rows[0]
     for df in rows[1:]:
         out = out.unionAll(df)
-    return out.select(
+    sweep = out.select(
         "config",
         "n_true_pairs",
         "n_candidates",
@@ -1857,6 +1860,7 @@ def lsh_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.expr("n_hits * 1000000 div n_candidates"))
         .alias("precision_ppm"),
     ).orderBy("config")
+    return materialize_release(sweep, sh, true_pairs, signed, *cands)
 
 
 @query(
@@ -1909,7 +1913,7 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: x,
         )
     ).cast("bigint")
-    return (
+    acc = (
         verified.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -1922,3 +1926,4 @@ def minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+    return materialize_release(acc, sh, signed)

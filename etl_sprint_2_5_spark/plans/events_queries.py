@@ -1300,12 +1300,31 @@ def streaming_update_mode_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     _drain_or_raise(q, "streaming_update_mode_counts")
+    # per-key MIN over emitted rows is batch 1's emission ONLY for keys
+    # that actually appeared in batch 1 (had at least one even
+    # event_id); a key whose first emission is batch 2 would make MIN
+    # equal the final cumulative count, while the oracle pins 0 — so
+    # coalesce the MIN against the even-id key set instead of assuming
+    # fixture parity coverage.
+    first_batch_keys = (
+        ev.where(F.col("event_id") % 2 == 0).select("event_type").distinct()
+        .withColumn("in_b1", F.lit(True))
+    )
     out = (
         spark.table(sink)
         .groupBy("event_type")
         .agg(
             F.max("n").alias("n_events"),
-            F.min("n").alias("n_first_batch"),
+            F.min("n").alias("min_n"),
+        )
+        .join(first_batch_keys, "event_type", "left")
+        .select(
+            "event_type",
+            "n_events",
+            F.when(F.col("in_b1"), F.col("min_n"))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("n_first_batch"),
         )
         .orderBy("event_type")
     )

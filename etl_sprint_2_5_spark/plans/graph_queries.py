@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.plans.registry import materialize_release, query
 from etl_sprint_2_5_spark.sources.parquet import load_table
 
 _PAGERANK_ORACLE = """
@@ -369,9 +369,10 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("b").alias("part")))
         .unionAll(tri.select(F.col("c").alias("part")))
     )
-    return (
+    top = (
         member.groupBy("part")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
         .orderBy(F.desc("n_triangles"), "part")
         .limit(20)
     )
+    return materialize_release(top, und, oriented)

@@ -38,6 +38,22 @@ class Query:
 REGISTRY: dict[str, Query] = {}
 
 
+def materialize_release(df: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Collect a SMALL final result into a local-relation DataFrame,
+    then unpersist the cached intermediates it was built from.
+
+    Queries that cache() intermediates but return a lazy plan cannot
+    unpersist before returning (the caller's collect would recompute),
+    so without this the caches outlive the query and accumulate across
+    registry runs ('Asked to cache already cached data' warnings +
+    executor storage creep). Only for results that are safely
+    driver-sized (aggregates, reports, top-k)."""
+    out = df.sparkSession.createDataFrame(df.collect(), df.schema)
+    for c in cached:
+        c.unpersist()
+    return out
+
+
 def query(name: str, oracle: str | None, covers: tuple[str, ...] = ()):  # noqa: ANN201
     """Decorator registering a plan builder under ``name``."""
 

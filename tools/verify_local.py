@@ -130,6 +130,9 @@ def main() -> int:
             print(f"FAIL  {name}: {'; '.join(status)}")
         else:
             print(f"OK    {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+        # drop any cached intermediates a query left behind — a
+        # 177-query sweep otherwise accumulates executor storage
+        spark.catalog.clearCache()
     if not only:
         try:
             res = e.entry(spark)

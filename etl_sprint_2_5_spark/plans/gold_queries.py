@@ -68,6 +68,72 @@ def persons_gold_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "admin_movie_list_envelope",
+    oracle="""
+    WITH m AS (
+      SELECT o_orderkey           AS id,
+             o_orderpriority      AS title,
+             round(o_totalprice, 2) AS rating
+      FROM orders
+    ), meta AS (
+      SELECT count(*) AS n_total,
+             GREATEST(1, CAST(ceil(count(*) / 40.0) AS BIGINT)) AS total_pages
+      FROM m
+    ), ranked AS (
+      SELECT id, title, rating,
+             row_number() OVER (ORDER BY title, id) AS rn
+      FROM m
+    )
+    SELECT r.id, r.title, r.rating,
+           meta.n_total,
+           meta.total_pages,
+           CAST(2 AS BIGINT) AS prev_page,
+           CASE WHEN 3 < meta.total_pages THEN CAST(4 AS BIGINT)
+                ELSE NULL END AS next_page
+    FROM ranked r CROSS JOIN meta
+    WHERE r.rn > 80 AND r.rn <= 120
+    ORDER BY r.title, r.id
+    """,
+    covers=("Q4", "W5", "A6"),
+)
+def admin_movie_list_envelope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Django admin list envelope (Q4/W5) under the hash gate:
+    page 3 at per_page=40 of the movie listing ordered by title —
+    count, total_pages, prev/next page numbers AND the page rows in
+    one gated table (/root/reference/movie_admin/movie_admin/api/v1/
+    views.py:43-63: paginator.count, num_pages,
+    previous_page_number/next_page_number, object_list).
+
+    Mapping: orders ≅ film_work, o_orderpriority ≅ title (non-unique,
+    like real titles — the id tiebreak our paginate() enforces is
+    what makes the page deterministic where Django's bare
+    ordering=['title'] is not), round(o_totalprice, 2) ≅ imdb_rating.
+    The envelope numbers ride as constant columns on every page row so
+    the oracle checks the arithmetic (ceil division, has-prev/has-next
+    edges) together with the slice content."""
+    from etl_sprint_2_5_spark.operators.pagination import paginate
+
+    page, per_page = 3, 40
+    movies = load_table(spark, "orders", sf_dir).select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderpriority").alias("title"),
+        F.round("o_totalprice", 2).alias("rating"),
+    )
+    n_total = movies.count()  # A6 count, driver-side like the Paginator
+    total_pages = max(1, -(-n_total // per_page))
+    prev_page = page - 1 if page > 1 else None
+    next_page = page + 1 if page < total_pages else None
+    rows = paginate(movies, [F.col("title").asc()], F.col("id"), page, per_page)
+    return (
+        rows.withColumn("n_total", F.lit(n_total).cast("bigint"))
+        .withColumn("total_pages", F.lit(total_pages).cast("bigint"))
+        .withColumn("prev_page", F.lit(prev_page).cast("bigint"))
+        .withColumn("next_page", F.lit(next_page).cast("bigint"))
+        .orderBy("title", "id")
+    )
+
+
+@query(
     "genres_gold_shape",
     oracle="""
     SELECT p.p_brand AS name,

@@ -1,0 +1,269 @@
+"""The IVM maintenance loop under the driver's oracle hash gate —
+the reference's architectural core (the CDC daemon) proven by the
+SAME gate that proves every relational query, not just by pytest.
+
+The reference daemon (/root/reference/postgres_to_es/
+daemon.py:497-542) runs per-source pipelines: keyset-scan a source
+table after its (updated_at, id) cursor → fan changed rows out to
+affected document ids (identity for the fact table, bridge join for
+dimensions, daemon.py:132-152) → rebuild exactly those documents with
+the full denormalization query → idempotent keyed upsert → advance
+the cursor only after the sink returned (daemon.py:118-129).
+
+Here the loop runs for real through streaming/ivm.py over a staged
+snapshot of the testdata star schema (orders=fact, customer=dim,
+lineitem=bridge/detail), in two phases:
+
+- **phase A (backfill)**: epoch-0 cursors, multiple keyset cycles per
+  pipeline (batch_size ≈ n/3 forces ≥3 batches — the cursor really
+  advances mid-table);
+- **mutate**: a deterministic subset of customers is renamed and a
+  deterministic subset of orders re-prioritized, with updated_at
+  bumped past every phase-A timestamp (the CDC write);
+- **phase B (incremental)**: the same loop drains ONLY the mutated
+  rows (pinned: the consumed-row count is part of the gated output),
+  the customer changes fanning out through the orders bridge to the
+  affected documents.
+
+The returned table is the maintained view itself plus the phase-B
+consumed count; the DuckDB oracle is the from-scratch rebuild (one
+denormalizing SQL statement over the mutated base tables) — so the
+hash gate proves **incremental == batch** end-to-end, and proves the
+fan-out found every affected document (a missed doc would surface a
+stale pre-mutation name and break the hash).
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.sources.parquet import load_table
+
+# synthetic CDC clock: all base rows carry T0 + small per-key offsets
+# (so keyset batches have real ts progression); mutations land at T1,
+# strictly after every base timestamp
+_T0 = 1717243200  # 2024-06-01 12:00:00 UTC, epoch seconds
+_T1 = _T0 + 86400
+
+
+def _ts(expr) -> F.Column:  # noqa: ANN001
+    return F.timestamp_seconds(expr)
+
+
+def _stage_base(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """Write the pre-mutation snapshots with deterministic cursors."""
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderpriority",
+        _ts(F.lit(_T0) + (F.col("o_orderkey") % 5) * 60).alias("updated_at"),
+    )
+    orders.write.mode("overwrite").parquet(f"{base}/orders")
+
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_name",
+        _ts(F.lit(_T0) + (F.col("c_custkey") % 3) * 60).alias("updated_at"),
+    )
+    cust.write.mode("overwrite").parquet(f"{base}/customer")
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("li_id"),
+        "l_orderkey",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + 0.5
+        )
+        .cast("bigint")
+        .alias("cents"),
+        _ts(F.lit(_T0) + (F.col("l_orderkey") % 7) * 60).alias("updated_at"),
+    )
+    li.write.mode("overwrite").parquet(f"{base}/lineitem")
+
+
+def _mutate(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """The CDC writes: rename customers (c_custkey % 10 == 0),
+    re-prioritize orders (o_orderkey % 13 == 0), both stamped T1."""
+    cust_hit = F.col("c_custkey") % 10 == 0
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        F.when(cust_hit, F.upper(F.col("c_name")))
+        .otherwise(F.col("c_name"))
+        .alias("c_name"),
+        F.when(cust_hit, _ts(F.lit(_T1)))
+        .otherwise(_ts(F.lit(_T0) + (F.col("c_custkey") % 3) * 60))
+        .alias("updated_at"),
+    )
+    cust.write.mode("overwrite").parquet(f"{base}/customer")
+
+    ord_hit = F.col("o_orderkey") % 13 == 0
+    orders = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(ord_hit, F.lit("MUTATED"))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+        F.when(ord_hit, _ts(F.lit(_T1)))
+        .otherwise(_ts(F.lit(_T0) + (F.col("o_orderkey") % 5) * 60))
+        .alias("updated_at"),
+    )
+    orders.write.mode("overwrite").parquet(f"{base}/orders")
+
+
+def _rebuild_docs(load, ids: DataFrame) -> DataFrame:  # noqa: ANN001
+    """The J3/A1-shaped doc build restricted to the affected ids —
+    the SAME plan phase A and phase B run (incremental == batch by
+    construction, daemon.py:155-200's single rebuild query). The
+    affected-id semi-join is pushed below the lineitem aggregate, so
+    a cycle aggregates only the affected orders' items."""
+    keys = F.broadcast(ids.withColumnRenamed("id", "o_orderkey"))
+    o = load("orders").join(keys, "o_orderkey", "left_semi")
+    c = load("customer").select("c_custkey", "c_name")
+    li = (
+        load("lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(keys, "o_orderkey", "left_semi")
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").alias("revenue_cents"),
+        )
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey, "left")
+        .join(li, "o_orderkey", "left")
+        .select(
+            "o_orderkey",
+            "c_name",
+            "o_orderpriority",
+            F.coalesce(F.col("n_items"), F.lit(0)).cast("bigint").alias("n_items"),
+            F.coalesce(F.col("revenue_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+    )
+
+
+@query(
+    "ivm_maintained_docs",
+    oracle="""
+    WITH mut_cust AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN upper(c_name)
+                  ELSE c_name END AS c_name
+      FROM customer
+    ), mut_ord AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'MUTATED'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM orders
+    ), li AS (
+      SELECT l_orderkey AS o_orderkey,
+             count(*) AS n_items,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+      FROM lineitem GROUP BY l_orderkey
+    ), meta AS (
+      SELECT (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)
+           + (SELECT count(*) FROM orders  WHERE o_orderkey % 13 = 0)
+             AS phase_b_rows
+    )
+    SELECT o.o_orderkey AS o_orderkey, c.c_name, o.o_orderpriority,
+           COALESCE(li.n_items, 0)       AS n_items,
+           COALESCE(li.revenue_cents, 0) AS revenue_cents,
+           m.phase_b_rows
+    FROM mut_ord o
+    JOIN mut_cust c ON o.o_custkey = c.c_custkey
+    LEFT JOIN li   ON li.o_orderkey = o.o_orderkey
+    CROSS JOIN meta m
+    ORDER BY o.o_orderkey
+    """,
+    covers=("T2", "T3", "T4", "T7", "T8", "X-ivm-live"),
+)
+def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two full maintenance phases through streaming/ivm.py, gated
+    against a from-scratch DuckDB rebuild (module docstring has the
+    full story). ``phase_b_rows`` — the number of source rows the
+    incremental phase consumed — is a gated column: if the cursors
+    failed to exclude already-seen rows (or missed the mutated ones)
+    the count, not just the doc values, breaks the hash."""
+    from etl_sprint_2_5_spark.streaming.ivm import FanOut, Pipeline, run_to_completion
+    from etl_sprint_2_5_spark.streaming.sink import read_view
+    from etl_sprint_2_5_spark.streaming.state import OffsetStore
+
+    tmp = tempfile.mkdtemp(prefix="ivm_gate_")
+    base, gold = f"{tmp}/base", f"{tmp}/gold/docs"
+    _stage_base(spark, sf_dir, base)
+
+    def load(name: str) -> DataFrame:
+        return spark.read.parquet(f"{base}/{name}")
+
+    # batch_size ≈ n/2 per source: every pipeline needs ≥2 keyset
+    # cycles for the backfill, so the cursor provably advances
+    # mid-table (T7's bounded batches + T8's drain-to-empty loop)
+    sizes = {
+        name: max(1, load(name).count() // 2 + 1)
+        for name in ("orders", "customer", "lineitem")
+    }
+    pipelines = [
+        Pipeline(
+            name="orders",
+            source="orders",
+            cursor_field="updated_at",
+            id_field="o_orderkey",
+            fanout=FanOut(id_field="o_orderkey"),
+            rebuild=_rebuild_docs,
+            sink_path=gold,
+            doc_key="o_orderkey",
+            batch_size=sizes["orders"],
+        ),
+        Pipeline(
+            name="customer",
+            source="customer",
+            cursor_field="updated_at",
+            id_field="c_custkey",
+            # dimension change → affected facts via the bridge
+            # (get_table_ids_by_join, daemon.py:139-152)
+            fanout=FanOut(
+                id_field="c_custkey",
+                bridge="orders",
+                join_field="o_custkey",
+                select_field="o_orderkey",
+            ),
+            rebuild=_rebuild_docs,
+            sink_path=gold,
+            doc_key="o_orderkey",
+            batch_size=sizes["customer"],
+        ),
+        Pipeline(
+            name="lineitem",
+            source="lineitem",
+            cursor_field="updated_at",
+            id_field="li_id",
+            fanout=FanOut(id_field="l_orderkey"),
+            rebuild=_rebuild_docs,
+            sink_path=gold,
+            doc_key="o_orderkey",
+            batch_size=sizes["lineitem"],
+        ),
+    ]
+    offsets = OffsetStore(f"{tmp}/offsets.json", id_default=0)
+
+    run_to_completion(spark, pipelines, load, offsets)  # phase A: backfill
+    _mutate(spark, sf_dir, base)  # the CDC writes
+    consumed_b = run_to_completion(spark, pipelines, load, offsets)  # phase B
+
+    docs = (
+        read_view(spark, gold)
+        .withColumn("phase_b_rows", F.lit(consumed_b).cast("bigint"))
+        .orderBy("o_orderkey")
+    )
+    # materialize before the staging dir disappears
+    out = spark.createDataFrame(docs.collect(), docs.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out

@@ -30,18 +30,13 @@ MODULE_COVERED = {
     "S7": "schemas.py StructType registry + sources/parquet.py schema assertion",
     "S8": "streaming/state.py OffsetStore (tests/test_ivm.py)",
     "A7": "streaming/es_sink.py es.batch.size.entries + multimodal repartition_by_bytes",
-    "W5": "api/query.py admin_movie_list prev/next envelope (tests/test_api.py)",
     "F5": "functions/kernel.py uuid_sentinel (used by keyset defaults)",
     "F6": "pipeline/normalize.py minted_uuid — deterministic replacement for uuid4",
     "F7": "functions/kernel.py iso_ts",
     "F8": "session timeZone=UTC + F.current_timestamp in normalize",
     "F9": "functions/kernel.py epoch_zero + streaming/state.py EPOCH_ZERO default",
     "F13": "api/query.py — identifier interpolation is the param compiler",
-    "T4": "streaming/ivm.py FanOut + movie_pipelines (tests/test_ivm.py)",
     "T6": "streaming/es_sink.py retry_count; Spark task retry (documented)",
-    "T7": "streaming/ivm.py Pipeline.batch_size (keyset LIMIT per cycle)",
-    "T8": "streaming/ivm.py run_to_completion — documented drain superset",
-    "Q4": "api/query.py admin_movie_list (tests/test_api.py)",
 }
 
 

@@ -1648,6 +1648,72 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "small_file_compaction",
+    oracle="""
+    SELECT event_type AS bucket,
+           count(*)   AS n_rows,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                      AS sum_cents,
+           CAST(64 AS BIGINT) AS n_files_in
+    FROM events
+    GROUP BY event_type
+    ORDER BY bucket
+    """,
+    covers=("X-layout-compaction",),
+)
+def small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The nightly small-file compaction job end-to-end under the
+    gate: the events table lands as 64 deliberately-tiny files (the
+    debris a streaming sink or over-parallel writer leaves), then
+    operators/layout.py compact_small_files bin-packs them into
+    ceil(total_bytes/target) row-rewritten files — range-partitioned
+    and sorted on (event_type, ts), so the compaction REPAIRS
+    clustering rather than round-robining it away. The gated rollup
+    (per-type counts + cents checksum) proves the rewrite lost and
+    bent nothing; the operator itself raises if the output file count
+    exceeds the bin-pack bound, so a broken pack fails the gate
+    loudly. At 100 TB this is the job that keeps scan task counts
+    proportional to bytes, not to writer history."""
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.operators.layout import compact_small_files
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "ts", "event_type", "value"
+    )
+    tmp = tempfile.mkdtemp(prefix="compaction_")
+    src, dest = f"{tmp}/small", f"{tmp}/compacted"
+    ev.repartition(64).write.mode("overwrite").parquet(src)
+
+    from pathlib import Path
+
+    total = sum(
+        p.stat().st_size for p in Path(src).rglob("*.parquet") if p.is_file()
+    )
+    # target ≈ total/4 → bound of 4-5 files from 64
+    n_out, n_in = compact_small_files(
+        spark, src, dest, max(1, total // 4), order_by=["event_type", "ts"]
+    )
+
+    out = (
+        spark.read.parquet(dest)
+        .groupBy(F.col("event_type").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint"))
+            .cast("bigint")
+            .alias("sum_cents"),
+        )
+        .withColumn("n_files_in", F.lit(n_in).cast("bigint"))
+        .orderBy("bucket")
+    )
+    res = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res.orderBy("bucket")
+
+
+@query(
     "dynamic_partition_overwrite",
     oracle="""
     SELECT event_type AS bucket,

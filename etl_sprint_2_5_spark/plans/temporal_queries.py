@@ -353,6 +353,127 @@ def streaming_interval_burst_join(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @query(
+    "streaming_outer_interval_join",
+    oracle=None,  # set below — identical to interval_burst_join's oracle
+    covers=("X-stream-stream-outer-live",),
+)
+def streaming_outer_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join, hash-gated by the
+    batch left-join oracle: same two file-fed streams as the inner
+    twin (errors ⟕ clicks within the 10-minute burst window), but the
+    zero-click errors now come from THE STREAM ITSELF — an unmatched
+    error emits one null-padded row when the watermark passes its
+    eviction deadline (err_ts + horizon + lateness), the semantics
+    production CDC joins rely on. No post-drain batch patch join: the
+    rollup is computed purely from the sink, so a single unmatched
+    error swallowed by broken eviction (or a duplicate null row for a
+    MATCHED error) breaks the hash.
+
+    The feeds are timeline-split at the midpoint, then each carries a
+    trailing SENTINEL row (user_id −1, far future: beyond global max
+    + horizon + lateness) as a third micro-batch. Without it the
+    final watermark stops short of the last errors' eviction
+    deadlines and their outer rows never flush — with it, the closing
+    no-data micro-batch provably evicts (and emits) every unmatched
+    error. The sentinel matches nothing and is filtered from the
+    gated output. At scale the sentinel is unnecessary — a live
+    stream's watermark keeps advancing; it exists here because
+    availableNow ends the stream at the last real event."""
+    import shutil
+    import tempfile
+    import time
+
+    from etl_sprint_2_5_spark.streaming.joins import interval_stream_join
+
+    ev = load_table(spark, "events", sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    max_us = ev.agg(F.max(F.unix_micros("ts"))).collect()[0][0]
+    mid_us = ev.agg(
+        F.expr("percentile(unix_micros(ts), 0.5)").cast("long")
+    ).collect()[0][0]
+    sentinel_us = max_us + (BURST_WINDOW_S + 11 * 60 + 3600) * 1_000_000
+
+    tmp = tempfile.mkdtemp(prefix="stream_outer_")
+    efeed, cfeed = f"{tmp}/errors", f"{tmp}/clicks"
+    _time_split_feed(
+        errors.select("event_id", "user_id", "err_ts"), efeed, mid_us
+    )
+    _time_split_feed(clicks, cfeed, mid_us)
+    time.sleep(0.05)
+    spark.createDataFrame(
+        [(-1, -1, sentinel_us)], "event_id long, user_id long, us long"
+    ).select(
+        "event_id", "user_id", F.timestamp_micros("us").alias("err_ts")
+    ).coalesce(1).write.mode("append").parquet(efeed)
+    spark.createDataFrame(
+        [(-1, sentinel_us, 0.0)], "user_id long, us long, value double"
+    ).select(
+        "user_id", F.timestamp_micros("us").alias("ts"), "value"
+    ).coalesce(1).write.mode("append").parquet(cfeed)
+
+    es = (
+        spark.readStream.schema("event_id long, user_id long, err_ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(efeed)
+    )
+    cs = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(cfeed)
+        .withColumnRenamed("ts", "click_ts")
+    )
+    joined = interval_stream_join(
+        es,
+        cs,
+        "user_id",
+        "err_ts",
+        "click_ts",
+        max_delay=f"{BURST_WINDOW_S} seconds",
+        lateness="11 minutes",
+        how="leftOuter",
+    )
+    q = (
+        joined.select(es.event_id, es.user_id, "err_ts", "value")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", f"{tmp}/out")
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    _drain_or_raise(q, "streaming_outer_interval_join")
+    sink = spark.read.schema(
+        "event_id long, user_id long, err_ts timestamp, value double"
+    ).parquet(f"{tmp}/out")
+    rollup = (
+        sink.where(F.col("user_id") >= 0)
+        .groupBy("event_id", "user_id", "err_ts")
+        .agg(
+            F.count("value").alias("n_clicks"),
+            F.round(F.sum(F.coalesce("value", F.lit(0.0))), 2).alias(
+                "click_value"
+            ),
+        )
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_micros("err_ts").alias("err_us"),
+            "n_clicks",
+            "click_value",
+        )
+        .orderBy("event_id")
+    )
+    out = spark.createDataFrame(rollup.collect(), rollup.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out.orderBy("event_id")
+
+
+@query(
     "streaming_asof_last_error",
     oracle=None,  # set below — identical to asof_last_error's oracle
     covers=("X-stream-asof-live",),
@@ -422,4 +543,5 @@ def streaming_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 from etl_sprint_2_5_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["streaming_interval_burst_join"].oracle = _REG["interval_burst_join"].oracle
+_REG["streaming_outer_interval_join"].oracle = _REG["interval_burst_join"].oracle
 _REG["streaming_asof_last_error"].oracle = _REG["asof_last_error"].oracle

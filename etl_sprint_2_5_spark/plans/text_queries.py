@@ -1077,6 +1077,133 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_round_ctes(r: int) -> str:
+    """One BPE training round as a CTE pair: w{r} picks the winning
+    pair (weighted count desc, pair asc) from freq{r-1}'s tokenized
+    vocabulary; freq{r} applies the merge with a leftmost
+    non-overlapping string replace over the sentinel-wrapped token
+    sequence (tokens never contain spaces — _BPE_RE excludes \\s — so
+    ' X  Y ' can only match a complete adjacent token pair)."""
+    prev = f"freq{r - 1}"
+    return f"""w{r} AS (
+      SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(generate_series(2, len(tk)),
+                      i -> tk[i-1] || ' ' || tk[i])) AS pair, f
+        FROM (SELECT string_split(trim(seq, ' '), '  ') AS tk, f
+              FROM {prev})
+        WHERE len(tk) >= 2
+      ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
+    ), freq{r} AS (
+      SELECT replace(seq,
+                 ' ' || replace((SELECT pair FROM w{r}), ' ', '  ') || ' ',
+                 ' ' || replace((SELECT pair FROM w{r}), ' ', '') || ' ')
+                 AS seq,
+             f
+      FROM {prev}
+    )"""
+
+
+_BPE_K = 5
+
+
+@query(
+    "bpe_merge_sequence",
+    oracle=f"""
+    WITH pieces AS (
+      SELECT unnest(regexp_extract_all(text, '{_BPE_RE}')) AS piece
+      FROM documents
+    ), freq0 AS (
+      SELECT regexp_replace(piece, '(.)', ' \\1 ', 'g') AS seq,
+             count(*) AS f
+      FROM pieces GROUP BY 1
+    ), {", ".join(_bpe_round_ctes(r) for r in range(1, _BPE_K + 1))}
+    SELECT * FROM (
+      {" UNION ALL ".join(
+          f'''SELECT CAST({r} AS BIGINT) AS merge_rank,
+                 split_part(pair, ' ', 1) AS left_tok,
+                 split_part(pair, ' ', 2) AS right_tok,
+                 replace(pair, ' ', '')   AS merged,
+                 cnt                      AS pair_count
+          FROM w{r}''' for r in range(1, _BPE_K + 1))}
+    ) ORDER BY merge_rank
+    """,
+    covers=("X-text-bpe-train",),
+)
+def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATED BPE training (Sennrich et al. 2016), K=5 applied
+    merge rounds — not just the first round's candidate list
+    (bpe_top_merges) but the real training loop: each round counts
+    adjacent token pairs weighted by piece frequency over the
+    vocabulary, picks the winner (count desc, pair asc), APPLIES the
+    merge to every piece's token sequence, and re-counts — so rounds
+    2-5 see tokens rounds 1-4 created, and the gated output is the
+    order-pinned merge table a tokenizer would persist.
+
+    Representation: a piece's token sequence is a sentinel-wrapped
+    string (' t1  t2  ... '); applying a merge is one leftmost
+    non-overlapping replace of ' left  right ' with ' leftright ' —
+    a pure-JVM string op on both engines with identical semantics
+    (tokens can't contain the space sentinel: _BPE_RE pieces exclude
+    whitespace). The per-round scan runs over the DISTINCT-piece
+    dictionary (vocabulary-sized, sub-linear in the corpus); only the
+    single winning pair crosses to the driver per round, so K rounds
+    cost K small vocab aggregations — the exact shape of a real
+    distributed tokenizer trainer."""
+    d = load_documents_spread(spark, sf_dir)
+    pieces = d.select(
+        F.explode(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("piece")
+    )
+    state = (
+        pieces.groupBy("piece")
+        .agg(F.count("*").alias("f"))
+        .select(
+            F.regexp_replace("piece", "(.)", " $1 ").alias("seq"),
+            "f",
+        )
+        .cache()
+    )
+    merges = []
+    prev = state
+    for r in range(1, _BPE_K + 1):
+        tk = prev.select(
+            F.split(F.expr("btrim(seq, ' ')"), "  ").alias("tk"), "f"
+        ).where(F.size("tk") >= 2)
+        pairs = tk.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(tk)),"
+                    " i -> element_at(tk, i-1) || ' ' || element_at(tk, i))"
+                )
+            ).alias("pair"),
+            "f",
+        )
+        win = (
+            pairs.groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .first()
+        )
+        left, right = win["pair"].split(" ")
+        merges.append((r, left, right, left + right, win["cnt"]))
+        nxt = prev.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            ).alias("seq"),
+            "f",
+        ).cache()
+        nxt.count()  # materialize before dropping the parent cache
+        prev.unpersist()
+        prev = nxt
+    prev.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank long, left_tok string, right_tok string, "
+        "merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
 @query(
     "gopher_quality_gate",
     oracle=f"""

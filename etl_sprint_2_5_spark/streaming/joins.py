@@ -37,15 +37,25 @@ def interval_stream_join(
     right_ts: str,
     max_delay: str = "10 minutes",
     lateness: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: right-side rows match a left row with
+    """Stream-stream join: right-side rows match a left row with
     the same key whose timestamp precedes them by at most
     ``max_delay`` (view→click attribution, request→response pairing).
 
     Both sides get watermarks; the two-sided time bound in the join
     condition is what lets Spark EVICT buffered rows once the
     watermark passes ``ts + max_delay`` — state is bounded by
-    (arrival rate × horizon), independent of stream age."""
+    (arrival rate × horizon), independent of stream age.
+
+    ``how="leftOuter"`` is the CDC-join shape production pipelines
+    rely on: a left row that found no match emits ONCE, null-padded,
+    when the watermark proves no matching right row can still arrive
+    (i.e. at state eviction time) — matched results still stream out
+    immediately. The emission is therefore delayed by up to
+    ``max_delay + lateness`` of event time; a stream that simply ends
+    without its watermark passing that point never flushes the tail
+    (drive test feeds with a trailing sentinel past the horizon)."""
     l_ = left.withWatermark(left_ts, lateness)
     r_ = right.withWatermark(right_ts, lateness)
     cond = (
@@ -53,4 +63,4 @@ def interval_stream_join(
         & (r_[right_ts] >= l_[left_ts])
         & (r_[right_ts] <= F.expr(f"{left_ts} + interval {max_delay}"))
     )
-    return l_.join(r_, cond)
+    return l_.join(r_, cond, how)

@@ -372,3 +372,45 @@ def test_dynamic_overwrite_leaves_other_partitions_untouched(spark, tmp_path):
     assert after["view"] == before["view"] and before["view"], before
     assert after["purchase"] == before["purchase"] and before["purchase"]
     assert after["click"] != before["click"] and after["click"], after
+
+
+def test_compaction_hits_binpack_bound(spark, tmp_path):
+    """compact_small_files writes EXACTLY ceil(total/target) files in
+    round-robin mode, never more in range mode, and loses no rows."""
+    from pathlib import Path
+
+    from etl_sprint_2_5_spark.operators.layout import (
+        compact_small_files,
+        compaction_file_bound,
+    )
+
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    src = f"{tmp_path}/small"
+    ev.repartition(16).write.mode("overwrite").parquet(src)
+    total = sum(
+        p.stat().st_size for p in Path(src).rglob("*.parquet") if p.is_file()
+    )
+    target = max(1, total // 3)
+    bound = compaction_file_bound(total, target)
+
+    # round-robin: exact bound
+    n_out, n_in = compact_small_files(spark, src, f"{tmp_path}/rr", target)
+    assert n_in == 16
+    assert n_out == bound
+    assert spark.read.parquet(f"{tmp_path}/rr").count() == ev.count()
+
+    # range mode on a high-cardinality key: also exact, and sorted
+    n_out2, _ = compact_small_files(
+        spark, src, f"{tmp_path}/rg", target, order_by=["event_id"]
+    )
+    assert n_out2 <= bound
+    back = spark.read.parquet(f"{tmp_path}/rg")
+    assert back.count() == ev.count()
+
+    # range mode on a LOW-cardinality key may undershoot, never overshoot
+    n_out3, _ = compact_small_files(
+        spark, src, f"{tmp_path}/lc", target, order_by=["event_type"]
+    )
+    assert n_out3 <= bound

@@ -114,3 +114,20 @@ def test_asof_state_crosses_the_boundary(spark):
     ).count()
     assert cross >= 1, "no cross-boundary as-of annotations in fixture"
     assert n_all >= n
+
+
+def test_stream_outer_interval_join_equals_batch(spark):
+    """The LEFT OUTER twin reproduces the batch left join exactly, and
+    the fixture is adversarial for the outer path: at least one error
+    has zero clicks (its row can ONLY come from a watermark-evicted
+    null emission — no post-drain batch patch exists in this twin)
+    and at least one has matches (the inner path also fires)."""
+    load_all()
+    cols = ("event_id", "user_id", "err_us", "n_clicks", "click_value")
+    want = _key_rows(REGISTRY["interval_burst_join"].fn(spark, SF_SMOKE), cols)
+    got = _key_rows(
+        REGISTRY["streaming_outer_interval_join"].fn(spark, SF_SMOKE), cols
+    )
+    assert got == want
+    assert any(r[3] == 0 for r in got), "fixture has no unmatched error"
+    assert any(r[3] > 0 for r in got), "fixture has no matched error"

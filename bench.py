@@ -87,6 +87,15 @@ HEADLINE = [
     "gopher_quality_gate",
     "salted_skew_join",
     "hard_negative_mining",
+    # round-6 additions: the newest heavy queries plus the IVM loop —
+    # no expensive registry member lives outside measurement
+    "set_operator_churn",
+    "rfm_segmentation",
+    "admin_movie_list_envelope",
+    "variant_props_rollup",
+    "bpe_merge_sequence",
+    "small_file_compaction",
+    "ivm_maintained_docs",
 ]
 
 

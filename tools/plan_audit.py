@@ -31,6 +31,11 @@ def audit(df) -> dict:
         "scans_with_pushdown": pushed,
         "codegen_stages": len(set(re.findall(r"\*\((\d+)\)", plan))),
         "sort_merge_joins": len(re.findall(r"SortMergeJoin", plan)),
+        # cached-subtree reads: the static plan text re-prints a cached
+        # subtree at every reference, inflating the shuffle/scan counts
+        # above EXECUTED reality (each cached subtree runs once). A
+        # nonzero imts is the signal to read shuffles as an upper bound.
+        "imts": len(re.findall(r"InMemoryTableScan", plan)),
     }
 
 
@@ -59,6 +64,12 @@ def main() -> None:
                 f"bcast={info['broadcasts']:<2} smj={info['sort_merge_joins']:<2} "
                 f"scans={info['scans_with_pushdown']}/{info['scans']} pushed  "
                 f"codegen={info['codegen_stages']}"
+                + (
+                    f"  imts={info['imts']} (cached subtrees repeat in the"
+                    " static text; shuffle/scan counts are upper bounds)"
+                    if info["imts"]
+                    else ""
+                )
             )
         except Exception as e:  # noqa: BLE001
             print(f"{name:<{w}}  ERROR {str(e)[:80]}")

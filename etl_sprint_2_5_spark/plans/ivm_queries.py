@@ -267,3 +267,142 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = spark.createDataFrame(docs.collect(), docs.schema)
     shutil.rmtree(tmp, ignore_errors=True)
     return out
+
+
+@query(
+    "streaming_ivm_maintained_docs",
+    oracle=None,  # set below — identical to ivm_maintained_docs' oracle
+    covers=("T1", "X-ivm-stream-live",),
+)
+def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME maintenance scenario run through Structured Streaming
+    (streaming/structured.stream_pipeline — SURVEY §7 phase 5's
+    second half), hash-gated by the SAME oracle as the batch-
+    incremental twin: per base table a change-feed directory is
+    consumed by a foreachBatch query whose body is the identical
+    fan-out → affected-id semi-join → restricted rebuild → idempotent
+    keyed upsert; Spark's checkpointLocation replaces the hand-rolled
+    OffsetStore as the cursor.
+
+    Phase A feeds the full base rows (backfill = one micro-batch per
+    pipeline); the base snapshots are then mutated and phase B
+    appends ONLY the changed rows to the feeds — each pipeline
+    RESUMES from its checkpoint, so the file source must consume
+    exactly the new files. ``phase_b_rows`` is the sum of the
+    resumed queries' own ``numInputRows`` progress counters: if
+    checkpoint recovery replayed phase A's files (or missed a new
+    one), the gated count — not just the doc values — breaks the
+    hash. Pipelines run sequentially within a phase (the keyed-
+    parquet upsert swaps a directory; one writer at a time), exactly
+    like the reference daemon's per-table coroutine round-robin."""
+    from etl_sprint_2_5_spark.streaming.ivm import FanOut, Pipeline
+    from etl_sprint_2_5_spark.streaming.sink import read_view
+    from etl_sprint_2_5_spark.streaming.structured import stream_pipeline
+
+    tmp = tempfile.mkdtemp(prefix="ivm_stream_gate_")
+    base, gold = f"{tmp}/base", f"{tmp}/gold/docs"
+    _stage_base(spark, sf_dir, base)
+
+    def load(name: str) -> DataFrame:
+        return spark.read.parquet(f"{base}/{name}")
+
+    schemas = {
+        "orders": (
+            "o_orderkey long, o_custkey long, o_orderpriority string, "
+            "updated_at timestamp"
+        ),
+        "customer": "c_custkey long, c_name string, updated_at timestamp",
+        "lineitem": (
+            "li_id long, l_orderkey long, cents long, updated_at timestamp"
+        ),
+    }
+    pipelines = {
+        "orders": Pipeline(
+            name="orders",
+            source="orders",
+            cursor_field="updated_at",
+            id_field="o_orderkey",
+            fanout=FanOut(id_field="o_orderkey"),
+            rebuild=_rebuild_docs,
+            sink_path=gold,
+            doc_key="o_orderkey",
+        ),
+        "customer": Pipeline(
+            name="customer",
+            source="customer",
+            cursor_field="updated_at",
+            id_field="c_custkey",
+            fanout=FanOut(
+                id_field="c_custkey",
+                bridge="orders",
+                join_field="o_custkey",
+                select_field="o_orderkey",
+            ),
+            rebuild=_rebuild_docs,
+            sink_path=gold,
+            doc_key="o_orderkey",
+        ),
+        "lineitem": Pipeline(
+            name="lineitem",
+            source="lineitem",
+            cursor_field="updated_at",
+            id_field="li_id",
+            fanout=FanOut(id_field="l_orderkey"),
+            rebuild=_rebuild_docs,
+            sink_path=gold,
+            doc_key="o_orderkey",
+        ),
+    }
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    def drain(name: str) -> int:
+        """One availableNow pass of one pipeline; returns the rows the
+        STREAM itself consumed (per-batch counts recorded inside the
+        foreachBatch body — see stream_pipeline's row_counter note on
+        why numInputRows over-reports under foreachBatch)."""
+        counter: list[int] = []
+        q = stream_pipeline(
+            spark,
+            pipelines[name],
+            f"{tmp}/feed/{name}",
+            _parse_datatype_string(schemas[name]),
+            load,
+            f"{tmp}/ckpt/{name}",
+            row_counter=counter,
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"ivm stream {name} did not drain in 300s")
+        return sum(counter)
+
+    # phase A: full-base backfill feed
+    for name in pipelines:
+        load(name).write.mode("append").parquet(f"{tmp}/feed/{name}")
+        drain(name)
+
+    # the CDC writes: mutate the base snapshots, feed ONLY changed rows
+    _mutate(spark, sf_dir, base)
+    load("customer").where(F.col("c_custkey") % 10 == 0).write.mode(
+        "append"
+    ).parquet(f"{tmp}/feed/customer")
+    load("orders").where(F.col("o_orderkey") % 13 == 0).write.mode(
+        "append"
+    ).parquet(f"{tmp}/feed/orders")
+
+    # phase B: resumed queries must consume exactly the new files
+    consumed_b = sum(drain(name) for name in pipelines)
+
+    docs = (
+        read_view(spark, gold)
+        .withColumn("phase_b_rows", F.lit(consumed_b).cast("bigint"))
+        .orderBy("o_orderkey")
+    )
+    out = spark.createDataFrame(docs.collect(), docs.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+from etl_sprint_2_5_spark.plans.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["streaming_ivm_maintained_docs"].oracle = _REG["ivm_maintained_docs"].oracle

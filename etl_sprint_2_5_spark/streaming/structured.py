@@ -33,14 +33,25 @@ def stream_pipeline(
     load: TableLoader,
     checkpoint_dir: str,
     available_now: bool = True,
+    row_counter: list | None = None,
 ):
     """Run one pipeline as a Structured Streaming query over its
-    change-feed directory; returns the StreamingQuery."""
+    change-feed directory; returns the StreamingQuery.
+
+    ``row_counter``: optional list the per-batch row counts are
+    appended to — the exact consumed-row accounting. (The progress
+    API's numInputRows is NOT that number under foreachBatch: every
+    action on batch_df re-reads the micro-batch's files and each read
+    adds to numInputRows, so a body that probes emptiness and then
+    aggregates reports up to 2× the real rows.)"""
 
     changed_stream = spark.readStream.schema(feed_schema).parquet(feed_dir)
 
     def process(batch_df, batch_id: int) -> None:  # noqa: ANN001
-        if batch_df.isEmpty():
+        n = batch_df.count()
+        if row_counter is not None:
+            row_counter.append(n)
+        if not n:
             return
         ids = p.fanout.affected_ids(batch_df, load)
         docs = p.rebuild(load, ids)

@@ -710,3 +710,67 @@ def connected_components_star(
             )
             return members.unionByName(roots)
     raise RuntimeError(f"connected_components_star: no convergence in {max_iter} rounds")
+
+
+def srp_planes(n_bits: int, dim: int, seed: str = "srp") -> list[list[int]]:
+    """Deterministic pseudo-random hyperplanes for sign-random-
+    projection (SRP / hyperplane) LSH: component r[j][d] is an integer
+    in [-1000, 1000] derived from md5(f"{seed}:{j}:{d}") — the same
+    value SQL `('0x' || substr(md5(...), 1, 15))::BIGINT % 2001 - 1000`
+    yields, so a DuckDB oracle regenerates the exact matrix. Integer
+    components over integer-quantized vectors make every SRP bit pure
+    BIGINT arithmetic: no float sign boundary can disagree across
+    engines."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:15], 16)
+            % 2001
+            - 1000
+            for d in range(1, dim + 1)
+        ]
+        for j in range(n_bits)
+    ]
+
+
+def srp_signature(
+    df: DataFrame,
+    id_col: str,
+    qvec_col: str,
+    n_bits: int = 32,
+    dim: int = 64,
+    seed: str = "srp",
+) -> DataFrame:
+    """SRP-LSH signature (Charikar 2002) over an int8-quantized vector
+    column: bit j = (q · r_j >= 0) for the deterministic integer
+    hyperplanes of ``srp_planes``. Per-vector positive quantization
+    scales preserve direction, so the bits are the standard
+    cosine-LSH family over the quantized corpus.
+
+    Execution: the plane matrix is a LITERAL (n_bits × dim ints in the
+    plan — kilobytes); every bit is a codegen'd zip_with/aggregate
+    fold, fully map-side, nothing shuffles. At production dim/bit
+    counts the same contract moves into a Pandas-UDF gemm
+    (sign(Q @ R.T), one BLAS call per Arrow batch) — the operators
+    here keep the expression path because it is engine-exact and the
+    fixture dims are small. Returns (id, bits array<int>)."""
+    planes = srp_planes(n_bits, dim, seed)
+    bits = F.array(
+        *[
+            (
+                F.aggregate(
+                    F.zip_with(
+                        F.col(qvec_col),
+                        F.lit(planes[j]),
+                        lambda a, b: a.cast("long") * b,
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+                >= 0
+            ).cast("int")
+            for j in range(n_bits)
+        ]
+    )
+    return df.select(F.col(id_col), bits.alias("bits"))

@@ -285,6 +285,129 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_srp_lsh",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding::DOUBLE[],
+               x -> CAST(floor(x * (127.0 / list_max(
+                      list_transform(embedding::DOUBLE[], y -> abs(y))))
+                    + 0.5) AS BIGINT)) AS qv
+      FROM embeddings
+    ), planes AS (
+      SELECT j, list_transform(generate_series(1, 64),
+               d -> ('0x' || substr(md5('srp:' || j || ':' || d), 1, 15))::BIGINT
+                    % 2001 - 1000) AS r
+      FROM (SELECT unnest(generate_series(0, 31)) AS j)
+    ), bits AS (
+      SELECT q.vec_id, p.j,
+             CASE WHEN list_sum(list_transform(generate_series(1, 64),
+                    d -> q.qv[d] * p.r[d])) >= 0 THEN 1 ELSE 0 END AS bit
+      FROM q, planes p
+    ), bands AS (
+      SELECT vec_id, j // 4 AS band,
+             CAST(sum(bit * (1 << (j % 4))) AS BIGINT) AS bkey
+      FROM bits GROUP BY vec_id, j // 4
+    ), caps AS (
+      SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= 500
+    ), kept AS (
+      SELECT b.vec_id, b.band, b.bkey FROM bands b
+      JOIN caps ON caps.band = b.band AND caps.bkey = b.bkey
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM kept a JOIN kept b
+        ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                        eb.embedding::DOUBLE[]), 6) AS cos
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
+                                       eb.embedding::DOUBLE[]), 6) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+    covers=("X-dedup-srp-lsh",),
+)
+def dedup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via SIGN-RANDOM-PROJECTION LSH (Charikar
+    2002) — the label-free, corpus-scale path next to the blocked
+    all-pairs of dedup_embedding_cosine: 32 hyperplane sign bits per
+    vector (pure BIGINT arithmetic over the int8-quantized embedding
+    with md5-derived integer planes, so the bits are engine-exact),
+    banded 8×4; vectors sharing any band become candidates; exact
+    double-precision cosine (round 6 HALF_UP) verifies at the same
+    0.4 operating point.
+
+    The collision probability per bit is 1 − θ/π, so a cos ≥ 0.4 pair
+    matches a 4-bit band w.p. ≈ 0.63⁴ ≈ 0.16 and any of 8 bands w.p.
+    ≈ 0.75 — banding is here a recall/cost dial (unlike MinHash-LSH
+    on sets it is never claimed lossless), and the gate pins the
+    EXACT candidate set the dial produces. Scale shape: signature is
+    map-side (plane matrix is a plan literal; at production dims the
+    same contract becomes one sign(Q@R.T) gemm per Arrow batch),
+    banding is one shuffle on (band, key), degenerate buckets are
+    capped at 500 like capped_postings, and only candidate pairs ever
+    carry two vectors."""
+    from etl_sprint_2_5_spark.operators.dedup import cosine_pandas, srp_signature
+    from etl_sprint_2_5_spark.operators.quantize import quantize_embeddings
+    from etl_sprint_2_5_spark.operators.similarity import round6_col
+
+    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
+    q8 = quantize_embeddings(emb, "vec_id", "embedding")
+    sigs = srp_signature(q8, "vec_id", "qvec", n_bits=32, dim=64)
+
+    def bkey(b: int):
+        return sum(
+            (F.element_at("bits", b * 4 + i + 1).cast("long") * (1 << i))
+            for i in range(4)
+        )
+
+    bands = sigs.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), bkey(b).alias("bkey")
+                    )
+                    for b in range(8)
+                ]
+            )
+        ).alias("bb"),
+    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    caps = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") <= 500)
+        .select("band", "bkey")
+    )
+    kept = bands.join(caps, ["band", "bkey"])
+    a = kept.select("band", "bkey", F.col("vec_id").alias("id_a"))
+    b = kept.select("band", "bkey", F.col("vec_id").alias("id_b"))
+    cand = (
+        a.join(b, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round6_col(cosine_pandas("_va", "_vb")).alias("cos"),
+        )
+        .where(F.col("cos") >= 0.4)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query(
     "dedup_clusters",
     oracle=f"""
     WITH RECURSIVE {_MINHASH_VERIFIED_CTES}, sym AS (

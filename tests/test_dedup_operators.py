@@ -450,3 +450,41 @@ def test_keep_longest_agrees_with_clusters(spark):
         assert [int(x) for x in r["dropped_ids"].split(",")] == dropped
     # the heuristic must differ from min-id somewhere, or it's vacuous
     assert any(got[rep]["keeper"] != rep for rep in got)
+
+
+def test_srp_lsh_subset_and_recall(spark):
+    """SRP-LSH near-dups are a strict SUBSET of the brute-force
+    cos>=0.4 truth (the verify stage guarantees precision 1.0), and
+    banded recall lands near the analytic collision rate (~0.75 for
+    cos 0.4 at 8 bands x 4 bits; floor 0.6 allows fixture spread)."""
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.operators.dedup import cosine_pandas
+    from etl_sprint_2_5_spark.operators.similarity import round6_col
+    from etl_sprint_2_5_spark.plans import REGISTRY, load_all
+    from tests.conftest import SF_SMOKE
+
+    load_all()
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    truth = {
+        (r.id_a, r.id_b)
+        for r in (
+            a.crossJoin(b)
+            .where(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a", "id_b", round6_col(cosine_pandas("_va", "_vb")).alias("cos")
+            )
+            .where(F.col("cos") >= 0.4)
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in REGISTRY["dedup_srp_lsh"].fn(spark, SF_SMOKE).collect()
+    }
+    assert got <= truth, "SRP emitted a pair below the cosine threshold"
+    assert truth, "fixture has no near pairs at cos>=0.4"
+    assert len(got) / len(truth) >= 0.6, (len(got), len(truth))

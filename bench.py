@@ -96,6 +96,9 @@ HEADLINE = [
     "bpe_merge_sequence",
     "small_file_compaction",
     "ivm_maintained_docs",
+    "streaming_ivm_maintained_docs",
+    "dedup_srp_lsh",
+    "bpe_compression_stats",
 ]
 
 

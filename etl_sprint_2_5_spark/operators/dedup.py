@@ -734,43 +734,48 @@ def srp_planes(n_bits: int, dim: int, seed: str = "srp") -> list[list[int]]:
     ]
 
 
-def srp_signature(
+def srp_band_keys(
     df: DataFrame,
     id_col: str,
     qvec_col: str,
-    n_bits: int = 32,
+    n_bands: int = 16,
+    rows_per_band: int = 16,
     dim: int = 64,
     seed: str = "srp",
 ) -> DataFrame:
-    """SRP-LSH signature (Charikar 2002) over an int8-quantized vector
-    column: bit j = (q · r_j >= 0) for the deterministic integer
-    hyperplanes of ``srp_planes``. Per-vector positive quantization
-    scales preserve direction, so the bits are the standard
-    cosine-LSH family over the quantized corpus.
+    """SRP-LSH band keys (Charikar 2002) over an int8-quantized vector
+    column: bit j = (q . r_j >= 0) for the deterministic integer
+    hyperplanes of ``srp_planes`` (n_bands*rows_per_band of them), the
+    bits packed per band into an integer key. Per-vector positive
+    quantization scales preserve direction, so the bits are the
+    standard cosine-LSH family over the quantized corpus.
 
-    Execution: the plane matrix is a LITERAL (n_bits × dim ints in the
-    plan — kilobytes); every bit is a codegen'd zip_with/aggregate
-    fold, fully map-side, nothing shuffles. At production dim/bit
-    counts the same contract moves into a Pandas-UDF gemm
-    (sign(Q @ R.T), one BLAS call per Arrow batch) — the operators
-    here keep the expression path because it is engine-exact and the
-    fixture dims are small. Returns (id, bits array<int>)."""
-    planes = srp_planes(n_bits, dim, seed)
-    bits = F.array(
-        *[
-            (
-                F.aggregate(
-                    F.zip_with(
-                        F.col(qvec_col),
-                        F.lit(planes[j]),
-                        lambda a, b: a.cast("long") * b,
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                )
-                >= 0
-            ).cast("int")
-            for j in range(n_bits)
-        ]
-    )
-    return df.select(F.col(id_col), bits.alias("bits"))
+    SRP needs LONG bands: a random near-orthogonal pair matches a
+    k-bit band w.p. ~2^-k, so short bands flood the candidate join at
+    corpus scale; 16-bit bands put the random collision rate at
+    ~1.5e-5 per band while a true near-duplicate (cos >= 0.9,
+    p_bit ~ 0.93) still matches each band w.p. ~0.3 and ANY of 16
+    bands w.p. ~99.7%.
+
+    Execution: ONE integer gemm per Arrow batch (sign(Q @ R.T), numpy
+    int64 — |dot| <= 127*1000*dim, exact), banding entirely map-side;
+    the only shuffle downstream is the (band, key) candidate join.
+    Returns (id, bkeys array<long> of n_bands keys)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    R = np.array(srp_planes(n_bands * rows_per_band, dim, seed), dtype="int64")
+    weights = 1 << np.arange(rows_per_band, dtype="int64")
+
+    def _keys(qv):
+        Q = np.stack(qv.to_numpy()).astype("int64")  # (B, dim)
+        bits = (Q @ R.T >= 0).astype("int64")  # (B, n_bands*rows)
+        keys = bits.reshape(len(Q), n_bands, rows_per_band) @ weights
+        return pd.Series(list(keys))
+
+    # real annotations: `from __future__ import annotations` stringifies
+    # inline hints, which pandas_udf cannot resolve (see cosine_pandas)
+    _keys.__annotations__ = {"qv": pd.Series, "return": pd.Series}
+    keys_udf = pandas_udf(_keys, "array<long>")
+    return df.select(F.col(id_col), keys_udf(F.col(qvec_col)).alias("bkeys"))

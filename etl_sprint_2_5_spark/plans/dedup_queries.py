@@ -287,27 +287,32 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_srp_lsh",
     oracle="""
-    WITH q AS (
+    WITH aug AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000,
+             list_transform(generate_series(1, 64),
+               d -> (embedding::DOUBLE[])[d] * (1.0 + ((d % 7) - 3) / 1000.0))
+      FROM embeddings WHERE vec_id % 50 = 0
+    ), q AS (
       SELECT vec_id,
-             list_transform(embedding::DOUBLE[],
-               x -> CAST(floor(x * (127.0 / list_max(
-                      list_transform(embedding::DOUBLE[], y -> abs(y))))
-                    + 0.5) AS BIGINT)) AS qv
-      FROM embeddings
+             list_transform(v, x -> CAST(floor(x * (127.0 / list_max(
+                    list_transform(v, y -> abs(y)))) + 0.5) AS BIGINT)) AS qv
+      FROM aug
     ), planes AS (
       SELECT j, list_transform(generate_series(1, 64),
                d -> ('0x' || substr(md5('srp:' || j || ':' || d), 1, 15))::BIGINT
                     % 2001 - 1000) AS r
-      FROM (SELECT unnest(generate_series(0, 31)) AS j)
+      FROM (SELECT unnest(generate_series(0, 255)) AS j)
     ), bits AS (
       SELECT q.vec_id, p.j,
              CASE WHEN list_sum(list_transform(generate_series(1, 64),
                     d -> q.qv[d] * p.r[d])) >= 0 THEN 1 ELSE 0 END AS bit
       FROM q, planes p
     ), bands AS (
-      SELECT vec_id, j // 4 AS band,
-             CAST(sum(bit * (1 << (j % 4))) AS BIGINT) AS bkey
-      FROM bits GROUP BY vec_id, j // 4
+      SELECT vec_id, j // 16 AS band,
+             CAST(sum(bit * (1 << (j % 16))) AS BIGINT) AS bkey
+      FROM bits GROUP BY vec_id, j // 16
     ), caps AS (
       SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) <= 500
     ), kept AS (
@@ -319,64 +324,61 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
     )
     SELECT c.id_a, c.id_b,
-           round(list_cosine_similarity(ea.embedding::DOUBLE[],
-                                        eb.embedding::DOUBLE[]), 6) AS cos
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS cos,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates
     FROM cand c
-    JOIN embeddings ea ON ea.vec_id = c.id_a
-    JOIN embeddings eb ON eb.vec_id = c.id_b
-    WHERE round(list_cosine_similarity(ea.embedding::DOUBLE[],
-                                       eb.embedding::DOUBLE[]), 6) >= 0.4
+    JOIN aug ea ON ea.vec_id = c.id_a
+    JOIN aug eb ON eb.vec_id = c.id_b
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.9
     ORDER BY id_a, id_b
     """,
     covers=("X-dedup-srp-lsh",),
 )
 def dedup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup via SIGN-RANDOM-PROJECTION LSH (Charikar
-    2002) — the label-free, corpus-scale path next to the blocked
-    all-pairs of dedup_embedding_cosine: 32 hyperplane sign bits per
-    vector (pure BIGINT arithmetic over the int8-quantized embedding
-    with md5-derived integer planes, so the bits are engine-exact),
-    banded 8×4; vectors sharing any band become candidates; exact
-    double-precision cosine (round 6 HALF_UP) verifies at the same
-    0.4 operating point.
+    2002) at the PRODUCTION operating point: true near-duplicates
+    (cos >= 0.9), 256 hyperplane sign bits per vector banded 16x16.
+    SRP needs long bands — a random near-orthogonal pair matches a
+    k-bit band w.p. ~2^-k, so the 4-bit bands that suit MinHash would
+    flood this join with ~40% of ALL pairs; at 16 bits the random
+    collision rate is ~1.5e-5 per band while a true near-dup
+    (p_bit ~ 0.93+) still hits any of the 16 bands w.p. ~99%+.
 
-    The collision probability per bit is 1 − θ/π, so a cos ≥ 0.4 pair
-    matches a 4-bit band w.p. ≈ 0.63⁴ ≈ 0.16 and any of 8 bands w.p.
-    ≈ 0.75 — banding is here a recall/cost dial (unlike MinHash-LSH
-    on sets it is never claimed lossless), and the gate pins the
-    EXACT candidate set the dial produces. Scale shape: signature is
-    map-side (plane matrix is a plan literal; at production dims the
-    same contract becomes one sign(Q@R.T) gemm per Arrow batch),
-    banding is one shuffle on (band, key), degenerate buckets are
-    capped at 500 like capped_postings, and only candidate pairs ever
-    carry two vectors."""
-    from etl_sprint_2_5_spark.operators.dedup import cosine_pandas, srp_signature
+    The fixture corpus has no pairs above cos 0.5 (verified), so —
+    exactly like the curation module's synthetic-PII pattern — the
+    corpus is AUGMENTED with deterministic, SQL-expressible twins:
+    every 50th vector gains a copy perturbed per-component by
+    (1 + ((d%7)-3)/1000), cos ~ 0.999. The gate then pins that SRP
+    finds every twin, that nothing else crosses 0.9, AND (as a gated
+    constant column) the exact candidate-pair count the banding dial
+    produces.
+
+    Engine-exactness: bits are pure BIGINT arithmetic (md5-derived
+    integer planes x int8-quantized components, |dot| <= 127*1000*64)
+    computed as ONE numpy int64 gemm per Arrow batch; the verify
+    cosine is double round-6 HALF_UP on both engines. Scale shape:
+    signature+banding map-side, one (band, key) shuffle, degenerate
+    buckets capped at 500, only candidate pairs carry two vectors."""
+    from etl_sprint_2_5_spark.operators.dedup import cosine_pandas, srp_band_keys
     from etl_sprint_2_5_spark.operators.quantize import quantize_embeddings
     from etl_sprint_2_5_spark.operators.similarity import round6_col
 
-    emb = load_table(spark, "embeddings", sf_dir).select("vec_id", "embedding")
-    q8 = quantize_embeddings(emb, "vec_id", "embedding")
-    sigs = srp_signature(q8, "vec_id", "qvec", n_bits=32, dim=64)
-
-    def bkey(b: int):
-        return sum(
-            (F.element_at("bits", b * 4 + i + 1).cast("long") * (1 << i))
-            for i in range(4)
-        )
-
-    bands = sigs.select(
-        "vec_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), bkey(b).alias("bkey")
-                    )
-                    for b in range(8)
-                ]
-            )
-        ).alias("bb"),
-    ).select("vec_id", F.col("bb.band").alias("band"), F.col("bb.bkey").alias("bkey"))
+    base = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    twins = base.where(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(sequence(1, 64),"
+            " d -> element_at(v, d) * (1.0 + ((d % 7) - 3) / 1000.0))"
+        ).alias("v"),
+    )
+    aug = base.unionByName(twins)
+    q8 = quantize_embeddings(aug, "vec_id", "v")
+    keys = srp_band_keys(q8, "vec_id", "qvec", n_bands=16, rows_per_band=16)
+    bands = keys.select(
+        "vec_id", F.posexplode("bkeys").alias("band", "bkey")
+    )
     caps = (
         bands.groupBy("band", "bkey")
         .agg(F.count(F.lit(1)).alias("_n"))
@@ -392,8 +394,9 @@ def dedup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    n_cand = cand.count()
+    ea = aug.select(F.col("vec_id").alias("id_a"), F.col("v").alias("_va"))
+    eb = aug.select(F.col("vec_id").alias("id_b"), F.col("v").alias("_vb"))
     return (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
@@ -401,8 +404,9 @@ def dedup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_a",
             "id_b",
             round6_col(cosine_pandas("_va", "_vb")).alias("cos"),
+            F.lit(n_cand).cast("bigint").alias("n_candidates"),
         )
-        .where(F.col("cos") >= 0.4)
+        .where(F.col("cos") >= 0.9)
         .orderBy("id_a", "id_b")
     )
 

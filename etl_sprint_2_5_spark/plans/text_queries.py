@@ -1205,6 +1205,103 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bpe_compression_stats",
+    oracle=f"""
+    WITH pieces AS (
+      SELECT unnest(regexp_extract_all(text, '{_BPE_RE}')) AS piece
+      FROM documents
+    ), freq0 AS (
+      SELECT regexp_replace(piece, '(.)', ' \\1 ', 'g') AS seq,
+             count(*) AS f
+      FROM pieces GROUP BY 1
+    ), {", ".join(_bpe_round_ctes(r) for r in range(1, _BPE_K + 1))}
+    SELECT CAST((SELECT count(*) FROM freq0) AS BIGINT) AS n_pieces,
+           CAST((SELECT sum(f * len(string_split(trim(seq, ' '), '  ')))
+                 FROM freq0) AS BIGINT) AS tokens_before,
+           CAST((SELECT sum(f * len(string_split(trim(seq, ' '), '  ')))
+                 FROM freq{_BPE_K}) AS BIGINT) AS tokens_after,
+           CAST((SELECT sum(f * len(string_split(trim(seq, ' '), '  ')))
+                 FROM freq0) -
+                (SELECT sum(f * len(string_split(trim(seq, ' '), '  ')))
+                 FROM freq{_BPE_K}) AS BIGINT) AS tokens_saved
+    """,
+    covers=("X-text-bpe-compression",),
+)
+def bpe_compression_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What the K=5 learned merges BUY: corpus token counts before and
+    after applying the bpe_merge_sequence merges (frequency-weighted
+    over the vocabulary, so the numbers are true corpus token counts
+    without re-touching any document). tokens_saved = exactly the sum
+    of the 5 winning pair counts — each applied merge removes one
+    token per occurrence — so this query cross-checks the training
+    loop's arithmetic from an independent direction. Same
+    vocabulary-sized cost as one training round."""
+    d = load_documents_spread(spark, sf_dir)
+    pieces = d.select(
+        F.explode(F.regexp_extract_all("text", F.lit(_BPE_RE), 0)).alias("piece")
+    )
+    state = (
+        pieces.groupBy("piece")
+        .agg(F.count("*").alias("f"))
+        .select(
+            F.regexp_replace("piece", "(.)", " $1 ").alias("seq"),
+            "f",
+        )
+        .cache()
+    )
+
+    def tok_count(df: DataFrame):
+        return df.select(
+            F.sum(
+                F.col("f")
+                * F.size(F.split(F.expr("btrim(seq, ' ')"), "  "))
+            ).cast("long")
+        ).collect()[0][0]
+
+    n_pieces = state.count()
+    before = tok_count(state)
+    prev = state
+    for r in range(1, _BPE_K + 1):
+        tk = prev.select(
+            F.split(F.expr("btrim(seq, ' ')"), "  ").alias("tk"), "f"
+        ).where(F.size("tk") >= 2)
+        pairs = tk.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(2, size(tk)),"
+                    " i -> element_at(tk, i-1) || ' ' || element_at(tk, i))"
+                )
+            ).alias("pair"),
+            "f",
+        )
+        win = (
+            pairs.groupBy("pair")
+            .agg(F.sum("f").cast("long").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("pair"))
+            .first()
+        )
+        left, right = win["pair"].split(" ")
+        nxt = prev.select(
+            F.replace(
+                F.col("seq"),
+                F.lit(f" {left}  {right} "),
+                F.lit(f" {left}{right} "),
+            ).alias("seq"),
+            "f",
+        ).cache()
+        nxt.count()
+        prev.unpersist()
+        prev = nxt
+    after = tok_count(prev)
+    prev.unpersist()
+    return spark.createDataFrame(
+        [(n_pieces, before, after, before - after)],
+        "n_pieces long, tokens_before long, tokens_after long, "
+        "tokens_saved long",
+    )
+
+
+@query(
     "gopher_quality_gate",
     oracle=f"""
     WITH toks AS (

@@ -452,39 +452,37 @@ def test_keep_longest_agrees_with_clusters(spark):
     assert any(got[rep]["keeper"] != rep for rep in got)
 
 
-def test_srp_lsh_subset_and_recall(spark):
-    """SRP-LSH near-dups are a strict SUBSET of the brute-force
-    cos>=0.4 truth (the verify stage guarantees precision 1.0), and
-    banded recall lands near the analytic collision rate (~0.75 for
-    cos 0.4 at 8 bands x 4 bits; floor 0.6 allows fixture spread)."""
+def test_srp_lsh_finds_exactly_the_twins(spark):
+    """SRP-LSH at the 16x16 production point: the gated query must
+    recover EXACTLY the deterministic twin pairs (cos ~0.999) the
+    fixture augmentation plants — full recall through the banding,
+    zero false positives past the 0.9 verify — and the band keys must
+    be identical across two independent signature computations (the
+    gemm is pure int64 arithmetic, no float path)."""
     from pyspark.sql import functions as F
 
-    from etl_sprint_2_5_spark.operators.dedup import cosine_pandas
-    from etl_sprint_2_5_spark.operators.similarity import round6_col
+    from etl_sprint_2_5_spark.operators.dedup import srp_band_keys
+    from etl_sprint_2_5_spark.operators.quantize import quantize_embeddings
     from etl_sprint_2_5_spark.plans import REGISTRY, load_all
     from tests.conftest import SF_SMOKE
 
     load_all()
-    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").select(
-        "vec_id", "embedding"
+    e = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    twin_ids = [
+        r.vec_id for r in e.where(F.col("vec_id") % 50 == 0).collect()
+    ]
+    want = {(v, v + 1000000) for v in twin_ids}
+    rows = REGISTRY["dedup_srp_lsh"].fn(spark, SF_SMOKE).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    assert got == want, (sorted(got), sorted(want))
+    assert all(r.cos >= 0.9 for r in rows)
+    assert rows and rows[0].n_candidates >= len(want)
+
+    q8 = quantize_embeddings(
+        e.select("vec_id", F.col("embedding").cast("array<double>").alias("v")),
+        "vec_id",
+        "v",
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
-    truth = {
-        (r.id_a, r.id_b)
-        for r in (
-            a.crossJoin(b)
-            .where(F.col("id_a") < F.col("id_b"))
-            .select(
-                "id_a", "id_b", round6_col(cosine_pandas("_va", "_vb")).alias("cos")
-            )
-            .where(F.col("cos") >= 0.4)
-        ).collect()
-    }
-    got = {
-        (r.id_a, r.id_b)
-        for r in REGISTRY["dedup_srp_lsh"].fn(spark, SF_SMOKE).collect()
-    }
-    assert got <= truth, "SRP emitted a pair below the cosine threshold"
-    assert truth, "fixture has no near pairs at cos>=0.4"
-    assert len(got) / len(truth) >= 0.6, (len(got), len(truth))
+    k1 = sorted(map(repr, srp_band_keys(q8, "vec_id", "qvec").collect()))
+    k2 = sorted(map(repr, srp_band_keys(q8, "vec_id", "qvec").collect()))
+    assert k1 == k2

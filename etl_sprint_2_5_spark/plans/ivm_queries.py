@@ -406,3 +406,90 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
 from etl_sprint_2_5_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["streaming_ivm_maintained_docs"].oracle = _REG["ivm_maintained_docs"].oracle
+
+
+@query(
+    "ivm_aggregate_deltas",
+    oracle="""
+    WITH v2 AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'MUTATED'
+                  ELSE o_orderpriority END AS bucket,
+             CASE WHEN o_orderkey % 17 = 0
+                  THEN 2 * CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                  ELSE CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             END AS cents
+      FROM orders
+    ), meta AS (
+      SELECT 2 * count(*) AS n_delta_rows
+      FROM orders WHERE o_orderkey % 13 = 0 OR o_orderkey % 17 = 0
+    )
+    SELECT bucket,
+           count(*)                     AS n_rows,
+           CAST(sum(cents) AS BIGINT)   AS cents,
+           m.n_delta_rows
+    FROM v2 CROSS JOIN meta m
+    GROUP BY bucket, m.n_delta_rows
+    ORDER BY bucket
+    """,
+    covers=("X-ivm-aggregate",),
+)
+def ivm_aggregate_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained AGGREGATE view via retraction deltas —
+    the other half of IVM (ivm_maintained_docs rebuilds affected
+    JOIN-view rows from base; an aggregate view is maintained by
+    retract/add arithmetic instead, never recomputed): per-priority
+    order counts + revenue cents are initialized from snapshot v1,
+    then a mutation batch lands (o_orderkey%13 moves rows into a new
+    'MUTATED' bucket — a GROUP MOVE; %17 doubles the cents — a
+    MEASURE change; %221 does both) and the state is updated purely
+    from the changed rows' before/after images: (-1, -old) under the
+    old key, (+1, +new) under the new (streaming/ivm.agg_delta /
+    merge_agg_state). The oracle is the from-scratch aggregate over
+    the mutated base, so dropped retractions, double-counted
+    both-mutation rows, or a group-move that forgot either side all
+    break the hash; the delta-row count (exactly 2 x changed rows)
+    rides as a gated column. At 100 TB this is how a billion-row
+    stats table absorbs a million-row CDC batch with one co-
+    partitioned merge instead of a full rescan."""
+    from etl_sprint_2_5_spark.streaming.ivm import agg_delta, merge_agg_state
+
+    cents_v1 = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("bucket"),
+        cents_v1.alias("cents"),
+    )
+    changed_pred = (F.col("o_orderkey") % 13 == 0) | (
+        F.col("o_orderkey") % 17 == 0
+    )
+    # snapshot v2 images of the changed rows (the CDC after-image)
+    new_rows = o.where(changed_pred).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("MUTATED"))
+        .otherwise(F.col("bucket"))
+        .alias("bucket"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.col("cents") * 2)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    old_rows = o.where(changed_pred)
+
+    # phase A: state initialized from the v1 snapshot (the batch build)
+    state = o.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    # phase B: apply the retraction deltas — no rescan of the base
+    delta = agg_delta(old_rows, new_rows, ["bucket"], ["cents"])
+    n_delta = delta.count()
+    maintained = merge_agg_state(state, delta, ["bucket"], ["cents"])
+    return (
+        maintained.select(
+            "bucket",
+            "n_rows",
+            F.col("cents").cast("bigint").alias("cents"),
+            F.lit(n_delta).cast("bigint").alias("n_delta_rows"),
+        )
+        .orderBy("bucket")
+    )

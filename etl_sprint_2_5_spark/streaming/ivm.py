@@ -175,3 +175,60 @@ def run_to_completion(
         if moved == 0:
             return total
     raise RuntimeError("IVM did not converge within max_cycles")
+
+
+def agg_delta(
+    old_rows: DataFrame,
+    new_rows: DataFrame,
+    group_cols: list[str],
+    measure_cols: list[str],
+) -> DataFrame:
+    """Retraction deltas for an incrementally-maintained AGGREGATE
+    view (the Flink-style retract/add pair Spark has no native
+    operator for): every changed row contributes (-1, -old measures)
+    under its OLD group key and (+1, +new measures) under its NEW one
+    — so group moves, measure changes, and rows that do both are all
+    one uniform arithmetic. Returns one row per (group, ±image) with
+    ``_dn`` (count delta) and ``d_<measure>`` columns, ready to merge
+    with ``merge_agg_state``. Input frames carry only the CHANGED
+    rows (before- and after-images), never the base table."""
+    neg = old_rows.select(
+        *group_cols,
+        F.lit(-1).cast("long").alias("_dn"),
+        *[(-F.col(m)).cast("long").alias(f"d_{m}") for m in measure_cols],
+    )
+    pos = new_rows.select(
+        *group_cols,
+        F.lit(1).cast("long").alias("_dn"),
+        *[F.col(m).cast("long").alias(f"d_{m}") for m in measure_cols],
+    )
+    return neg.unionByName(pos)
+
+
+def merge_agg_state(
+    state: DataFrame,
+    delta: DataFrame,
+    group_cols: list[str],
+    measure_cols: list[str],
+) -> DataFrame:
+    """Apply an ``agg_delta`` batch to the aggregate state: full-outer
+    merge on the group key, sums coalesced, groups whose count reaches
+    zero dropped (the retraction that empties a group must REMOVE it —
+    the correctness detail naive incremental sums get wrong). At scale
+    this is one co-partitioned shuffle on the group key; on a real
+    cluster the state table is Delta/Iceberg and this is the MERGE."""
+    d = delta.groupBy(*group_cols).agg(
+        F.sum("_dn").alias("_dn"),
+        *[F.sum(f"d_{m}").alias(f"d_{m}") for m in measure_cols],
+    )
+    merged = state.join(d, group_cols, "full_outer").select(
+        *group_cols,
+        (F.coalesce("n_rows", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias(
+            "n_rows"
+        ),
+        *[
+            (F.coalesce(m, F.lit(0)) + F.coalesce(f"d_{m}", F.lit(0))).alias(m)
+            for m in measure_cols
+        ],
+    )
+    return merged.where(F.col("n_rows") > 0)

@@ -234,3 +234,32 @@ def test_dead_sink_aborts_cycle_offset_unmoved(spark, env, monkeypatch):
     with _pytest.raises(OSError):
         run_cycle(spark, pipes[0], ld, offsets)
     assert offsets.get(pipes[0].name) == before
+
+
+def test_agg_delta_retraction_and_group_drop(spark):
+    """Retract/add arithmetic: a group move retracts under the old key
+    and adds under the new; a retraction that empties a group REMOVES
+    it from the state (n_rows=0 rows must not linger)."""
+    from etl_sprint_2_5_spark.streaming.ivm import agg_delta, merge_agg_state
+
+    state = spark.createDataFrame(
+        [("a", 2, 100), ("b", 1, 50)],
+        "bucket string, n_rows long, cents long",
+    )
+    # row worth 50 moves from b -> a with its measure doubled: b empties
+    old = spark.createDataFrame([("b", 50)], "bucket string, cents long")
+    new = spark.createDataFrame([("a", 100)], "bucket string, cents long")
+    out = merge_agg_state(
+        state, agg_delta(old, new, ["bucket"], ["cents"]), ["bucket"], ["cents"]
+    )
+    rows = {r.bucket: (r.n_rows, r.cents) for r in out.collect()}
+    assert rows == {"a": (3, 200)}, rows
+
+    # brand-new group via pure insert (no old image)
+    empty = spark.createDataFrame([], "bucket string, cents long")
+    ins = spark.createDataFrame([("c", 7)], "bucket string, cents long")
+    out2 = merge_agg_state(
+        out, agg_delta(empty, ins, ["bucket"], ["cents"]), ["bucket"], ["cents"]
+    )
+    rows2 = {r.bucket: (r.n_rows, r.cents) for r in out2.collect()}
+    assert rows2 == {"a": (3, 200), "c": (1, 7)}, rows2

@@ -130,3 +130,61 @@ def test_coverage_union_window_equals_interval_union(spark):
     }
     for doc, cov in want.items():
         assert got.get(doc, 0) == cov, doc
+
+
+def test_agg_delta_equals_recompute_on_random_mutations(spark):
+    """Randomized (seeded) aggregate-IVM equivalence: for arbitrary
+    base tables and arbitrary mutation batches (group moves, measure
+    changes, both, and no-op rewrites), state + agg_delta(changes) ==
+    from-scratch aggregate over the mutated base — including groups
+    that empty out (must vanish) and brand-new groups."""
+    import random
+
+    from etl_sprint_2_5_spark.streaming.ivm import agg_delta, merge_agg_state
+
+    rng = random.Random(20260814)
+    for trial in range(3):
+        buckets = [f"b{i}" for i in range(rng.randint(2, 6))]
+        rows = [
+            (i, rng.choice(buckets), rng.randint(-50, 500))
+            for i in range(rng.randint(20, 120))
+        ]
+        base = spark.createDataFrame(rows, "id long, bucket string, cents long")
+        state = base.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        # mutate a random subset: new bucket (possibly brand-new or
+        # same), new measure (possibly identical)
+        changed_ids = {i for i, _, _ in rows if rng.random() < 0.4}
+        new_buckets = buckets + ["fresh"]
+        mutated = {
+            i: (rng.choice(new_buckets), rng.randint(-50, 500))
+            for i in changed_ids
+        }
+        old = spark.createDataFrame(
+            [(b, c) for i, b, c in rows if i in changed_ids],
+            "bucket string, cents long",
+        )
+        new = spark.createDataFrame(
+            [mutated[i] for i in sorted(changed_ids)],
+            "bucket string, cents long",
+        )
+        maintained = merge_agg_state(
+            state, agg_delta(old, new, ["bucket"], ["cents"]), ["bucket"], ["cents"]
+        )
+        final_rows = [
+            (i, *mutated[i]) if i in changed_ids else (i, b, c)
+            for i, b, c in rows
+        ]
+        want = (
+            spark.createDataFrame(final_rows, "id long, bucket string, cents long")
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").cast("long").alias("cents"),
+            )
+        )
+        got = {(r.bucket, r.n_rows, r.cents) for r in maintained.collect()}
+        exp = {(r.bucket, r.n_rows, r.cents) for r in want.collect()}
+        assert got == exp, f"trial {trial}: {got ^ exp}"

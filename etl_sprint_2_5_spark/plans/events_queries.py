@@ -1864,3 +1864,83 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("r_bucket", "f_bucket", "m_bucket")
     )
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderstatus AS status,
+           count(*) AS n_items,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY status
+    """,
+    covers=("X-layout-bucketed-join",),
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The recurring big-big fact join on PRE-BUCKETED storage: both
+    orders and lineitem are staged once as catalog tables bucketed 16
+    ways on the join key (fingerprint-keyed names, so regenerated
+    testdata rebuilds them), and the join then runs WITHOUT ANY
+    EXCHANGE — the bucketed scans report their hash partitioning
+    straight from storage (tests/test_scale_patterns.py asserts the
+    no-shuffle plan for this layout). At 100 TB this is the single
+    biggest repeated-cost lever a warehouse has: a fact table joined
+    daily pays its shuffle once at write time, never per query.
+    Broadcast is disabled for the join so the gate exercises the
+    big-big SortMergeJoin path the bucketing exists for (at scale
+    neither side broadcasts); the gated rollup proves the bucketed
+    copies are byte-faithful to the source tables."""
+    from etl_sprint_2_5_spark.artifacts import table_fingerprint
+    from etl_sprint_2_5_spark.sources.bucketed import write_bucketed
+
+    fp = table_fingerprint(sf_dir, "lineitem")
+    to, tl = f"colo_orders_{fp}", f"colo_lineitem_{fp}"
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    try:
+        if not spark.catalog.tableExists(to):
+            write_bucketed(
+                load_table(spark, "orders", sf_dir).select(
+                    "o_orderkey", "o_orderstatus"
+                ),
+                to,
+                "o_orderkey",
+                16,
+                sort_col="o_orderkey",
+            )
+        if not spark.catalog.tableExists(tl):
+            write_bucketed(
+                load_table(spark, "lineitem", sf_dir).select(
+                    F.col("l_orderkey").alias("o_orderkey"),
+                    cents.alias("cents"),
+                ),
+                tl,
+                "o_orderkey",
+                16,
+                sort_col="o_orderkey",
+            )
+        # MERGE hint pins the SortMergeJoin path in the lazy plan
+        # itself (a conf toggle would not survive to execution time):
+        # with both sides bucketed 16-ways on the key, the SMJ needs
+        # no Exchange on either side
+        joined = (
+            spark.table(to).hint("merge").join(spark.table(tl), "o_orderkey")
+        )
+    except Exception:  # noqa: BLE001 — storage-less/read-only session
+        o = load_table(spark, "orders", sf_dir).select(
+            "o_orderkey", "o_orderstatus"
+        )
+        li = load_table(spark, "lineitem", sf_dir).select(
+            F.col("l_orderkey").alias("o_orderkey"), cents.alias("cents")
+        )
+        joined = o.join(li, "o_orderkey")
+    return (
+        joined.groupBy(F.col("o_orderstatus").alias("status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("cents").cast("bigint").alias("price_cents"),
+        )
+        .orderBy("status")
+    )

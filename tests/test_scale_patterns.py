@@ -414,3 +414,18 @@ def test_compaction_hits_binpack_bound(spark, tmp_path):
         spark, src, f"{tmp_path}/lc", target, order_by=["event_type"]
     )
     assert n_out3 <= bound
+
+
+def test_bucketed_colocated_join_query_has_no_join_exchange(spark):
+    """The registered bucketed_colocated_join query's executed plan:
+    SortMergeJoin over TWO bucketed scans with no Exchange anywhere
+    below the join — the pay-the-shuffle-once-at-write-time layout."""
+    from etl_sprint_2_5_spark.plans import REGISTRY, load_all
+
+    load_all()
+    df = REGISTRY["bucketed_colocated_join"].fn(spark, SF_SMOKE)
+    plan = _plan(df)
+    assert "SortMergeJoin" in plan, plan
+    assert plan.count("Bucketed: true") == 2, plan
+    join_subtree = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange hashpartitioning" not in join_subtree, plan

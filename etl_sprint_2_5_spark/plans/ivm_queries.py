@@ -493,3 +493,98 @@ def ivm_aggregate_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "streaming_ivm_aggregate_deltas",
+    oracle=None,  # set below — identical to ivm_aggregate_deltas' oracle
+    covers=("X-ivm-aggregate-stream",),
+)
+def streaming_ivm_aggregate_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The aggregate-IVM twin as a LIVE changelog stream: the same
+    retract/add rows (Flink-changelog shape) arrive as a two-file
+    feed — micro-batch 1 carries the initial inserts, micro-batch 2
+    the mutation changelog — and each foreachBatch applies its batch
+    through streaming/ivm.apply_agg_delta_batch: one merge + one
+    atomic directory swap whose LEDGER (applied batch id) moves with
+    the data. Deltas are not idempotent, so this ledger — not the
+    keyed overwrite that protects the doc pipelines — is what turns
+    at-least-once delivery into exactly-once state (a replayed batch
+    id is read from the ledger and skipped; the crash-window pytest
+    drives every interleaving). Hash-gated by the SAME oracle as the
+    batch twin, with the changelog row count as the gated column."""
+    from etl_sprint_2_5_spark.streaming.ivm import agg_delta, apply_agg_delta_batch
+
+    cents_v1 = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    o = load_table(spark, "orders", sf_dir).select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("bucket"),
+        cents_v1.alias("cents"),
+    )
+    changed_pred = (F.col("o_orderkey") % 13 == 0) | (
+        F.col("o_orderkey") % 17 == 0
+    )
+    new_rows = o.where(changed_pred).select(
+        F.when(F.col("o_orderkey") % 13 == 0, F.lit("MUTATED"))
+        .otherwise(F.col("bucket"))
+        .alias("bucket"),
+        F.when(F.col("o_orderkey") % 17 == 0, F.col("cents") * 2)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    )
+    old_rows = o.where(changed_pred).select("bucket", "cents")
+
+    tmp = tempfile.mkdtemp(prefix="ivm_agg_stream_")
+    feed, state = f"{tmp}/feed", f"{tmp}/state"
+    import time
+
+    # micro-batch 1: initial inserts as (+1) changelog rows
+    o.select(
+        "bucket",
+        F.lit(1).cast("long").alias("_dn"),
+        F.col("cents").cast("long").alias("d_cents"),
+    ).coalesce(1).write.mode("append").parquet(feed)
+    time.sleep(0.05)  # file-source orders batches by mtime
+    # micro-batch 2: the mutation changelog (retract old, add new)
+    changelog = agg_delta(old_rows, new_rows, ["bucket"], ["cents"])
+    changelog.coalesce(1).write.mode("append").parquet(feed)
+
+    counts: list[int] = []
+
+    def process(batch_df, batch_id: int) -> None:  # noqa: ANN001
+        counts.append(batch_df.count())
+        apply_agg_delta_batch(
+            spark, state, batch_df, ["bucket"], ["cents"], batch_id
+        )
+
+    q = (
+        spark.readStream.schema("bucket string, _dn long, d_cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", f"{tmp}/ckpt")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError("aggregate changelog stream did not drain in 300s")
+    n_delta = counts[-1] if len(counts) > 1 else 0
+
+    out = (
+        spark.read.parquet(state)
+        .select(
+            "bucket",
+            "n_rows",
+            F.col("cents").cast("bigint").alias("cents"),
+            F.lit(n_delta).cast("bigint").alias("n_delta_rows"),
+        )
+        .orderBy("bucket")
+    )
+    res = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return res
+
+
+_REG["streaming_ivm_aggregate_deltas"].oracle = _REG["ivm_aggregate_deltas"].oracle

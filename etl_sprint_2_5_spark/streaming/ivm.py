@@ -232,3 +232,77 @@ def merge_agg_state(
         ],
     )
     return merged.where(F.col("n_rows") > 0)
+
+
+def _recover_agg_state(path: str) -> None:
+    """Heal an interrupted aggregate-state swap. Unlike the keyed doc
+    sink (sink.recover_swap), completeness is gated on the LEDGER
+    file, not Spark's _SUCCESS marker: a delta application is only
+    complete once the applied-batch id sits INSIDE the new directory,
+    because promoting a merged state without its ledger would let a
+    replayed batch re-apply non-idempotent deltas (double-count)."""
+    import os
+    import shutil
+
+    tmp, bak = path + ".swap", path + ".old"
+    if not os.path.exists(path):
+        if os.path.exists(os.path.join(tmp, "_ledger.json")):
+            os.replace(tmp, path)
+        elif os.path.exists(bak):
+            os.replace(bak, path)
+    if os.path.exists(bak):
+        shutil.rmtree(bak, ignore_errors=True)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def apply_agg_delta_batch(
+    spark: SparkSession,
+    path: str,
+    delta: DataFrame,
+    group_cols: list[str],
+    measure_cols: list[str],
+    batch_id: int,
+) -> bool:
+    """Exactly-once application of one changelog micro-batch to the
+    aggregate state at ``path``. Deltas are NOT idempotent (applying
+    a retract/add pair twice double-counts), so at-least-once
+    delivery needs a transactional guard: the applied-batch id lives
+    in a ledger file INSIDE the state directory and moves atomically
+    with the data in one directory swap — a replayed foreachBatch
+    (same batch_id after crash recovery) reads the ledger and skips.
+    This is the standard foreachBatch exactly-once recipe
+    (batch-id-keyed transactional write), with the keyed-parquet
+    directory swap as the transaction. Returns True if applied,
+    False if skipped as a duplicate."""
+    import json
+    import os
+    import shutil
+
+    _recover_agg_state(path)
+    ledger = os.path.join(path, "_ledger.json")
+    if os.path.exists(ledger):
+        with open(ledger) as f:
+            if batch_id <= json.load(f)["last_batch"]:
+                return False
+    if os.path.exists(path):
+        state = spark.read.parquet(path)
+    else:
+        # empty state with types inherited from the delta schema
+        state = delta.select(
+            *group_cols,
+            F.col("_dn").alias("n_rows"),
+            *[F.col(f"d_{m}").alias(m) for m in measure_cols],
+        ).limit(0)
+    merged = merge_agg_state(state, delta, group_cols, measure_cols)
+    tmp, bak = path + ".swap", path + ".old"
+    # materialize BEFORE touching the target (merged reads the target)
+    merged.write.mode("overwrite").parquet(tmp)
+    with open(os.path.join(tmp, "_ledger.json"), "w") as f:
+        json.dump({"last_batch": batch_id}, f)
+    # ledger now inside tmp → tmp is provably complete from here on
+    if os.path.exists(path):
+        os.replace(path, bak)
+    os.replace(tmp, path)
+    shutil.rmtree(bak, ignore_errors=True)
+    return True

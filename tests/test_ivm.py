@@ -263,3 +263,77 @@ def test_agg_delta_retraction_and_group_drop(spark):
     )
     rows2 = {r.bucket: (r.n_rows, r.cents) for r in out2.collect()}
     assert rows2 == {"a": (3, 200), "c": (1, 7)}, rows2
+
+
+def test_agg_delta_ledger_exactly_once(spark, tmp_path):
+    """apply_agg_delta_batch under at-least-once delivery and crash
+    windows: a replayed batch id is skipped (deltas are not
+    idempotent); a crash that left a COMPLETE .swap (ledger inside)
+    promotes it and still skips the replay; a crash that left an
+    INCOMPLETE .swap (no ledger — parquet finished but the ledger
+    write didn't) discards it so the replay re-applies cleanly."""
+    import json
+    import os
+    import shutil
+
+    from etl_sprint_2_5_spark.streaming.ivm import (
+        agg_delta,
+        apply_agg_delta_batch,
+    )
+
+    state = f"{tmp_path}/state"
+    empty = spark.createDataFrame([], "bucket string, cents long")
+    ins = spark.createDataFrame(
+        [("a", 10), ("a", 20), ("b", 5)], "bucket string, cents long"
+    )
+    d0 = agg_delta(empty, ins, ["bucket"], ["cents"])
+    assert apply_agg_delta_batch(spark, state, d0, ["bucket"], ["cents"], 0)
+
+    def snap():
+        return {
+            (r.bucket, r.n_rows, r.cents)
+            for r in spark.read.parquet(state).collect()
+        }
+
+    base = snap()
+    assert base == {("a", 2, 30), ("b", 1, 5)}
+
+    # plain duplicate delivery of batch 0: skipped, state unchanged
+    assert not apply_agg_delta_batch(spark, state, d0, ["bucket"], ["cents"], 0)
+    assert snap() == base
+
+    # batch 1 applied, then crash-before-cleanup states:
+    mv = agg_delta(
+        spark.createDataFrame([("b", 5)], "bucket string, cents long"),
+        spark.createDataFrame([("a", 7)], "bucket string, cents long"),
+        ["bucket"],
+        ["cents"],
+    )
+    assert apply_agg_delta_batch(spark, state, mv, ["bucket"], ["cents"], 1)
+    after1 = snap()
+    assert after1 == {("a", 3, 37)}
+
+    # window A: complete .swap left behind (ledger inside), no target —
+    # simulates crash between the two renames; recovery must PROMOTE
+    # and the replayed batch 1 must be skipped
+    os.replace(state, state + ".swap")
+    assert not apply_agg_delta_batch(spark, state, mv, ["bucket"], ["cents"], 1)
+    assert snap() == after1
+
+    # window B: incomplete .swap (no ledger) + intact target at batch 1
+    # — simulates crash mid-write; recovery discards it, and the NEXT
+    # batch applies exactly once
+    d2 = agg_delta(
+        empty,
+        spark.createDataFrame([("c", 100)], "bucket string, cents long"),
+        ["bucket"],
+        ["cents"],
+    )
+    d2.write.mode("overwrite").parquet(state + ".swap")  # no ledger
+    marker = os.path.join(state + ".swap", "_ledger.json")
+    assert not os.path.exists(marker)
+    assert apply_agg_delta_batch(spark, state, d2, ["bucket"], ["cents"], 2)
+    assert snap() == {("a", 3, 37), ("c", 1, 100)}
+    with open(os.path.join(state, "_ledger.json")) as f:
+        assert json.load(f)["last_batch"] == 2
+    shutil.rmtree(str(tmp_path), ignore_errors=True)

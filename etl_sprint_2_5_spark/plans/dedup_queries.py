@@ -373,7 +373,14 @@ def dedup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             " d -> element_at(v, d) * (1.0 + ((d % 7) - 3) / 1000.0))"
         ).alias("v"),
     )
-    aug = base.unionByName(twins)
+    # fan the narrow corpus across cores (the quantize/perturb
+    # transforms are interpreted per-element — serial on the 2-file
+    # scan layout) and cache: the verify stage reads aug twice more
+    aug = (
+        base.unionByName(twins)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .cache()
+    )
     q8 = quantize_embeddings(aug, "vec_id", "v")
     keys = srp_band_keys(q8, "vec_id", "qvec", n_bands=16, rows_per_band=16)
     bands = keys.select(
@@ -394,21 +401,27 @@ def dedup_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .distinct()
     )
-    n_cand = cand.count()
+    cand = cand.cache()  # read by the count column AND the verify join
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates")
+    )
     ea = aug.select(F.col("vec_id").alias("id_a"), F.col("v").alias("_va"))
     eb = aug.select(F.col("vec_id").alias("id_b"), F.col("v").alias("_vb"))
-    return (
+    verified = (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select(
             "id_a",
             "id_b",
             round6_col(cosine_pandas("_va", "_vb")).alias("cos"),
-            F.lit(n_cand).cast("bigint").alias("n_candidates"),
         )
         .where(F.col("cos") >= 0.9)
+        .crossJoin(F.broadcast(n_cand))
         .orderBy("id_a", "id_b")
     )
+    from etl_sprint_2_5_spark.plans.registry import materialize_release as _mr
+
+    return _mr(verified, aug, cand)
 
 
 @query(

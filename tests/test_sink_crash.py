@@ -143,3 +143,61 @@ def test_no_deletion_before_replacement_exists(spark, tmp_path, monkeypatch):
     # target is gone, but recovery restores the merged result
     recover_swap(path)
     assert _rows(spark, path) == {("a", 1), ("b", 20)}
+
+
+def test_bucketed_upsert_equivalence_and_pruning(spark, tmp_path):
+    """The bucket-pruned upsert (a) equals the flat keyed upsert on
+    the same batch sequence, (b) leaves UNTOUCHED buckets' files
+    byte-identical (the pruning is real — only affected buckets are
+    rewritten), and (c) re-delivering a batch is a per-bucket no-op."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.streaming.sink import (
+        read_bucketed_view,
+        read_view,
+        upsert_keyed_parquet,
+        upsert_keyed_parquet_bucketed,
+    )
+
+    flat, buck = f"{tmp_path}/flat", f"{tmp_path}/buck"
+    full = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") * 10).alias("val")
+    )
+    upsert_keyed_parquet(spark, full, flat, "id")
+    n0 = upsert_keyed_parquet_bucketed(spark, full, buck, "id", n_buckets=8)
+    assert n0 == 8  # 200 keys cover all 8 buckets
+
+    def files(kb):
+        d = f"{buck}/kb={kb}"
+        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
+
+    before = {kb: files(kb) for kb in range(8)}
+
+    # small update batch: 3 keys → at most 3 buckets rewritten
+    upd = spark.createDataFrame([(5, -1), (6, -2), (7, -3)], "id long, val long")
+    upsert_keyed_parquet(spark, upd, flat, "id")
+    n1 = upsert_keyed_parquet_bucketed(spark, upd, buck, "id", n_buckets=8)
+    assert 1 <= n1 <= 3
+    touched = {
+        r["kb"]
+        for r in upd.withColumn(
+            "kb", F.pmod(F.hash(F.col("id")), F.lit(8))
+        ).select("kb").distinct().collect()
+    }
+    after = {kb: files(kb) for kb in range(8)}
+    for kb in range(8):
+        if kb in touched:
+            assert after[kb] != before[kb], f"bucket {kb} not rewritten"
+        else:
+            assert after[kb] == before[kb], f"bucket {kb} rewritten needlessly"
+
+    def rows(df):
+        return sorted((r.id, r.val) for r in df.collect())
+
+    assert rows(read_bucketed_view(spark, buck)) == rows(read_view(spark, flat))
+
+    # redelivery: same batch again → same final state
+    upsert_keyed_parquet_bucketed(spark, upd, buck, "id", n_buckets=8)
+    assert rows(read_bucketed_view(spark, buck)) == rows(read_view(spark, flat))

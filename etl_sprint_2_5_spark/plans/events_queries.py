@@ -1899,28 +1899,34 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = table_fingerprint(sf_dir, "lineitem")
     to, tl = f"colo_orders_{fp}", f"colo_lineitem_{fp}"
     cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+
+    def _ensure_staged(name: str, build_df) -> None:  # noqa: ANN001
+        """saveAsTable is not crash-atomic: a run killed mid-write can
+        leave a registered-but-partial table that tableExists accepts.
+        Validate row count against the source before reuse; on any
+        mismatch (or unreadable table) drop and rebuild."""
+        if spark.catalog.tableExists(name):
+            try:
+                if spark.table(name).count() == build_df.count():
+                    return
+            except Exception:  # noqa: BLE001 — torn files → rebuild
+                pass
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+        write_bucketed(build_df, name, "o_orderkey", 16, sort_col="o_orderkey")
+
     try:
-        if not spark.catalog.tableExists(to):
-            write_bucketed(
-                load_table(spark, "orders", sf_dir).select(
-                    "o_orderkey", "o_orderstatus"
-                ),
-                to,
-                "o_orderkey",
-                16,
-                sort_col="o_orderkey",
-            )
-        if not spark.catalog.tableExists(tl):
-            write_bucketed(
-                load_table(spark, "lineitem", sf_dir).select(
-                    F.col("l_orderkey").alias("o_orderkey"),
-                    cents.alias("cents"),
-                ),
-                tl,
-                "o_orderkey",
-                16,
-                sort_col="o_orderkey",
-            )
+        _ensure_staged(
+            to,
+            load_table(spark, "orders", sf_dir).select(
+                "o_orderkey", "o_orderstatus"
+            ),
+        )
+        _ensure_staged(
+            tl,
+            load_table(spark, "lineitem", sf_dir).select(
+                F.col("l_orderkey").alias("o_orderkey"), cents.alias("cents")
+            ),
+        )
         # MERGE hint pins the SortMergeJoin path in the lazy plan
         # itself (a conf toggle would not survive to execution time):
         # with both sides bucketed 16-ways on the key, the SMJ needs

@@ -43,6 +43,7 @@ from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.plans.registry import query
 from etl_sprint_2_5_spark.sources.parquet import load_table
+from etl_sprint_2_5_spark.streaming.sink import read_bucketed_view
 
 # synthetic CDC clock: all base rows carry T0 + small per-key offsets
 # (so keyset batches have real ts progression); mutations land at T1,
@@ -191,9 +192,15 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full story). ``phase_b_rows`` — the number of source rows the
     incremental phase consumed — is a gated column: if the cursors
     failed to exclude already-seen rows (or missed the mutated ones)
-    the count, not just the doc values, breaks the hash."""
+    the count, not just the doc values, breaks the hash.
+
+    Sink: the bucket-pruned keyed upsert (n_buckets=16,
+    streaming/sink.upsert_keyed_parquet_bucketed) — each cycle reads
+    and rewrites only the buckets its affected documents hash into,
+    one Spark job per cycle, so upsert cost tracks the CHANGE, not
+    the view. The flat whole-view-rewrite sink remains available
+    (Pipeline.n_buckets=0) but is not what the gate proves anymore."""
     from etl_sprint_2_5_spark.streaming.ivm import FanOut, Pipeline, run_to_completion
-    from etl_sprint_2_5_spark.streaming.sink import read_view
     from etl_sprint_2_5_spark.streaming.state import OffsetStore
 
     tmp = tempfile.mkdtemp(prefix="ivm_gate_")
@@ -220,6 +227,7 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             rebuild=_rebuild_docs,
             sink_path=gold,
             doc_key="o_orderkey",
+            n_buckets=16,
             batch_size=sizes["orders"],
         ),
         Pipeline(
@@ -238,6 +246,7 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             rebuild=_rebuild_docs,
             sink_path=gold,
             doc_key="o_orderkey",
+            n_buckets=16,
             batch_size=sizes["customer"],
         ),
         Pipeline(
@@ -249,6 +258,7 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             rebuild=_rebuild_docs,
             sink_path=gold,
             doc_key="o_orderkey",
+            n_buckets=16,
             batch_size=sizes["lineitem"],
         ),
     ]
@@ -259,7 +269,7 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumed_b = run_to_completion(spark, pipelines, load, offsets)  # phase B
 
     docs = (
-        read_view(spark, gold)
+        read_bucketed_view(spark, gold)
         .withColumn("phase_b_rows", F.lit(consumed_b).cast("bigint"))
         .orderBy("o_orderkey")
     )
@@ -296,7 +306,6 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     parquet upsert swaps a directory; one writer at a time), exactly
     like the reference daemon's per-table coroutine round-robin."""
     from etl_sprint_2_5_spark.streaming.ivm import FanOut, Pipeline
-    from etl_sprint_2_5_spark.streaming.sink import read_view
     from etl_sprint_2_5_spark.streaming.structured import stream_pipeline
 
     tmp = tempfile.mkdtemp(prefix="ivm_stream_gate_")
@@ -326,6 +335,7 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
             rebuild=_rebuild_docs,
             sink_path=gold,
             doc_key="o_orderkey",
+            n_buckets=16,
         ),
         "customer": Pipeline(
             name="customer",
@@ -341,6 +351,7 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
             rebuild=_rebuild_docs,
             sink_path=gold,
             doc_key="o_orderkey",
+            n_buckets=16,
         ),
         "lineitem": Pipeline(
             name="lineitem",
@@ -351,6 +362,7 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
             rebuild=_rebuild_docs,
             sink_path=gold,
             doc_key="o_orderkey",
+            n_buckets=16,
         ),
     }
 
@@ -394,7 +406,7 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     consumed_b = sum(drain(name) for name in pipelines)
 
     docs = (
-        read_view(spark, gold)
+        read_bucketed_view(spark, gold)
         .withColumn("phase_b_rows", F.lit(consumed_b).cast("bigint"))
         .orderBy("o_orderkey")
     )
@@ -536,7 +548,22 @@ def streaming_ivm_aggregate_deltas(spark: SparkSession, sf_dir: str) -> DataFram
 
     tmp = tempfile.mkdtemp(prefix="ivm_agg_stream_")
     feed, state = f"{tmp}/feed", f"{tmp}/state"
-    import time
+    import glob as _glob
+    import os
+
+    def _pin_mtime(epoch: int) -> None:
+        """Pin every not-yet-pinned feed file to an explicit mtime.
+        The file source orders micro-batches by modificationTime; a
+        coarse-resolution filesystem could otherwise sort the
+        changelog batch BEFORE the insert batch, and a retract applied
+        to empty state now raises in merge_agg_state rather than
+        silently dropping groups — this makes the ordering a stated
+        invariant instead of a sleep-and-hope."""
+        for f in _glob.glob(f"{feed}/*.parquet"):
+            # fresh writes carry the current (far-future vs the pinned
+            # epochs) mtime; already-pinned files are left alone
+            if os.stat(f).st_mtime > _T1 + 1:
+                os.utime(f, (epoch, epoch))
 
     # micro-batch 1: initial inserts as (+1) changelog rows
     o.select(
@@ -544,10 +571,11 @@ def streaming_ivm_aggregate_deltas(spark: SparkSession, sf_dir: str) -> DataFram
         F.lit(1).cast("long").alias("_dn"),
         F.col("cents").cast("long").alias("d_cents"),
     ).coalesce(1).write.mode("append").parquet(feed)
-    time.sleep(0.05)  # file-source orders batches by mtime
+    _pin_mtime(_T0)
     # micro-batch 2: the mutation changelog (retract old, add new)
     changelog = agg_delta(old_rows, new_rows, ["bucket"], ["cents"])
     changelog.coalesce(1).write.mode("append").parquet(feed)
+    _pin_mtime(_T1)
 
     counts: list[int] = []
 
@@ -570,7 +598,17 @@ def streaming_ivm_aggregate_deltas(spark: SparkSession, sf_dir: str) -> DataFram
     if not q.awaitTermination(300):
         q.stop()
         raise RuntimeError("aggregate changelog stream did not drain in 300s")
-    n_delta = counts[-1] if len(counts) > 1 else 0
+    # ordering invariant: exactly two micro-batches, inserts first —
+    # a violated feed fails HERE with the cause, not downstream in the
+    # hash (and a changelog-first replay would already have raised in
+    # merge_agg_state's negative-count guard)
+    if len(counts) != 2:
+        raise RuntimeError(
+            f"changelog feed produced {len(counts)} micro-batches "
+            f"(counts={counts}), expected [n_base, 2*n_changed] — "
+            "mtime pinning failed or maxFilesPerTrigger was ignored"
+        )
+    n_delta = counts[1]
 
     out = (
         spark.read.parquet(state)

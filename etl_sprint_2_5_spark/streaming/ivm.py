@@ -37,7 +37,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.operators.keyset import keyset_batch
-from etl_sprint_2_5_spark.streaming.sink import upsert_keyed_parquet
+from etl_sprint_2_5_spark.streaming.sink import (
+    upsert_keyed_parquet,
+    upsert_keyed_parquet_bucketed,
+)
 from etl_sprint_2_5_spark.streaming.state import OffsetStore
 
 TableLoader = Callable[[str], DataFrame]  # table name -> current snapshot
@@ -85,6 +88,29 @@ class Pipeline:
     sink_path: str
     doc_key: str = "id"
     batch_size: int = 1000
+    # >0 routes the sink through the bucket-pruned upsert
+    # (upsert_keyed_parquet_bucketed): cost per cycle becomes
+    # proportional to the buckets the CHANGE lands in, not the view —
+    # the flat whole-view rewrite is untenable at 100 TB. 0 = flat.
+    n_buckets: int = 0
+
+    def upsert(self, spark: SparkSession, docs: DataFrame) -> None:
+        if self.n_buckets > 0:
+            upsert_keyed_parquet_bucketed(
+                spark, docs, self.sink_path, self.doc_key, self.n_buckets
+            )
+        else:
+            upsert_keyed_parquet(spark, docs, self.sink_path, self.doc_key)
+
+    def read_view(self, spark: SparkSession) -> DataFrame:
+        from etl_sprint_2_5_spark.streaming.sink import (
+            read_bucketed_view,
+            read_view,
+        )
+
+        if self.n_buckets > 0:
+            return read_bucketed_view(spark, self.sink_path)
+        return read_view(spark, self.sink_path)
 
 
 def with_backoff(
@@ -142,9 +168,7 @@ def run_cycle(
         docs = p.rebuild(load, ids)
         # T6: transient sink failures are retried with capped backoff;
         # only a still-failing sink aborts the cycle (offset unmoved)
-        with_backoff(
-            lambda: upsert_keyed_parquet(spark, docs, p.sink_path, p.doc_key)
-        )
+        with_backoff(lambda: p.upsert(spark, docs))
         # T2: ONLY after the sink returned do we advance the cursor
         ts_val = tail["ts"]
         if isinstance(ts_val, str):
@@ -214,18 +238,36 @@ def merge_agg_state(
     """Apply an ``agg_delta`` batch to the aggregate state: full-outer
     merge on the group key, sums coalesced, groups whose count reaches
     zero dropped (the retraction that empties a group must REMOVE it —
-    the correctness detail naive incremental sums get wrong). At scale
-    this is one co-partitioned shuffle on the group key; on a real
-    cluster the state table is Delta/Iceberg and this is the MERGE."""
+    the correctness detail naive incremental sums get wrong). A group
+    whose count would go NEGATIVE is a protocol violation — a retract
+    for a row the state never absorbed (misordered changelog batches,
+    a skipped insert batch) — and raises loudly instead of being
+    silently dropped, so the root cause surfaces instead of a
+    confusing downstream hash mismatch. At scale this is one
+    co-partitioned shuffle on the group key; on a real cluster the
+    state table is Delta/Iceberg and this is the MERGE."""
     d = delta.groupBy(*group_cols).agg(
         F.sum("_dn").alias("_dn"),
         *[F.sum(f"d_{m}").alias(f"d_{m}") for m in measure_cols],
     )
+    n_new = F.coalesce("n_rows", F.lit(0)) + F.coalesce("_dn", F.lit(0))
     merged = state.join(d, group_cols, "full_outer").select(
         *group_cols,
-        (F.coalesce("n_rows", F.lit(0)) + F.coalesce("_dn", F.lit(0))).alias(
-            "n_rows"
-        ),
+        F.when(
+            n_new < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "merge_agg_state: group count went negative "
+                        "(retract without matching insert — misordered "
+                        "or dropped changelog batch?) for group "
+                    ),
+                    F.concat_ws("/", *[F.col(c).cast("string") for c in group_cols]),
+                )
+            ).cast("long"),
+        )
+        .otherwise(n_new)
+        .alias("n_rows"),
         *[
             (F.coalesce(m, F.lit(0)) + F.coalesce(f"d_{m}", F.lit(0))).alias(m)
             for m in measure_cols

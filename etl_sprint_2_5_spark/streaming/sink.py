@@ -106,21 +106,83 @@ def upsert_keyed_parquet_bucketed(
     (upsert_keyed_parquet rewrites everything; fine for small views,
     untenable at 100 TB).
 
-    Crash contract: each bucket reuses ``upsert_keyed_parquet``'s
-    atomic swap + ``recover_swap`` healing, so every bucket is always
-    either old or new, never torn. A crash BETWEEN bucket swaps
-    leaves a mix of updated and stale buckets with the offset
-    uncommitted — redelivery re-upserts the same batch and every
-    bucket converges (the same idempotent-upsert argument as the flat
-    sink, applied per bucket). Bucket assignment is Spark's
-    deterministic murmur3 ``hash`` — stable across sessions, so a
-    redelivered row always lands in the same bucket. Returns the
-    number of buckets touched."""
-    b = batch.withColumn("_kb", F.pmod(F.hash(F.col(key)), F.lit(n_buckets)))
-    touched = sorted(r["_kb"] for r in b.select("_kb").distinct().collect())
+    Execution shape: ONE Spark job regardless of how many buckets are
+    touched — the existing touched buckets are read as one pruned
+    scan, merged with the batch (anti-join on incoming keys), and
+    written partitioned by bucket in a single pass; promoting each
+    bucket is then a metadata-only directory rename. (A per-bucket
+    upsert loop would run O(touched) driver-coordinated jobs — at
+    1000 buckets that's 1000 job launches per maintenance cycle.)
+
+    Crash contract: each bucket's promote reuses the flat sink's
+    swap state machine (``.swap``/``.old`` + ``recover_swap``), so
+    every bucket is always either old or new, never torn. A crash
+    BETWEEN bucket promotes leaves a mix of updated and stale buckets
+    with the offset uncommitted — redelivery re-upserts the same
+    batch and every bucket converges (the same idempotent-upsert
+    argument as the flat sink, applied per bucket). Bucket assignment
+    is Spark's deterministic murmur3 ``hash`` — stable across
+    sessions, so a redelivered row always lands in the same bucket.
+    Returns the number of buckets touched."""
+    kb_of = F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
+    # persist: the batch plan (often a rebuild join+agg) feeds BOTH the
+    # touched-bucket probe and the merge write — without the cache it
+    # would execute twice per cycle. The batch is the change, not the
+    # corpus, so caching it is bounded by CDC volume.
+    b = batch.withColumn("_kb", kb_of).persist()
+    try:
+        touched = sorted(r["_kb"] for r in b.select("_kb").distinct().collect())
+        if not touched:
+            return 0
+        return _merge_touched_buckets(spark, b, touched, path, key, kb_of)
+    finally:
+        b.unpersist()
+
+
+def _merge_touched_buckets(
+    spark: SparkSession,
+    b: DataFrame,
+    touched: list[int],
+    path: str,
+    key: str,
+    kb_of,  # noqa: ANN001
+) -> int:
+    existing = []
     for kb in touched:
-        sub = b.where(F.col("_kb") == kb).drop("_kb")
-        upsert_keyed_parquet(spark, sub, f"{path}/kb={kb}", key)
+        d = f"{path}/kb={kb}"
+        recover_swap(d)
+        if os.path.exists(d):
+            existing.append(d)
+    if existing:
+        # bucket id recomputed from the key (deterministic hash) so the
+        # pruned multi-dir read needs no partition-column inference
+        old = spark.read.parquet(*existing).withColumn("_kb", kb_of)
+        keys = b.select(key).distinct()
+        merged = old.join(F.broadcast(keys), key, "left_anti").unionByName(b)
+    else:
+        merged = b
+    stage = f"{path}.stage"
+    shutil.rmtree(stage, ignore_errors=True)
+    # one shuffle on the bucket id → exactly one file per touched
+    # bucket (partitionBy without it writes |tasks|×|buckets| files)
+    merged.repartition(len(touched), F.col("_kb")).write.mode(
+        "overwrite"
+    ).partitionBy("_kb").parquet(stage)
+    for kb in touched:
+        src, dst = f"{stage}/_kb={kb}", f"{path}/kb={kb}"
+        tmp, bak = dst + ".swap", dst + ".old"
+        if not os.path.exists(src):
+            continue  # batch had the key set but every row was replaced-away
+        os.makedirs(path, exist_ok=True)
+        os.replace(src, tmp)
+        # same crash windows as upsert_keyed_parquet: .swap without a
+        # backup is discarded on recovery (offset uncommitted →
+        # redelivery), .swap with .old is promoted
+        if os.path.exists(dst):
+            os.replace(dst, bak)
+        os.replace(tmp, dst)
+        shutil.rmtree(bak, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
     return len(touched)
 
 
@@ -135,6 +197,11 @@ def read_bucketed_view(spark: SparkSession, path: str) -> DataFrame:
         for d in _glob.glob(os.path.join(path, "kb=*"))
         if not d.endswith((".swap", ".old"))
     )
+    if not dirs:
+        raise FileNotFoundError(
+            f"bucketed keyed view at {path!r} has no kb=* buckets — "
+            "either nothing was ever upserted or the path is wrong"
+        )
     for d in dirs:
         recover_swap(d)
     return spark.read.parquet(*dirs)

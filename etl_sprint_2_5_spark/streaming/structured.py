@@ -22,7 +22,6 @@ from pyspark.sql import SparkSession
 from pyspark.sql.types import StructType
 
 from etl_sprint_2_5_spark.streaming.ivm import Pipeline, TableLoader
-from etl_sprint_2_5_spark.streaming.sink import upsert_keyed_parquet
 
 
 def stream_pipeline(
@@ -55,7 +54,7 @@ def stream_pipeline(
             return
         ids = p.fanout.affected_ids(batch_df, load)
         docs = p.rebuild(load, ids)
-        upsert_keyed_parquet(spark, docs, p.sink_path, p.doc_key)
+        p.upsert(spark, docs)  # flat or bucket-pruned per p.n_buckets
 
     writer = (
         changed_stream.writeStream.foreachBatch(process)

@@ -1903,16 +1903,28 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _ensure_staged(name: str, build_df) -> None:  # noqa: ANN001
         """saveAsTable is not crash-atomic: a run killed mid-write can
         leave a registered-but-partial table that tableExists accepts.
-        Validate row count against the source before reuse; on any
-        mismatch (or unreadable table) drop and rebuild."""
+        Completeness proof without re-scanning the SOURCE on every
+        reuse: the expected row count is stamped as a table property
+        AFTER the write finishes (a crashed write never gets the
+        stamp), so reuse-time validation is staged-count == stamp —
+        one scan of the 2-column staged table, zero source reads. Any
+        mismatch, missing stamp, or unreadable table → drop and
+        rebuild."""
+        prop = "etl.expected_rows"
         if spark.catalog.tableExists(name):
             try:
-                if spark.table(name).count() == build_df.count():
+                stamped = {
+                    r["key"]: r["value"]
+                    for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+                }.get(prop)
+                if stamped is not None and spark.table(name).count() == int(stamped):
                     return
             except Exception:  # noqa: BLE001 — torn files → rebuild
                 pass
             spark.sql(f"DROP TABLE IF EXISTS {name}")
         write_bucketed(build_df, name, "o_orderkey", 16, sort_col="o_orderkey")
+        n = spark.table(name).count()
+        spark.sql(f"ALTER TABLE {name} SET TBLPROPERTIES ('{prop}'='{n}')")
 
     try:
         _ensure_staged(

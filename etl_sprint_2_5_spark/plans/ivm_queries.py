@@ -43,7 +43,11 @@ from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.plans.registry import query
 from etl_sprint_2_5_spark.sources.parquet import load_table
-from etl_sprint_2_5_spark.streaming.sink import read_bucketed_view
+from etl_sprint_2_5_spark.streaming.sink import (
+    buckets_for,
+    dir_bytes,
+    read_bucketed_view,
+)
 
 # synthetic CDC clock: all base rows carry T0 + small per-key offsets
 # (so keyset batches have real ts progression); mutations land at T1,
@@ -194,7 +198,7 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     failed to exclude already-seen rows (or missed the mutated ones)
     the count, not just the doc values, breaks the hash.
 
-    Sink: the bucket-pruned keyed upsert (n_buckets=16,
+    Sink: the bucket-pruned keyed upsert (n_buckets sized by buckets_for,
     streaming/sink.upsert_keyed_parquet_bucketed) — each cycle reads
     and rewrites only the buckets its affected documents hash into,
     one Spark job per cycle, so upsert cost tracks the CHANGE, not
@@ -206,6 +210,10 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="ivm_gate_")
     base, gold = f"{tmp}/base", f"{tmp}/gold/docs"
     _stage_base(spark, sf_dir, base)
+    # bucket count from TARGET BUCKET SIZE, not a magic number
+    # (buckets_for docstring has the 100-TB math: ~1 GiB/bucket ->
+    # ~100k buckets at 100 TB; floors to 16 on this toy base)
+    nb = buckets_for(dir_bytes(base))
 
     def load(name: str) -> DataFrame:
         return spark.read.parquet(f"{base}/{name}")
@@ -227,7 +235,7 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             rebuild=_rebuild_docs,
             sink_path=gold,
             doc_key="o_orderkey",
-            n_buckets=16,
+            n_buckets=nb,
             batch_size=sizes["orders"],
         ),
         Pipeline(
@@ -246,7 +254,7 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             rebuild=_rebuild_docs,
             sink_path=gold,
             doc_key="o_orderkey",
-            n_buckets=16,
+            n_buckets=nb,
             batch_size=sizes["customer"],
         ),
         Pipeline(
@@ -258,7 +266,7 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             rebuild=_rebuild_docs,
             sink_path=gold,
             doc_key="o_orderkey",
-            n_buckets=16,
+            n_buckets=nb,
             batch_size=sizes["lineitem"],
         ),
     ]
@@ -311,6 +319,10 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     tmp = tempfile.mkdtemp(prefix="ivm_stream_gate_")
     base, gold = f"{tmp}/base", f"{tmp}/gold/docs"
     _stage_base(spark, sf_dir, base)
+    # bucket count from TARGET BUCKET SIZE, not a magic number
+    # (buckets_for docstring has the 100-TB math: ~1 GiB/bucket ->
+    # ~100k buckets at 100 TB; floors to 16 on this toy base)
+    nb = buckets_for(dir_bytes(base))
 
     def load(name: str) -> DataFrame:
         return spark.read.parquet(f"{base}/{name}")
@@ -335,7 +347,7 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
             rebuild=_rebuild_docs,
             sink_path=gold,
             doc_key="o_orderkey",
-            n_buckets=16,
+            n_buckets=nb,
         ),
         "customer": Pipeline(
             name="customer",
@@ -351,7 +363,7 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
             rebuild=_rebuild_docs,
             sink_path=gold,
             doc_key="o_orderkey",
-            n_buckets=16,
+            n_buckets=nb,
         ),
         "lineitem": Pipeline(
             name="lineitem",
@@ -362,7 +374,7 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
             rebuild=_rebuild_docs,
             sink_path=gold,
             doc_key="o_orderkey",
-            n_buckets=16,
+            n_buckets=nb,
         ),
     }
 

@@ -262,7 +262,17 @@ def merge_agg_state(
                         "(retract without matching insert — misordered "
                         "or dropped changelog batch?) for group "
                     ),
-                    F.concat_ws("/", *[F.col(c).cast("string") for c in group_cols]),
+                    # coalesce each key to the literal 'NULL': concat_ws
+                    # SKIPS nulls, which would silently drop the null
+                    # position ("a/b" for ("a", NULL, "b")) and lose the
+                    # group identity the error exists to surface
+                    F.concat_ws(
+                        "/",
+                        *[
+                            F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+                            for c in group_cols
+                        ],
+                    ),
                 )
             ).cast("long"),
         )

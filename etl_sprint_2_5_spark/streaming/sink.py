@@ -89,6 +89,37 @@ def read_view(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def buckets_for(view_bytes: int, target_bucket_bytes: int = 1 << 30) -> int:
+    """Size the bucket count from a TARGET BUCKET SIZE, not a magic
+    count. Pruning saves ``1 - touched/n_buckets`` of the rewrite
+    volume, and each touched bucket is read + rewritten whole — so the
+    sizing rule is "one bucket ≈ one executor-task-sized unit of
+    rewrite": ~1 GiB (a few parquet row groups). The 100-TB math: a
+    100 TB view / 1 GiB → ~100k buckets, so a maintenance batch
+    touching 1,000 keys rewrites ≲1,000 GiB (≈1%) instead of 100 TB;
+    with a magic count of 16 a single "pruned" bucket would be
+    ~6 TB — no better than the flat rewrite. Floors at 16 (tiny test
+    views) and rounds up to a power of two so counts stay stable and
+    splittable as the view grows."""
+    import math
+
+    n = max(16, math.ceil(max(view_bytes, 1) / target_bucket_bytes))
+    return 1 << (n - 1).bit_length()
+
+
+def dir_bytes(path: str) -> int:
+    """Recursive byte size of a directory (0 if absent) — the input
+    ``buckets_for`` sizes from."""
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
+
+
 def upsert_keyed_parquet_bucketed(
     spark: SparkSession,
     batch: DataFrame,
@@ -189,19 +220,29 @@ def _merge_touched_buckets(
 def read_bucketed_view(spark: SparkSession, path: str) -> DataFrame:
     """Read the bucketed keyed view, healing any interrupted bucket
     swap first (per-bucket recover_swap, same states as the flat
-    sink)."""
+    sink).
+
+    Recovery must derive the bucket set from ``kb=*.swap`` /
+    ``kb=*.old`` remnants too, not just live ``kb=*`` dirs: a crash
+    between a bucket's demote (``kb=N`` → ``kb=N.old``) and promote
+    (``kb=N.swap`` → ``kb=N``) leaves NO live dir for that bucket —
+    globbing only live dirs would skip recover_swap and silently
+    return the view minus that bucket's rows."""
     import glob as _glob
 
-    dirs = sorted(
-        d
-        for d in _glob.glob(os.path.join(path, "kb=*"))
-        if not d.endswith((".swap", ".old"))
-    )
+    bases = set()
+    for d in _glob.glob(os.path.join(path, "kb=*")):
+        for suf in (".swap", ".old"):
+            if d.endswith(suf):
+                d = d[: -len(suf)]
+                break
+        bases.add(d)
+    for d in sorted(bases):
+        recover_swap(d)
+    dirs = sorted(d for d in bases if os.path.exists(d))
     if not dirs:
         raise FileNotFoundError(
             f"bucketed keyed view at {path!r} has no kb=* buckets — "
             "either nothing was ever upserted or the path is wrong"
         )
-    for d in dirs:
-        recover_swap(d)
     return spark.read.parquet(*dirs)

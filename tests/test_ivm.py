@@ -337,3 +337,26 @@ def test_agg_delta_ledger_exactly_once(spark, tmp_path):
     with open(os.path.join(state, "_ledger.json")) as f:
         assert json.load(f)["last_batch"] == 2
     shutil.rmtree(str(tmp_path), ignore_errors=True)
+
+
+def test_merge_agg_state_negative_raises_with_null_key_identity(spark):
+    """A retract for a row the state never absorbed raises, and the
+    error message preserves the group identity even when a group key
+    is NULL (concat_ws skips nulls, so each key is coalesced to the
+    literal 'NULL' — otherwise ('a', NULL) reads as just 'a')."""
+    import pytest
+
+    from etl_sprint_2_5_spark.streaming.ivm import agg_delta, merge_agg_state
+
+    state = spark.createDataFrame(
+        [("a", "x", 1, 10)],
+        "b1 string, b2 string, n_rows long, cents long",
+    )
+    # retract under a group the state never saw — with a NULL key part
+    old = spark.createDataFrame([("a", None, 5)], "b1 string, b2 string, cents long")
+    empty = spark.createDataFrame([], "b1 string, b2 string, cents long")
+    bad = merge_agg_state(
+        state, agg_delta(old, empty, ["b1", "b2"], ["cents"]), ["b1", "b2"], ["cents"]
+    )
+    with pytest.raises(Exception, match=r"went negative.*a/NULL"):
+        bad.collect()

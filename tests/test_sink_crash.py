@@ -201,3 +201,39 @@ def test_bucketed_upsert_equivalence_and_pruning(spark, tmp_path):
     # redelivery: same batch again → same final state
     upsert_keyed_parquet_bucketed(spark, upd, buck, "id", n_buckets=8)
     assert rows(read_bucketed_view(spark, buck)) == rows(read_view(spark, flat))
+
+
+def test_bucketed_read_heals_demoted_unpromoted_bucket(spark, tmp_path):
+    """Crash window between a bucket's demote (kb=N -> kb=N.old) and
+    promote (kb=N.swap -> kb=N): no live dir exists for that bucket,
+    only the .old/.swap remnants. read_bucketed_view must derive the
+    bucket from the remnants and promote the complete .swap — a glob
+    over live dirs only would silently drop the bucket's rows."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.streaming.sink import (
+        read_bucketed_view,
+        upsert_keyed_parquet_bucketed,
+    )
+
+    buck = f"{tmp_path}/buck"
+    full = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") * 10).alias("val")
+    )
+    upsert_keyed_parquet_bucketed(spark, full, buck, "id", n_buckets=8)
+    expect = sorted((r.id, r.val) for r in read_bucketed_view(spark, buck).collect())
+
+    # simulate: bucket 3's promote never happened — the new version sits
+    # in .swap, the old one was renamed aside to .old, no live dir
+    d = f"{buck}/kb=3"
+    shutil.copytree(d, d + ".swap")
+    os.replace(d, d + ".old")
+    assert not os.path.exists(d)
+
+    got = sorted((r.id, r.val) for r in read_bucketed_view(spark, buck).collect())
+    assert got == expect  # no rows lost
+    assert os.path.exists(d)  # the bucket was promoted back
+    assert not os.path.exists(d + ".swap") and not os.path.exists(d + ".old")

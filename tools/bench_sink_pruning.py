@@ -36,8 +36,12 @@ def du(path: str) -> int:
 
 
 def main() -> None:
+    # default operating point: batch ≪ buckets, so the pruning the tool
+    # exists to prove actually engages (round-7 verdict: the old 300-key
+    # default touched all 64 buckets — hash-uniform keys need
+    # n_batch well under n_buckets before any bucket stays untouched)
     n_view = int(sys.argv[1]) if len(sys.argv) > 1 else 600_000
-    n_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 300
+    n_batch = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     n_buckets = int(sys.argv[3]) if len(sys.argv) > 3 else 64
 
     from pyspark.sql import SparkSession
@@ -91,6 +95,7 @@ def main() -> None:
         if sorted(os.listdir(f"{buck}/{d}")) != before.get(d)
     )
 
+    flat_bytes = du(flat)
     out = {
         "n_view": n_view,
         "n_batch": n_batch,
@@ -98,8 +103,11 @@ def main() -> None:
         "touched_buckets": touched,
         "flat_upsert_sec": round(flat_sec, 3),
         "bucketed_upsert_sec": round(buck_sec, 3),
-        "flat_bytes_rewritten": du(flat),
+        "flat_bytes_rewritten": flat_bytes,
         "bucketed_bytes_rewritten": rewritten,
+        # the claim in one number: fraction of the flat sink's rewrite
+        # volume the bucketed sink actually rewrote (≈ touched/n_buckets)
+        "bytes_ratio": round(rewritten / flat_bytes, 4) if flat_bytes else None,
     }
     print(json.dumps(out))
     shutil.rmtree(base, ignore_errors=True)

@@ -27,28 +27,54 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 
-def ever_sampled() -> set[str]:
+def _is_pass(row: dict) -> bool:
+    return bool(
+        row.get("rows_match")
+        and row.get("schema_match", True)
+        and row.get("hash_match", True)
+        and not row.get("err")
+    )
+
+
+def sample_history() -> tuple[set[str], set[str]]:
+    """(ever_sampled, last_row_failed): queries whose most RECENT
+    driver row (highest round number) was a FAIL go right after the
+    never-sampled block so the public record gets corrected — an old
+    FAIL predating a fix stays on the books forever if re-draws never
+    reach it."""
     seen: set[str] = set()
+    last: dict[str, tuple[int, bool]] = {}
     for f in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
         try:
+            rnd = int(Path(f).stem.rsplit("_r", 1)[-1])
             d = json.load(open(f))
         except Exception:  # noqa: BLE001 — malformed artifact is not fatal
             continue
-        seen |= set(d.get("queries", d))
-    return seen
+        for name, row in d.get("queries", d).items():
+            seen.add(name)
+            ok = _is_pass(row) if isinstance(row, dict) else bool(row)
+            if name not in last or rnd > last[name][0]:
+                last[name] = (rnd, ok)
+    failed = {n for n, (_, ok) in last.items() if not ok}
+    return seen, failed
 
 
 def main() -> None:
     from etl_sprint_2_5_spark import plans
 
     plans.load_all()
-    seen = ever_sampled()
+    seen, failed = sample_history()
     names = list(plans.REGISTRY)
-    ordered = [n for n in names if n not in seen] + [n for n in names if n in seen]
+    never = [n for n in names if n not in seen]
+    refail = [n for n in names if n in failed]
+    rest = [n for n in names if n in seen and n not in failed]
+    ordered = never + refail + rest
     out = REPO / "QUERY_ORDER.txt"
     out.write_text("\n".join(ordered) + "\n")
-    fresh = len(names) - len([n for n in names if n in seen])
-    print(f"wrote {out} ({len(ordered)} names, {fresh} never-sampled first)")
+    print(
+        f"wrote {out} ({len(ordered)} names: {len(never)} never-sampled, "
+        f"{len(refail)} last-sample-failed, {len(rest)} green)"
+    )
 
 
 if __name__ == "__main__":

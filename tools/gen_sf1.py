@@ -40,16 +40,44 @@ sys.path.insert(0, str(REPO))
 SRC = "/root/testdata/sf0.1"
 N_REPLICAS = 10
 
-# key-family offsets = max key bound at sf0.1 (see TESTDATA.md)
+# key-family offsets = max key bound at sf0.1 (see TESTDATA.md).
+# EVERY column that carries a key — primary OR foreign — must shift by
+# its *referenced* family's offset, or replica i's facts point at
+# replica-0 dims: orders would fan out 10x onto replica-0 customers
+# while replicas 1-9 join nothing, a skew-degenerate corpus that makes
+# any linearity measurement on joins meaningless (round-7 ADVICE).
+_FAMILY = {
+    "customer": 15_000,
+    "orders": 150_000,
+    "part": 20_000,
+    "supplier": 1_000,
+    "event": 100_000,
+    "user": 1_500,
+    "doc": 5_000,
+    "vec": 2_000,
+}
 OFF = {
-    "c_custkey": 15_000,
-    "o_orderkey": 150_000,
-    "p_partkey": 20_000,
-    "s_suppkey": 1_000,
-    "event_id": 100_000,
-    "user_id": 1_500,
-    "doc_id": 5_000,
-    "vec_id": 2_000,
+    # primary keys
+    "c_custkey": _FAMILY["customer"],
+    "o_orderkey": _FAMILY["orders"],
+    "p_partkey": _FAMILY["part"],
+    "s_suppkey": _FAMILY["supplier"],
+    "event_id": _FAMILY["event"],
+    # events.user_id JOINS customer.c_custkey (events_queries.py:968):
+    # it must shift by the CUSTOMER offset so replica i's events hit
+    # replica i's customers — the per-user group sizes are unchanged
+    # (ids gain gaps, which no group-by cares about)
+    "user_id": _FAMILY["customer"],
+    "doc_id": _FAMILY["doc"],
+    # embeddings.vec_id stands in for doc_id in rank fusion
+    # (text_queries.py hybrid_retrieval_rrf): shift by the DOC offset
+    # so replica i's vectors fuse with replica i's documents
+    "vec_id": _FAMILY["doc"],
+    # foreign keys → referenced family's offset
+    "o_custkey": _FAMILY["customer"],
+    "l_orderkey": _FAMILY["orders"],
+    "l_partkey": _FAMILY["part"],
+    "l_suppkey": _FAMILY["supplier"],
 }
 
 

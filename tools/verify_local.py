@@ -30,9 +30,11 @@ TABLES = (
 def duck_connect() -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
-        )
+        p = f"{SF_DIR}/{t}.parquet"
+        # driver-generated testdata is a single file; Spark-written
+        # tables (e.g. the .testdata_sf1 replicas) are directories
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     return con
 
 

@@ -67,14 +67,14 @@ def _ivf_trained_ctes(iters: int, train_where: str = "") -> str:
     corpus only while assignment still covers every vector."""
     extra = f" AND ({train_where})" if train_where else ""
     parts = [
-        f"""cent0 AS (
+        f"""cent0 AS MATERIALIZED (
       SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS emb FROM embeddings
       WHERE vec_id % {_CENTROID_MOD} = 0{extra}
     )"""
     ]
     for i in range(1, iters + 1):
         where_i = f" WHERE true{extra}" if train_where else ""
-        parts.append(f"""asg{i} AS (
+        parts.append(f"""asg{i} AS MATERIALIZED (
       SELECT vec_id, embedding, centroid_id FROM (
         SELECT a.vec_id, a.embedding, c.centroid_id,
                row_number() OVER (
@@ -84,7 +84,7 @@ def _ivf_trained_ctes(iters: int, train_where: str = "") -> str:
         FROM embeddings a, cent{i - 1} c{where_i}
       ) WHERE rn = 1
     )""")
-        parts.append(f"""cent{i} AS (
+        parts.append(f"""cent{i} AS MATERIALIZED (
       SELECT centroid_id, list(round(v, 6) ORDER BY i) AS emb FROM (
         SELECT centroid_id, i, avg(v) AS v FROM (
           SELECT centroid_id, unnest(embedding::DOUBLE[]) AS v,
@@ -671,7 +671,7 @@ def _pq_ctes() -> str:
     one Lloyd round (integer sq-L2 assignment, floored integer mean)
     → encode. Every step is integer arithmetic, so codes are
     bit-identical across engines."""
-    return f"""qv AS (
+    return f"""qv AS MATERIALIZED (
       SELECT vec_id,
              list_transform(embedding::DOUBLE[],
                x -> CAST(floor(x * (127.0 / list_max(
@@ -679,17 +679,17 @@ def _pq_ctes() -> str:
                     + 0.5) AS BIGINT)) AS qv
       FROM embeddings
     ),
-    sub AS (
+    sub AS MATERIALIZED (
       SELECT vec_id, CAST(m AS INT) AS m, qv[m*8+1 : m*8+8] AS sv
       FROM qv, (SELECT unnest(range(8)) AS m)
     ),
-    seed AS (
+    seed AS MATERIALIZED (
       SELECT m, CAST(rn - 1 AS INT) AS code, sv AS cv
       FROM (SELECT m, sv, row_number() OVER (PARTITION BY m ORDER BY vec_id) AS rn
             FROM sub WHERE vec_id % 7 = 3)
       WHERE rn <= 16
     ),
-    pq_asg1 AS (
+    pq_asg1 AS MATERIALIZED (
       SELECT vec_id, m, code, sv FROM (
         SELECT s.vec_id, s.m, c.code, s.sv,
                row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -697,7 +697,7 @@ def _pq_ctes() -> str:
         FROM sub s JOIN seed c ON s.m = c.m
       ) WHERE rn = 1
     ),
-    cb AS (
+    cb AS MATERIALIZED (
       SELECT m, code, list(cv ORDER BY i) AS cv FROM (
         SELECT m, code, i,
                CAST(floor(CAST(sum(v) AS DOUBLE) / count(*)) AS BIGINT) AS cv
@@ -706,7 +706,7 @@ def _pq_ctes() -> str:
         GROUP BY m, code, i)
       GROUP BY m, code
     ),
-    codes AS (
+    codes AS MATERIALIZED (
       SELECT vec_id, m, code FROM (
         SELECT s.vec_id, s.m, c.code,
                row_number() OVER (PARTITION BY s.vec_id, s.m
@@ -935,7 +935,7 @@ def cluster_balanced_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ann_ivfpq_topk",
     oracle=f"""
-    WITH {_ivf_trained_ctes(_IVF_ITERS)}, assigned AS (
+    WITH {_ivf_trained_ctes(_IVF_ITERS)}, assigned AS MATERIALIZED (
       SELECT vec_id, centroid_id FROM (
         SELECT a.vec_id, c.centroid_id,
                row_number() OVER (
@@ -945,7 +945,7 @@ def cluster_balanced_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                    c.centroid_id) AS rn
         FROM embeddings a, cent{_IVF_ITERS} c
       ) WHERE rn = 1
-    ), probes AS (
+    ), probes AS MATERIALIZED (
       SELECT vec_id, centroid_id FROM (
         SELECT q.vec_id, c.centroid_id,
                row_number() OVER (
@@ -958,7 +958,7 @@ def cluster_balanced_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
       ) WHERE rn <= {_NPROBE}
     ),
     {_pq_ctes()},
-    adc AS (
+    adc AS MATERIALIZED (
       SELECT p.vec_id AS query_id, x.vec_id AS neighbor_id,
              CAST(sum(list_dot_product(qs.sv, c.cv)) AS BIGINT) AS score
       FROM codes x

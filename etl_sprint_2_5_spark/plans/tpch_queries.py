@@ -53,8 +53,9 @@ from etl_sprint_2_5_spark.sources.parquet import load_table
            n2.n_name AS cust_nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS l_year,
            count(*) AS n_items,
-           round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
-             AS revenue
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5e0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
     FROM lineitem l
     JOIN orders o   ON l.l_orderkey = o.o_orderkey
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -75,7 +76,11 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ship year. The nation dim is joined TWICE under different aliases
     (supplier side and customer side); both are broadcast, and the
     nation-pair filter prunes before the aggregate. One shuffle total
-    (the groupBy) once the fact-to-orders join is done."""
+    (the groupBy) once the fact-to-orders join is done. Revenue gates
+    as per-row integer cents — a SUM(double)-then-round gate flips
+    its last cent with partition order once group sums grow past the
+    point where float association error crosses the half-cent
+    boundary (caught by the sf1 gate; invisible at sf0.01)."""
     li = load_table(spark, "lineitem", sf_dir).where(
         (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp"))
@@ -115,9 +120,14 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
         )
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
@@ -256,16 +266,18 @@ def returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(EXTRACT(year FROM l.l_shipdate) * 100
                 + EXTRACT(month FROM l.l_shipdate) AS BIGINT) AS ship_month,
-           round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                               THEN l.l_extendedprice * (1 - l.l_discount)
-                               ELSE 0 END) AS DOUBLE), 2) AS promo_rev,
-           round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
-             AS total_rev,
-           CAST(floor(round(CAST(sum(CASE WHEN p.p_type = 'PROMO'
-                                          THEN l.l_extendedprice * (1 - l.l_discount)
-                                          ELSE 0 END) AS DOUBLE), 2)
-                      / round(CAST(sum(l.l_extendedprice * (1 - l.l_discount))
-                                   AS DOUBLE), 2) * 1e6 + 0.5e0)
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                         * 100 + 0.5e0) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_cents,
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5e0) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(sum(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(floor(l.l_extendedprice * (1 - l.l_discount)
+                                         * 100 + 0.5e0) AS BIGINT)
+                         ELSE 0 END) * 1000000
+                // sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                                  + 0.5e0) AS BIGINT))
                 AS BIGINT) AS promo_ppm
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
@@ -280,13 +292,18 @@ def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: monthly share of revenue from PROMO parts.
     Part broadcasts into the fact scan; the conditional aggregate is
     map-side combinable so the shuffle carries one partial row per
-    (partition, month). Share crosses as ppm over rounded sums."""
+    (partition, month). Money gates as per-row integer cents (the
+    SUM(double)-then-round form flips its last cent with partition
+    order at scale — sf1 gate finding); the share crosses as ppm via
+    pure int64 division (cents*1e6 fits int64 through ~sf10)."""
     li = load_table(spark, "lineitem", sf_dir).where(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     p = load_table(spark, "part", sf_dir)
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
     agg = (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .groupBy(
@@ -295,19 +312,17 @@ def promo_revenue_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("ship_month")
         )
         .agg(
-            F.round(
-                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)), 2
-            ).alias("promo_rev"),
-            F.round(F.sum(rev), 2).alias("total_rev"),
+            F.sum(F.when(F.col("p_type") == "PROMO", cents).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("promo_cents"),
+            F.sum(cents).cast("bigint").alias("total_cents"),
         )
     )
     return agg.select(
         "ship_month",
-        "promo_rev",
-        "total_rev",
-        F.floor(F.col("promo_rev") / F.col("total_rev") * 1e6 + 0.5)
-        .cast("long")
-        .alias("promo_ppm"),
+        "promo_cents",
+        "total_cents",
+        F.expr("promo_cents * 1000000L div total_cents").alias("promo_ppm"),
     ).orderBy("ship_month")
 
 
@@ -362,8 +377,9 @@ def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "disjunctive_bracket_revenue",
     oracle="""
     SELECT count(*) AS n_items,
-           round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)) AS DOUBLE), 2)
-             AS revenue
+           CAST(sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5e0) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
     FROM lineitem l
     JOIN part p ON l.l_partkey = p.p_partkey
     WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 15
@@ -402,9 +418,15 @@ def disjunctive_bracket_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return j.agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        # per-row integer cents: scale-stable gate (see nation_trade_volume)
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                + F.lit(0.5)
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("revenue_cents"),
     )
 
 
@@ -577,9 +599,10 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            CAST(EXTRACT(year FROM l.l_shipdate) AS BIGINT) AS o_year,
-           round(CAST(sum(l.l_extendedprice * (1 - l.l_discount)
-                          - p.p_retailprice * l.l_quantity * 0.1e0)
-                      AS DOUBLE), 2) AS profit
+           CAST(sum(CAST(floor((l.l_extendedprice * (1 - l.l_discount)
+                                - p.p_retailprice * l.l_quantity * 0.1e0)
+                               * 100 + 0.5e0) AS BIGINT)) AS BIGINT)
+             AS profit_cents
     FROM lineitem l
     JOIN part p     ON l.l_partkey = p.p_partkey
     JOIN supplier s ON l.l_suppkey = s.s_suppkey
@@ -611,13 +634,21 @@ def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("long").alias("o_year"),
         )
         .agg(
-            F.round(
-                F.sum(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount"))
-                    - F.col("p_retailprice") * F.col("l_quantity") * 0.1
-                ),
-                2,
-            ).alias("profit")
+            # per-row cents (incl. negative margins: floor(x*100+0.5) is
+            # the same half-up on both engines for x<0 too) — the
+            # SUM(double)+round form broke its last cent at the sf1 gate
+            F.sum(
+                F.floor(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        - F.col("p_retailprice") * F.col("l_quantity") * 0.1
+                    )
+                    * 100
+                    + F.lit(0.5)
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("profit_cents")
         )
         .orderBy("nation", F.col("o_year").desc())
     )

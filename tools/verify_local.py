@@ -29,6 +29,12 @@ TABLES = (
 
 def duck_connect() -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # cap the oracle engine: an unbounded DuckDB plus a mis-ordered
+    # join once filled the whole disk with temp spill at sf1, wedging
+    # the Spark session sharing the machine (round-8 incident) — a
+    # failed oracle should fail ITS query, not the gate run
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET max_temp_directory_size='40GiB'")
     for t in TABLES:
         p = f"{SF_DIR}/{t}.parquet"
         # driver-generated testdata is a single file; Spark-written

@@ -23,35 +23,39 @@ from pyspark.sql import functions as F
 from etl_sprint_2_5_spark.plans.registry import materialize_release, query
 from etl_sprint_2_5_spark.sources.parquet import load_table
 
+# CTEs MATERIALIZED: the iteration chain references e/deg at every
+# level; inlined, DuckDB recomputes the basket self-join per
+# reference (spilled >40 GiB at sf1). Materialization pins each
+# step to one evaluation - the same shape Spark executes.
 _PAGERANK_ORACLE = """
-    WITH b AS (
+    WITH b AS MATERIALIZED (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-    ), e AS (
+    ), e AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS src, c.l_partkey AS dst
       FROM b a JOIN b c
         ON a.l_orderkey = c.l_orderkey AND a.l_partkey <> c.l_partkey
-    ), deg AS (
+    ), deg AS MATERIALIZED (
       SELECT src, count(*) AS deg FROM e GROUP BY src
-    ), nn AS (
+    ), nn AS MATERIALIZED (
       SELECT count(*) AS n FROM deg
-    ), r0 AS (
+    ), r0 AS MATERIALIZED (
       SELECT src AS part, CAST(1000000000 // (SELECT n FROM nn) AS BIGINT) AS r
       FROM deg
-    ), it1 AS (
+    ), it1 AS MATERIALIZED (
       SELECT e.dst AS part,
              CAST(150000000 // (SELECT n FROM nn)
                   + (850 * CAST(sum(r0.r // deg.deg) AS BIGINT)) // 1000
                   AS BIGINT) AS r
       FROM e JOIN r0 ON e.src = r0.part JOIN deg ON e.src = deg.src
       GROUP BY e.dst
-    ), it2 AS (
+    ), it2 AS MATERIALIZED (
       SELECT e.dst AS part,
              CAST(150000000 // (SELECT n FROM nn)
                   + (850 * CAST(sum(it1.r // deg.deg) AS BIGINT)) // 1000
                   AS BIGINT) AS r
       FROM e JOIN it1 ON e.src = it1.part JOIN deg ON e.src = deg.src
       GROUP BY e.dst
-    ), it3 AS (
+    ), it3 AS MATERIALIZED (
       SELECT e.dst AS part,
              CAST(150000000 // (SELECT n FROM nn)
                   + (850 * CAST(sum(it2.r // deg.deg) AS BIGINT)) // 1000

@@ -237,3 +237,20 @@ def test_bucketed_read_heals_demoted_unpromoted_bucket(spark, tmp_path):
     assert got == expect  # no rows lost
     assert os.path.exists(d)  # the bucket was promoted back
     assert not os.path.exists(d + ".swap") and not os.path.exists(d + ".old")
+
+
+def test_buckets_for_sizing_rule():
+    """Bucket count derives from a TARGET BUCKET SIZE (~1 GiB): floors
+    at 16 for toy views, rounds up to powers of two, and lands near
+    view_bytes/1GiB at scale — the 100-TB math in the docstring."""
+    from etl_sprint_2_5_spark.streaming.sink import buckets_for
+
+    assert buckets_for(0) == 16
+    assert buckets_for(10 * 1024 * 1024) == 16  # 10 MB toy view
+    gib = 1 << 30
+    assert buckets_for(100 * gib) == 128  # 100 buckets -> next pow2
+    n = buckets_for(100 * 1024 * gib)  # 100 TB
+    assert 100_000 <= n <= 1 << 17  # ~100k buckets, pow2-rounded
+    assert n & (n - 1) == 0  # power of two
+    # custom target bucket size is respected
+    assert buckets_for(64 * gib, target_bucket_bytes=4 * gib) == 16

@@ -799,16 +799,16 @@ def revenue_share_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "part_affinity_pairs",
     oracle="""
-    WITH baskets AS (
+    WITH baskets AS MATERIALIZED (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
     ),
     n_orders AS (
       SELECT count(DISTINCT l_orderkey) AS n FROM baskets
     ),
-    part_freq AS (
+    part_freq AS MATERIALIZED (
       SELECT l_partkey, count(*) AS f FROM baskets GROUP BY l_partkey
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
              count(*) AS n_together
       FROM baskets a JOIN baskets b

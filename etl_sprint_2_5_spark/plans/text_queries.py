@@ -1085,7 +1085,7 @@ def _bpe_round_ctes(r: int) -> str:
     sequence (tokens never contain spaces — _BPE_RE excludes \\s — so
     ' X  Y ' can only match a complete adjacent token pair)."""
     prev = f"freq{r - 1}"
-    return f"""w{r} AS (
+    return f"""w{r} AS MATERIALIZED (
       SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM (
         SELECT unnest(list_transform(generate_series(2, len(tk)),
                       i -> tk[i-1] || ' ' || tk[i])) AS pair, f
@@ -1093,7 +1093,7 @@ def _bpe_round_ctes(r: int) -> str:
               FROM {prev})
         WHERE len(tk) >= 2
       ) GROUP BY pair ORDER BY cnt DESC, pair LIMIT 1
-    ), freq{r} AS (
+    ), freq{r} AS MATERIALIZED (
       SELECT replace(seq,
                  ' ' || replace((SELECT pair FROM w{r}), ' ', '  ') || ' ',
                  ' ' || replace((SELECT pair FROM w{r}), ' ', '') || ' ')
@@ -1112,7 +1112,7 @@ _BPE_K = 5
     WITH pieces AS (
       SELECT unnest(regexp_extract_all(text, '{_BPE_RE}')) AS piece
       FROM documents
-    ), freq0 AS (
+    ), freq0 AS MATERIALIZED (
       SELECT regexp_replace(piece, '(.)', ' \\1 ', 'g') AS seq,
              count(*) AS f
       FROM pieces GROUP BY 1
@@ -1210,7 +1210,7 @@ def bpe_merge_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH pieces AS (
       SELECT unnest(regexp_extract_all(text, '{_BPE_RE}')) AS piece
       FROM documents
-    ), freq0 AS (
+    ), freq0 AS MATERIALIZED (
       SELECT regexp_replace(piece, '(.)', ' \\1 ', 'g') AS seq,
              count(*) AS f
       FROM pieces GROUP BY 1

@@ -1756,7 +1756,7 @@ def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
     ), sh AS (
       SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM toks
-    ), hsh AS (
+    ), hsh AS MATERIALIZED (
       SELECT doc_id,
              list_transform(shingles,
                  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
@@ -1765,7 +1765,7 @@ def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(hs) AS s FROM hsh
     ), dfc AS (
       SELECT s, count(*) AS df FROM ex GROUP BY s
-    ), kept AS (
+    ), kept AS MATERIALIZED (
       SELECT ex.doc_id, ex.s
       FROM ex JOIN dfc ON ex.s = dfc.s AND dfc.df <= {MAX_SHINGLE_DF}
     ), sz AS (
@@ -1774,12 +1774,12 @@ def line_dedup_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ), true_pairs AS (
+    ), true_pairs AS MATERIALIZED (
       SELECT id_a, id_b FROM co
       JOIN sz la ON la.doc_id = co.id_a
       JOIN sz lb ON lb.doc_id = co.id_b
       WHERE round(inter::DOUBLE / (la.n + lb.n - inter), 4) >= 0.5
-    ), mh AS (
+    ), mh AS MATERIALIZED (
       SELECT doc_id, t.seed,
              list_min(list_transform(hs,
                  h -> (t.a * (h % 2147483647) + t.b) % 2147483647)) AS minh
@@ -1866,11 +1866,11 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sweep_band_ctes(r: int) -> str:
     """Band/candidate CTE pair for a 12-hash signature cut into
     rows_per_band=r (suffix _r to keep names distinct in one WITH)."""
-    return f"""bands_{r} AS (
+    return f"""bands_{r} AS MATERIALIZED (
       SELECT doc_id, seed // {r} AS band,
              string_agg(minh::VARCHAR, ',' ORDER BY seed) AS band_key
       FROM mh GROUP BY doc_id, seed // {r}
-    ), cand_{r} AS (
+    ), cand_{r} AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands_{r} a JOIN bands_{r} b
         ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
@@ -1894,7 +1894,7 @@ def _sweep_row_sql(r: int) -> str:
       SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
     ), sh AS (
       SELECT doc_id, {_DUCK_SHINGLES} AS shingles FROM toks
-    ), hsh AS (
+    ), hsh AS MATERIALIZED (
       SELECT doc_id,
              list_transform(shingles,
                  s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
@@ -1903,7 +1903,7 @@ def _sweep_row_sql(r: int) -> str:
       SELECT doc_id, unnest(hs) AS s FROM hsh
     ), dfc AS (
       SELECT s, count(*) AS df FROM ex GROUP BY s
-    ), kept AS (
+    ), kept AS MATERIALIZED (
       SELECT ex.doc_id, ex.s
       FROM ex JOIN dfc ON ex.s = dfc.s AND dfc.df <= {MAX_SHINGLE_DF}
     ), sz AS (
@@ -1912,12 +1912,12 @@ def _sweep_row_sql(r: int) -> str:
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
       FROM kept a JOIN kept b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
-    ), true_pairs AS (
+    ), true_pairs AS MATERIALIZED (
       SELECT id_a, id_b FROM co
       JOIN sz la ON la.doc_id = co.id_a
       JOIN sz lb ON lb.doc_id = co.id_b
       WHERE round(inter::DOUBLE / (la.n + lb.n - inter), 4) >= 0.5
-    ), mh AS (
+    ), mh AS MATERIALIZED (
       SELECT doc_id, t.seed,
              list_min(list_transform(hs,
                  h -> (t.a * (h % 2147483647) + t.b) % 2147483647)) AS minh

@@ -1,19 +1,29 @@
-"""Count-min sketch — mergeable frequency summaries for streams and
-100 TB scans.
+"""Count-min + HyperLogLog sketches — mergeable summaries for
+streams and 100 TB scans.
 
 Spark ships HLL (approx_count_distinct) and t-digest
-(percentile_approx) but no frequency sketch; this fills that slot
-with the same design rules as the rest of the engine: the sketch is
-an ordinary DataFrame (depth × width count cells) produced by ONE
-map-side-combinable aggregation, hashes bottom out in salted md5
-(deterministic across engines, retries, and languages), and
-estimation is a broadcast join — no driver-side state.
+(percentile_approx) as opaque aggregates; this module re-derives the
+two classic sketches as ORDINARY DataFrames with the same design
+rules as the rest of the engine: one map-side-combinable aggregation
+builds the sketch, hashes bottom out in salted md5 (deterministic
+across engines, retries, and languages — so a DuckDB oracle can
+rebuild the identical sketch cell-for-cell), and estimation is plain
+relational algebra — no driver-side state, no opaque binary blobs.
 
-Guarantees (standard CMS): estimate ≥ true count always (no
-under-count); overestimate ≤ ε·N with probability 1−δ for
-width = ⌈e/ε⌉, depth = ⌈ln(1/δ)⌉. Sketches over different data
-slices MERGE by cell-wise sum (groupBy row,bucket again) — the
-property that makes them work as partial aggregates.
+Count-min (frequency): estimate ≥ true count always; overestimate
+≤ ε·N with probability 1−δ for width = ⌈e/ε⌉, depth = ⌈ln(1/δ)⌉.
+Sketches over different slices MERGE by cell-wise sum.
+
+HyperLogLog (cardinality, Flajolet et al. 2007): m = 2^b registers,
+each the max leading-zero rank seen in its hash substream; relative
+standard error ≈ 1.04/√m. Sketches MERGE by register-wise max — the
+idempotent/commutative property that makes them partial aggregates
+(a day of 100 TB can be sketched per-partition and folded). The
+estimator's harmonic sum is carried as an EXACT int64
+(Σ 2^(W+1−reg) ≤ m·2^(W+1) = 2^61 for a 60-bit hash, any b), so the
+only float ops are one literal-constant division and — in the
+small-range branch — one ln(); estimates cross engine boundaries as
+fixed-point milli BIGINTs.
 """
 
 from __future__ import annotations
@@ -93,4 +103,124 @@ def cms_estimate(
         probes.join(F.broadcast(sketch), ["row", "bucket"], "left")
         .groupBy(key_col)
         .agg(F.min(F.coalesce("n", F.lit(0))).alias("est_count"))
+    )
+
+
+# --- HyperLogLog ------------------------------------------------------
+
+_HLL_HASH_BITS = 60  # 15 hex chars of md5 → fits int64 exactly
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant from the HLL paper (Flajolet 2007)."""
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _hll_hash(key_col: str, salt: str):
+    """60-bit salted-md5 hash — same recipe as the CMS bucket hash, so
+    a SQL oracle reproduces it with substr(md5(..),1,15)::BIGINT."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def hll_build(
+    df: DataFrame,
+    key_col: str,
+    group_cols: tuple[str, ...] = (),
+    b: int = 6,
+    salt: str = "hll-v1",
+) -> DataFrame:
+    """Build per-group HLL registers: (*group_cols, bucket, reg).
+
+    ONE groupBy with a max() aggregate — map-side combine collapses
+    each task's contribution to ≤ m rows per group before the
+    shuffle, so sketching 100 TB moves ≤ tasks·groups·m tiny rows.
+    Duplicates are free (max is idempotent); only buckets that saw at
+    least one key appear (absent bucket ⇔ register 0).
+
+    bucket = low b bits of the 60-bit hash; rank = leading-zero count
+    of the remaining W = 60−b bits, plus 1 (w == 0 ⇒ W+1). Computed
+    as W+1−bitlength(w) via length(bin(w)) — integer-exact and
+    available verbatim in DuckDB for the oracle."""
+    m = 1 << b
+    w_bits = _HLL_HASH_BITS - b
+    h = _hll_hash(key_col, salt)
+    w = F.shiftright(h, b)
+    rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+        F.lit(w_bits + 1) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            *group_cols,
+            (h.bitwiseAND(F.lit(m - 1))).alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy(*group_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Register-wise max of two sketches with the same geometry —
+    sketch(A ∪ B) == merge(sketch(A), sketch(B)) exactly, which is
+    what lets slices/partitions/days fold without rescanning."""
+    cols = [c for c in a.columns if c != "reg"]
+    return (
+        a.unionByName(b).groupBy(*cols).agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_estimate(
+    regs: DataFrame,
+    group_cols: tuple[str, ...],
+    b: int = 6,
+) -> DataFrame:
+    """Per-group cardinality estimate from the registers.
+
+    Output: (*group_cols, n_zero_regs, harmonic_num, est_milli).
+
+    harmonic_num = Σ_buckets 2^(W+1−reg) carried as an EXACT int64
+    (absent buckets contribute 2^(W+1) each); the raw estimate is
+    then ONE IEEE division of a python-computed literal constant
+    C = α_m·m²·2^(W+1) by harmonic_num — bit-identical in any
+    engine. Small-range correction (raw ≤ 2.5m with empty registers)
+    switches to m·ln(m/V) — ln is the single libm-dependent op, which
+    is why the estimate crosses the gate as fixed-point milli
+    (floor(est·1e3+0.5)), not a raw double."""
+    m = 1 << b
+    w_bits = _HLL_HASH_BITS - b
+    wmax = w_bits + 1
+    c_lit = hll_alpha(m) * m * m * float(1 << wmax)
+    present = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.sum(F.expr(f"shiftleft(1L, {wmax} - reg)")).alias("present_num"),
+    )
+    v = F.lit(m) - F.col("n_present")
+    harmonic = (
+        F.col("present_num")
+        + v.cast("long") * F.lit(1 << wmax).cast("long")
+    )
+    raw_e = F.lit(c_lit) / harmonic.cast("double")
+    est = F.when(
+        (raw_e <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
+    ).otherwise(raw_e)
+    return present.select(
+        *group_cols,
+        v.cast("long").alias("n_zero_regs"),
+        harmonic.alias("harmonic_num"),
+        F.floor(est * F.lit(1e3) + F.lit(0.5)).cast("long").alias("est_milli"),
     )

@@ -325,3 +325,214 @@ def table_content_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _hll_oracle_ctes(b: int, slice_pred: str = "TRUE") -> str:
+    """Shared oracle CTE text rebuilding the HLL registers in DuckDB:
+    identical hash (salted md5 → 60-bit int), bucket (low b bits),
+    rank (W+1−bitlength via bin()), and register max as
+    operators/sketch.py hll_build."""
+    m = 1 << b
+    wmax = 60 - b + 1
+    return f"""
+      SELECT event_type,
+             hv & {m - 1} AS bucket,
+             max(CASE WHEN hv >> {b} = 0 THEN {wmax}
+                      ELSE {wmax} - length(bin(hv >> {b})) END) AS reg
+      FROM (
+        SELECT event_type,
+               ('0x' || substr(md5('hll-v1:' || CAST(user_id AS VARCHAR)),
+                               1, 15))::BIGINT AS hv
+        FROM events WHERE {slice_pred}
+      )
+      GROUP BY event_type, bucket"""
+
+
+def _hll_oracle_est(regs_cte: str, b: int) -> str:
+    """Harmonic-sum SQL over a registers CTE — same exact int64 sum
+    as hll_estimate (absent buckets contribute 2^(W+1))."""
+    m = 1 << b
+    wmax = 60 - b + 1
+    return f"""
+      SELECT event_type,
+             CAST({m} - count(*) AS BIGINT) AS n_zero_regs,
+             CAST(sum((1::BIGINT << ({wmax} - reg)))
+                  + CAST({m} - count(*) AS BIGINT) * (1::BIGINT << {wmax})
+                  AS BIGINT) AS harmonic_num
+      FROM {regs_cte} GROUP BY event_type"""
+
+
+_HLL_B = 6  # m = 64 registers: rse ≈ 13%, small enough that sf0.01
+#             (150 distinct users/type) exercises the ln small-range
+#             branch while sf0.1+ (1.5k+) takes the raw-estimate path
+
+
+def _hll_oracle_final(b: int) -> str:
+    from etl_sprint_2_5_spark.operators.sketch import hll_alpha
+
+    m = 1 << b
+    wmax = 60 - b + 1
+    c_lit = hll_alpha(m) * m * m * float(1 << wmax)
+    return f"""
+    WITH regs AS ({_hll_oracle_ctes(b)}),
+    agg AS ({_hll_oracle_est('regs', b)}),
+    fin AS (
+      SELECT event_type, n_zero_regs, harmonic_num,
+             CASE WHEN ({c_lit!r} / CAST(harmonic_num AS DOUBLE)) <= {2.5 * m!r}
+                       AND n_zero_regs > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST(n_zero_regs AS DOUBLE))
+                  ELSE {c_lit!r} / CAST(harmonic_num AS DOUBLE) END AS est
+      FROM agg
+    ),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type
+    )
+    SELECT f.event_type, e.exact_distinct, f.n_zero_regs, f.harmonic_num,
+           CAST(floor(f.est * 1e3 + 0.5e0) AS BIGINT) AS est_milli
+    FROM fin f JOIN ex e USING (event_type)
+    ORDER BY f.event_type
+    """
+
+
+@query(
+    "hll_user_estimates",
+    oracle=_hll_oracle_final(_HLL_B),
+    covers=("X-sketch-hll",),
+)
+def hll_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-user estimate per event type, oracle-checked
+    REGISTER-FOR-REGISTER: the salted-md5 hash makes the whole sketch
+    deterministic, so the DuckDB oracle rebuilds the identical 64
+    registers and the identical integer harmonic sum — the gate pins
+    the estimator itself, not just a tolerance band. exact_distinct
+    rides along (a second aggregate) so the row also shows the error.
+
+    Scale shape: ONE map-side-combinable groupBy builds the registers
+    (≤ m rows per group cross the shuffle per task, however many
+    petabytes are scanned); the estimate is a 64-row-per-group
+    aggregate. The exact count distinct, by contrast, shuffles every
+    distinct (type,user) pair — the sketch is the 100-TB path, the
+    exact column is the audit."""
+    from etl_sprint_2_5_spark.operators.sketch import hll_build, hll_estimate
+
+    ev = load_table(spark, "events", sf_dir)
+    regs = hll_build(ev, "user_id", group_cols=("event_type",), b=_HLL_B)
+    est = hll_estimate(regs, ("event_type",), b=_HLL_B)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_distinct",
+            "n_zero_regs",
+            "harmonic_num",
+            "est_milli",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _hll_slice_oracle(b: int) -> str:
+    from etl_sprint_2_5_spark.operators.sketch import hll_alpha
+
+    m = 1 << b
+    wmax = 60 - b + 1
+    c_lit = hll_alpha(m) * m * m * float(1 << wmax)
+    est_case = (
+        f"CASE WHEN ({c_lit!r} / CAST(harmonic_num AS DOUBLE)) <= {2.5 * m!r} "
+        f"AND n_zero_regs > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / CAST(n_zero_regs AS DOUBLE)) "
+        f"ELSE {c_lit!r} / CAST(harmonic_num AS DOUBLE) END"
+    )
+    return f"""
+    WITH regs0 AS ({_hll_oracle_ctes(b, 'event_id % 2 = 0')}),
+    regs1 AS ({_hll_oracle_ctes(b, 'event_id % 2 = 1')}),
+    merged AS (
+      SELECT event_type, bucket, max(reg) AS reg
+      FROM (SELECT * FROM regs0 UNION ALL SELECT * FROM regs1)
+      GROUP BY event_type, bucket
+    ),
+    direct AS ({_hll_oracle_ctes(b)}),
+    a0 AS ({_hll_oracle_est('regs0', b)}),
+    a1 AS ({_hll_oracle_est('regs1', b)}),
+    am AS ({_hll_oracle_est('merged', b)}),
+    ad AS ({_hll_oracle_est('direct', b)}),
+    e0 AS (SELECT event_type, CAST(floor(({est_case}) * 1e3 + 0.5e0) AS BIGINT)
+             AS s0_est_milli FROM a0),
+    e1 AS (SELECT event_type, CAST(floor(({est_case}) * 1e3 + 0.5e0) AS BIGINT)
+             AS s1_est_milli FROM a1),
+    em AS (SELECT event_type, harmonic_num AS merged_harmonic,
+                  CAST(floor(({est_case}) * 1e3 + 0.5e0) AS BIGINT)
+             AS merged_est_milli FROM am),
+    ed AS (SELECT event_type, harmonic_num AS direct_harmonic FROM ad)
+    SELECT e0.event_type, s0_est_milli, s1_est_milli, merged_est_milli,
+           merged_harmonic = direct_harmonic AS merged_equals_direct
+    FROM e0 JOIN e1 USING (event_type)
+            JOIN em USING (event_type)
+            JOIN ed USING (event_type)
+    ORDER BY e0.event_type
+    """
+
+
+@query(
+    "hll_sliced_merge",
+    oracle=_hll_slice_oracle(_HLL_B),
+    covers=("X-sketch-hll-merge",),
+)
+def hll_sliced_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL mergeability, gated: sketch two disjoint row-slices of the
+    event stream (event_id parity — the stand-in for days/partitions
+    of a 100 TB table), MERGE by register-wise max, and check the
+    merged sketch is bit-identical to sketching the union directly
+    (merged_equals_direct gates TRUE via the exact integer harmonic
+    num). Slice estimates ride along to show merge is NOT addition —
+    users active in both halves are counted once.
+
+    This is the property that makes the sketch a partial aggregate:
+    per-partition registers fold with max, so a rolling corpus can
+    keep per-day sketches and answer any date-range distinct query
+    without rescanning."""
+    from etl_sprint_2_5_spark.operators.sketch import (
+        hll_build,
+        hll_estimate,
+        hll_merge,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    s0 = ev.where(F.col("event_id") % 2 == 0)
+    s1 = ev.where(F.col("event_id") % 2 == 1)
+    regs0 = hll_build(s0, "user_id", group_cols=("event_type",), b=_HLL_B)
+    regs1 = hll_build(s1, "user_id", group_cols=("event_type",), b=_HLL_B)
+    merged = hll_merge(regs0, regs1)
+    direct = hll_build(ev, "user_id", group_cols=("event_type",), b=_HLL_B)
+
+    def _est(regs, prefix):
+        out = hll_estimate(regs, ("event_type",), b=_HLL_B)
+        return out.select(
+            "event_type",
+            F.col("est_milli").alias(f"{prefix}_est_milli"),
+            F.col("harmonic_num").alias(f"{prefix}_harmonic"),
+        )
+
+    e0 = _est(regs0, "s0").drop("s0_harmonic")
+    e1 = _est(regs1, "s1").drop("s1_harmonic")
+    em = _est(merged, "merged")
+    ed = _est(direct, "direct").select("event_type", "direct_harmonic")
+    return (
+        e0.join(e1, "event_type")
+        .join(em, "event_type")
+        .join(ed, "event_type")
+        .select(
+            "event_type",
+            "s0_est_milli",
+            "s1_est_milli",
+            "merged_est_milli",
+            (F.col("merged_harmonic") == F.col("direct_harmonic")).alias(
+                "merged_equals_direct"
+            ),
+        )
+        .orderBy("event_type")
+    )

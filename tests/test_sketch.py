@@ -66,3 +66,72 @@ def test_cms_unseen_key_estimates_small(spark):
     unseen = spark.createDataFrame([("never-seen-key",)], "key string")
     est = cms_estimate(sketch, unseen, "key", width=W, depth=D).first()
     assert est["est_count"] <= 3 * 10_000 / W
+
+
+# --- HyperLogLog ------------------------------------------------------
+
+from etl_sprint_2_5_spark.operators.sketch import (  # noqa: E402
+    hll_build,
+    hll_estimate,
+    hll_merge,
+)
+
+
+def _distinct_ids(spark, n: int, offset: int = 0):
+    # n distinct keys, each duplicated 3x (dups must not move registers)
+    return (
+        spark.range(offset, offset + n)
+        .select(F.col("id").cast("string").alias("key"))
+        .unionAll(
+            spark.range(offset, offset + n)
+            .select(F.col("id").cast("string").alias("key"))
+        )
+        .unionAll(
+            spark.range(offset, offset + n)
+            .select(F.col("id").cast("string").alias("key"))
+        )
+    )
+
+
+def test_hll_accuracy_normal_branch(spark):
+    # m=1024 -> rse ~3.25%; 20k distinct is deep in the raw-estimate
+    # branch. Assert within 4*rse.
+    data = _distinct_ids(spark, 20_000)
+    regs = hll_build(data, "key", b=10)
+    row = hll_estimate(regs, (), b=10).collect()[0]
+    est = row["est_milli"] / 1e3
+    assert abs(est / 20_000 - 1.0) < 4 * 1.04 / (1 << 5), est
+
+
+def test_hll_small_range_branch(spark):
+    # 40 distinct with m=256 -> raw estimate <= 2.5m with zero
+    # registers -> linear-counting branch; ln-based answer is tight
+    # at this load factor.
+    data = _distinct_ids(spark, 40)
+    row = hll_estimate(hll_build(data, "key", b=8), (), b=8).collect()[0]
+    assert row["n_zero_regs"] > 0
+    est = row["est_milli"] / 1e3
+    assert abs(est / 40 - 1.0) < 0.2, est
+
+
+def test_hll_merge_equals_single_build(spark):
+    # overlapping slices: union semantics, not addition
+    a = _distinct_ids(spark, 3_000)
+    b = _distinct_ids(spark, 3_000, offset=1_500)  # 1.5k overlap
+    merged = hll_merge(hll_build(a, "key", b=8), hll_build(b, "key", b=8))
+    single = hll_build(a.unionByName(b), "key", b=8)
+    lhs = {(r["bucket"]): r["reg"] for r in merged.collect()}
+    rhs = {(r["bucket"]): r["reg"] for r in single.collect()}
+    assert lhs == rhs
+    # and the merged estimate reflects the 4.5k distinct union
+    row = hll_estimate(merged, (), b=8).collect()[0]
+    assert abs(row["est_milli"] / 1e3 / 4_500 - 1.0) < 4 * 1.04 / 16
+
+
+def test_hll_harmonic_num_exact_bound(spark):
+    # the integer harmonic sum must never exceed m * 2^(W+1) = 2^61
+    # (empty-sketch value) and hits it exactly for an empty slice
+    data = _distinct_ids(spark, 100)
+    row = hll_estimate(hll_build(data, "key", b=6), (), b=6).collect()[0]
+    assert 0 < row["harmonic_num"] < (1 << 61)
+    assert row["n_zero_regs"] + (64 - row["n_zero_regs"]) == 64

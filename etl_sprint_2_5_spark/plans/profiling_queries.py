@@ -536,3 +536,99 @@ def hll_sliced_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "streaming_hll_estimates",
+    oracle=_hll_oracle_final(_HLL_B),
+    covers=("X-stream-hll",),
+)
+def streaming_hll_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of hll_user_estimates — and the payoff of
+    sketch-as-plain-rows: the HLL registers are maintained by Spark's
+    NATIVE stateful aggregation (groupBy(type, bucket).max(rho) in
+    complete mode), no custom state store code. Per-group state is
+    bounded at m rows forever — the sketch is the fixed-memory
+    distinct counter you can actually leave running on an unbounded
+    stream, where the exact countDistinct twin would grow state
+    without bound. The stream arrives as two micro-batches (event_id
+    parity, maxFilesPerTrigger=1), so the second trigger folds new
+    ranks into live register state; the gate pins the drained
+    registers to the SAME batch oracle as hll_user_estimates —
+    streaming and batch converge on the identical sketch.
+
+    The exact_distinct audit column is computed batch-side (it exists
+    to show the error, not to stream)."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.operators.sketch import (
+        _hll_hash,
+        hll_estimate,
+    )
+    from etl_sprint_2_5_spark.plans.events_queries import _drain_or_raise
+
+    b = _HLL_B
+    m = 1 << b
+    w_bits = 60 - b
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="stream_hll_")
+    feed = f"{tmp}/feed"
+    for half in (0, 1):
+        ev.where(F.col("event_id") % 2 == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    try:
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        h = _hll_hash("user_id", "hll-v1")
+        w = F.shiftright(h, b)
+        rho = F.when(w == 0, F.lit(w_bits + 1)).otherwise(
+            F.lit(w_bits + 1) - F.length(F.bin(w))
+        )
+        regs = (
+            stream.select(
+                "event_type",
+                h.bitwiseAND(F.lit(m - 1)).alias("bucket"),
+                rho.alias("rho"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.max("rho").alias("reg"))
+        )
+        sink = f"t_{os.path.basename(tmp)}"
+        q = (
+            regs.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_raise(q, "streaming_hll_estimates")
+        est = hll_estimate(spark.table(sink), ("event_type",), b=b)
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_distinct")
+        )
+        out = (
+            est.join(exact, "event_type")
+            .select(
+                "event_type",
+                "exact_distinct",
+                "n_zero_regs",
+                "harmonic_num",
+                "est_milli",
+            )
+            .orderBy("event_type")
+        )
+        # detach the result from the temp feed before cleanup
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

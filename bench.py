@@ -101,6 +101,8 @@ HEADLINE = [
     "bpe_compression_stats",
     # round-7 addition: the end-to-end legacy full-load pipeline
     "legacy_full_load",
+    # round-8 addition: the HyperLogLog register build (sketch family)
+    "hll_user_estimates",
 ]
 
 

@@ -632,3 +632,113 @@ def streaming_hll_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _hll_pair_oracle(b: int) -> str:
+    from etl_sprint_2_5_spark.operators.sketch import hll_alpha
+
+    m = 1 << b
+    wmax = 60 - b + 1
+    c_lit = hll_alpha(m) * m * m * float(1 << wmax)
+    est_case = (
+        f"CASE WHEN ({c_lit!r} / CAST(harmonic_num AS DOUBLE)) <= {2.5 * m!r} "
+        f"AND n_zero_regs > 0 "
+        f"THEN {float(m)!r} * ln({float(m)!r} / CAST(n_zero_regs AS DOUBLE)) "
+        f"ELSE {c_lit!r} / CAST(harmonic_num AS DOUBLE) END"
+    )
+
+    def est_of(cte: str) -> str:
+        return f"""
+        SELECT CAST(floor(({est_case}) * 1e3 + 0.5e0) AS BIGINT) AS v
+        FROM (
+          SELECT CAST({m} - count(*) AS BIGINT) AS n_zero_regs,
+                 CAST(sum((1::BIGINT << ({wmax} - reg)))
+                      + CAST({m} - count(*) AS BIGINT) * (1::BIGINT << {wmax})
+                      AS BIGINT) AS harmonic_num
+          FROM {cte}
+        )"""
+
+    return f"""
+    WITH typed AS ({_hll_oracle_ctes(b, "event_type IN ('click', 'purchase')")}),
+    ra AS (SELECT bucket, reg FROM typed WHERE event_type = 'click'),
+    rb AS (SELECT bucket, reg FROM typed WHERE event_type = 'purchase'),
+    ru AS (SELECT bucket, max(reg) AS reg FROM typed GROUP BY bucket),
+    ea AS ({est_of('ra')}),
+    eb AS ({est_of('rb')}),
+    eu AS ({est_of('ru')}),
+    ex AS (
+      SELECT count(*) AS exact_intersection FROM (
+        SELECT user_id FROM events WHERE event_type = 'click'
+        INTERSECT
+        SELECT user_id FROM events WHERE event_type = 'purchase'
+      )
+    )
+    SELECT ea.v AS a_est_milli,
+           eb.v AS b_est_milli,
+           eu.v AS union_est_milli,
+           ea.v + eb.v - eu.v AS inter_est_milli,
+           exact_intersection
+    FROM ea, eb, eu, ex
+    """
+
+
+@query(
+    "hll_intersection_estimate",
+    oracle=_hll_pair_oracle(_HLL_B),
+    covers=("X-sketch-hll-setops",),
+)
+def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch set-algebra: estimate the click∩purchase audience
+    overlap by inclusion–exclusion over three HLL estimates
+    (|A|+|B|−|A∪B|, union = register-wise max — audience-overlap is
+    THE production use of mergeable cardinality sketches: per-segment
+    sketches answer any pairwise overlap without rescanning either
+    segment). The subtraction runs on the fixed-point milli integers,
+    so the composite is exact integer arithmetic on top of the gated
+    per-sketch estimates — deterministic across engines by
+    construction. exact_intersection rides along as the audit; note
+    inclusion–exclusion compounds the per-sketch error (and can go
+    negative for tiny overlaps) — the numbers make the trade visible.
+
+    Scale shape: ONE pass builds both typed sketches (groupBy
+    type+bucket); union regs fold from the same ≤2m rows; the exact
+    audit is the only part that shuffles user ids."""
+    from etl_sprint_2_5_spark.operators.sketch import hll_build, hll_estimate
+
+    b = _HLL_B
+    ev = load_table(spark, "events", sf_dir)
+    typed = ev.where(F.col("event_type").isin("click", "purchase"))
+    regs = hll_build(typed, "user_id", group_cols=("event_type",), b=b)
+
+    def est_of(r, name):
+        return hll_estimate(r, (), b=b).select(
+            F.col("est_milli").alias(name)
+        )
+
+    ea = est_of(regs.where(F.col("event_type") == "click").drop("event_type"), "a_est_milli")
+    eb = est_of(regs.where(F.col("event_type") == "purchase").drop("event_type"), "b_est_milli")
+    eu = est_of(
+        regs.groupBy("bucket").agg(F.max("reg").alias("reg")), "union_est_milli"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select("user_id")
+    buys = ev.where(F.col("event_type") == "purchase").select("user_id")
+    ex = (
+        clicks.intersect(buys)
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        ea.crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(ex)
+        .select(
+            "a_est_milli",
+            "b_est_milli",
+            "union_est_milli",
+            (
+                F.col("a_est_milli")
+                + F.col("b_est_milli")
+                - F.col("union_est_milli")
+            ).alias("inter_est_milli"),
+            "exact_intersection",
+        )
+    )

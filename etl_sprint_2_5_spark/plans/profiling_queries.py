@@ -742,3 +742,116 @@ def hll_intersection_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_intersection",
         )
     )
+
+
+_DD_QS = (500, 900, 990)
+
+
+def _dd_oracle() -> str:
+    qs = ", ".join(f"({q})" for q in _DD_QS)
+    return f"""
+    WITH cents AS (
+      SELECT l_returnflag AS g,
+             CAST(floor(l_extendedprice * 100 + 0.5e0) AS BIGINT) AS c
+      FROM lineitem
+    ),
+    sk AS (
+      SELECT g,
+             CASE WHEN c < 4 THEN c
+                  ELSE (length(bin(c)) << 2)
+                       | ((c >> (length(bin(c)) - 3)) & 3) END AS bucket_id,
+             count(*) AS n
+      FROM cents GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT g, bucket_id,
+             sum(n) OVER (PARTITION BY g ORDER BY bucket_id) AS cum_n,
+             sum(n) OVER (PARTITION BY g) AS total_n
+      FROM sk
+    ),
+    ranks AS (
+      SELECT c.g, q.q_milli,
+             min(c.bucket_id) AS bucket_id,
+             min((q.q_milli * c.total_n + 999) // 1000) AS rank_k
+      FROM cum c CROSS JOIN (VALUES {qs}) q(q_milli)
+      WHERE c.cum_n >= (q.q_milli * c.total_n + 999) // 1000
+      GROUP BY c.g, q.q_milli
+    ),
+    est AS (
+      SELECT g, q_milli, rank_k, bucket_id,
+             CASE WHEN bucket_id < 4 THEN bucket_id * 1000
+                  ELSE ((4 | (bucket_id & 3)) << ((bucket_id >> 2) - 3)) * 1000
+                       + (1::BIGINT << ((bucket_id >> 2) - 3)) * 500
+             END AS est_milli
+      FROM ranks
+    ),
+    numbered AS (
+      SELECT g, c, row_number() OVER (PARTITION BY g ORDER BY c) AS rn
+      FROM cents
+    )
+    SELECT e.g AS l_returnflag, e.q_milli,
+           CAST(e.rank_k AS BIGINT) AS rank_k,
+           CAST(e.bucket_id AS BIGINT) AS bucket_id,
+           CAST(e.est_milli AS BIGINT) AS est_milli,
+           n.c AS exact_cents,
+           CAST((abs(e.est_milli - n.c * 1000) * 1000000)
+                // (n.c * 1000) AS BIGINT) AS rel_err_ppm
+    FROM est e JOIN numbered n ON n.g = e.g AND n.rn = e.rank_k
+    ORDER BY l_returnflag, q_milli
+    """
+
+
+@query(
+    "ddsketch_price_quantiles",
+    oracle=_dd_oracle(),
+    covers=("X-sketch-ddq",),
+)
+def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (third of the trio: CMS frequency,
+    HLL cardinality, this one quantiles) — the public DDSketch /
+    HdrHistogram idea with PURE-INTEGER log buckets: price cents map
+    to (bitlength << 2 | top-2-sub-bits), 3 significant binary
+    digits, so bucket width is 1/4 of its lower bound and the
+    midpoint answer is within 12.5% relative error with NO libm op
+    anywhere — the DuckDB oracle mirrors every bucket, rank, and
+    midpoint bit-for-bit (rel_err_ppm makes the actual error, usually
+    far under the bound, part of the gated row).
+
+    Scale shape: the sketch is ONE map-side-combinable groupBy to
+    ≤ ~256 cells per group — the p50/p90/p99 of a 100 TB fact column
+    costs a counter histogram, not a sort. The exact order-statistic
+    audit column (rank-k via row_number) is the O(n log n) path the
+    sketch replaces, kept here to gate the error; merge-by-addition
+    (fold per-day histograms) is proven in tests/test_sketch.py."""
+    from etl_sprint_2_5_spark.operators.sketch import dd_build, dd_quantile
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    cents = li.select(
+        F.col("l_returnflag").alias("g"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("c"),
+    )
+    sk = dd_build(cents, "c", group_cols=("g",))
+    est = dd_quantile(sk, _DD_QS, group_cols=("g",))
+    numbered = cents.select(
+        "g",
+        "c",
+        F.row_number().over(Window.partitionBy("g").orderBy("c")).alias("rn"),
+    )
+    out = est.join(
+        numbered,
+        (F.col("rn") == F.col("rank_k")) & (numbered["g"] == est["g"]),
+    ).select(
+        est["g"].alias("l_returnflag"),
+        "q_milli",
+        "rank_k",
+        "bucket_id",
+        "est_milli",
+        F.col("c").alias("exact_cents"),
+        F.expr("(abs(est_milli - c * 1000) * 1000000) div (c * 1000)")
+        .cast("long")
+        .alias("rel_err_ppm"),
+    )
+    return out.orderBy("l_returnflag", "q_milli")

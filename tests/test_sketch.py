@@ -135,3 +135,46 @@ def test_hll_harmonic_num_exact_bound(spark):
     row = hll_estimate(hll_build(data, "key", b=6), (), b=6).collect()[0]
     assert 0 < row["harmonic_num"] < (1 << 61)
     assert row["n_zero_regs"] + (64 - row["n_zero_regs"]) == 64
+
+
+# --- DDSketch-style integer quantile sketch ---------------------------
+
+from etl_sprint_2_5_spark.operators.sketch import (  # noqa: E402
+    dd_build,
+    dd_merge,
+    dd_quantile,
+)
+
+
+def test_dd_quantile_relative_error_bound(spark):
+    # uniform 1..10000: every quantile estimate must be within the
+    # 12.5% midpoint bound of the true order statistic
+    df = spark.range(1, 10_001).select(F.col("id").alias("v"))
+    sk = dd_build(df, "v")
+    for r in dd_quantile(sk, (100, 500, 900, 990)).collect():
+        true_v = r["rank_k"]  # uniform 1..N: k-th smallest == k
+        est = r["est_milli"] / 1e3
+        assert abs(est / true_v - 1.0) <= 0.125 + 1e-9, (r, est, true_v)
+
+
+def test_dd_merge_equals_single_build(spark):
+    df = spark.range(1, 5_001).select(F.col("id").alias("v"))
+    a = dd_build(df.where(F.col("v") % 2 == 0), "v")
+    b = dd_build(df.where(F.col("v") % 2 == 1), "v")
+    merged = {r["bucket_id"]: r["n"] for r in dd_merge(a, b).collect()}
+    single = {r["bucket_id"]: r["n"] for r in dd_build(df, "v").collect()}
+    assert merged == single
+
+
+def test_dd_small_values_exact(spark):
+    # values < 4 get their own bucket: quantiles over tiny ints are
+    # EXACT (est_milli == 1000*v, width contribution 0)
+    df = spark.createDataFrame([(v,) for v in [0, 1, 1, 2, 3, 3, 3]], "v long")
+    rows = dd_quantile(dd_build(df, "v"), (500,)).collect()
+    assert rows[0]["est_milli"] == 2000  # median of the 7 values is 2
+
+
+def test_dd_bucket_count_is_bounded(spark):
+    # whole int32 range of values -> still < 4*32 + 4 buckets
+    df = spark.range(1, 2_000_000, 97).select(F.col("id").alias("v"))
+    assert dd_build(df, "v").count() < 132

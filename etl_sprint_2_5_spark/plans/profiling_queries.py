@@ -855,3 +855,105 @@ def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rel_err_ppm"),
     )
     return out.orderBy("l_returnflag", "q_milli")
+
+
+@query(
+    "streaming_dd_quantiles",
+    oracle=_dd_oracle(),
+    covers=("X-stream-ddq",),
+)
+def streaming_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of ddsketch_price_quantiles — running p50/p90/p99
+    over an unbounded stream with BOUNDED state, the latency-percentile
+    dashboard shape. Like the HLL twin, the sketch needs no custom
+    state code: the histogram is Spark's native stateful count
+    aggregation (groupBy(flag, bucket_id).count in complete mode,
+    ≤ ~256 rows per group forever). Two micro-batches (orderkey
+    parity) prove counts fold across triggers; the drained histogram
+    runs through the SAME dd_quantile evaluation and gates against
+    the SAME oracle as the batch query — including the exact
+    order-statistic audit (computed batch-side; it exists to show the
+    error, not to stream)."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.operators.sketch import dd_quantile
+    from etl_sprint_2_5_spark.plans.events_queries import _drain_or_raise
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_returnflag", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_ddq_")
+    feed = f"{tmp}/feed"
+    for half in (0, 1):
+        li.where(F.col("l_orderkey") % 2 == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    try:
+        stream = (
+            spark.readStream.schema(
+                "l_orderkey long, l_returnflag string, l_extendedprice double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        cents_col = (
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        )
+        bid = F.expr(
+            "CASE WHEN c < 4 THEN c ELSE (length(bin(c)) << 2) "
+            "| ((shiftright(c, length(bin(c)) - 3)) & 3) END"
+        ).cast("long")
+        sk = (
+            stream.select(
+                F.col("l_returnflag").alias("g"), cents_col.alias("c")
+            )
+            .select("g", bid.alias("bucket_id"))
+            .groupBy("g", "bucket_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        sink = f"t_{os.path.basename(tmp)}"
+        q = (
+            sk.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_raise(q, "streaming_dd_quantiles")
+        est = dd_quantile(spark.table(sink), _DD_QS, group_cols=("g",))
+        cents = li.select(
+            F.col("l_returnflag").alias("g"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        numbered = cents.select(
+            "g",
+            "c",
+            F.row_number()
+            .over(Window.partitionBy("g").orderBy("c"))
+            .alias("rn"),
+        )
+        out = est.join(
+            numbered,
+            (F.col("rn") == F.col("rank_k")) & (numbered["g"] == est["g"]),
+        ).select(
+            est["g"].alias("l_returnflag"),
+            "q_milli",
+            "rank_k",
+            "bucket_id",
+            "est_milli",
+            F.col("c").alias("exact_cents"),
+            F.expr("(abs(est_milli - c * 1000) * 1000000) div (c * 1000)")
+            .cast("long")
+            .alias("rel_err_ppm"),
+        ).orderBy("l_returnflag", "q_milli")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

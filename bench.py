@@ -101,8 +101,10 @@ HEADLINE = [
     "bpe_compression_stats",
     # round-7 addition: the end-to-end legacy full-load pipeline
     "legacy_full_load",
-    # round-8 addition: the HyperLogLog register build (sketch family)
+    # round-8 additions: the sketch family's register/histogram builds
+    # (ddsketch carries the exact order-statistic audit sort)
     "hll_user_estimates",
+    "ddsketch_price_quantiles",
 ]
 
 

@@ -81,6 +81,28 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Join-size estimation via the CMS inner product (Cormode &
+    Muthukrishnan's classic application): for two sketches with the
+    same geometry over the two join keys, Σ_bucket a·b per row is an
+    unbiased-upward estimate of |A ⋈ B| = Σ_key n_a(k)·n_b(k); min
+    over the depth rows tightens it. Pure integer arithmetic — no
+    float op anywhere — and the input sketches are ≤ depth·width
+    cells, so estimating the join size of two 100 TB fact tables
+    costs two independent one-pass sketches plus a broadcast join of
+    two tiny cell tables (never the join itself). Overcount scales
+    as N_a·N_b/width: size width to the key-cardinality product.
+
+    Returns a single row: (est_join_size)."""
+    prod = a.alias("a").join(
+        F.broadcast(b.alias("b")), ["row", "bucket"], "inner"
+    )
+    per_row = prod.groupBy("row").agg(
+        F.sum(F.col("a.n") * F.col("b.n")).alias("dot")
+    )
+    return per_row.agg(F.min("dot").cast("long").alias("est_join_size"))
+
+
 def cms_estimate(
     sketch: DataFrame,
     keys: DataFrame,

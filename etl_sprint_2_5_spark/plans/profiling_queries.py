@@ -957,3 +957,84 @@ def streaming_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _cms_int_cells(table: str, key: str, width: int, depth: int, salt: str) -> str:
+    parts = [
+        f"""
+        SELECT {d} AS row,
+               ('0x' || substr(md5('{salt}:{d}:' || CAST({key} AS VARCHAR)),
+                               1, 15))::BIGINT % {width} AS bucket
+        FROM {table}"""
+        for d in range(depth)
+    ]
+    probes = "\n UNION ALL \n".join(parts)
+    return f"SELECT row, bucket, count(*) AS n FROM ({probes}) GROUP BY row, bucket"
+
+
+_CMS_JOIN_W, _CMS_JOIN_D = 8192, 4
+
+
+@query(
+    "cms_join_size_estimate",
+    oracle=f"""
+    WITH sa AS ({_cms_int_cells('orders', 'o_custkey', _CMS_JOIN_W, _CMS_JOIN_D, 'cms-v1')}),
+    sb AS ({_cms_int_cells('customer', 'c_custkey', _CMS_JOIN_W, _CMS_JOIN_D, 'cms-v1')}),
+    dots AS (
+      SELECT sa.row, CAST(sum(sa.n * sb.n) AS BIGINT) AS dot
+      FROM sa JOIN sb USING (row, bucket)
+      GROUP BY sa.row
+    ),
+    est AS (SELECT CAST(min(dot) AS BIGINT) AS est_join_size FROM dots),
+    ex AS (
+      SELECT count(*) AS exact_join_size
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    )
+    SELECT est_join_size, exact_join_size,
+           CAST(((est_join_size - exact_join_size) * 1000000)
+                // exact_join_size AS BIGINT) AS over_ppm
+    FROM est, ex
+    """,
+    covers=("X-sketch-cms-joinsize",),
+)
+def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation WITHOUT running the join — the CMS
+    inner product (Cormode & Muthukrishnan), the selectivity oracle a
+    100 TB planner wants before committing to a shuffle strategy: two
+    independent one-pass sketches of orders.o_custkey and
+    customer.c_custkey, then Σ a·b per hash row, min over rows. Pure
+    integer arithmetic end to end, so the DuckDB oracle reproduces
+    the estimate bit-for-bit; the exact join count and the signed
+    overcount (ppm) ride along — CMS inner product never
+    undercounts, and its overcount scales as N_a·N_b/width (width
+    8192 here; the docstring rule: size width ~ N_a·N_b / tolerable
+    absolute error).
+
+    Scale shape: each sketch is ONE map-side-combinable groupBy to
+    ≤ depth·width cells; the dot product is a broadcast join of two
+    tiny cell tables. The exact audit pays the real broadcast join —
+    at toy scale that's cheap; at 100 TB it's exactly the cost the
+    estimator exists to avoid."""
+    from etl_sprint_2_5_spark.operators.sketch import (
+        cms_build,
+        cms_inner_product,
+    )
+
+    w, d = _CMS_JOIN_W, _CMS_JOIN_D
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir)
+    sa = cms_build(o, "o_custkey", width=w, depth=d)
+    sb = cms_build(c, "c_custkey", width=w, depth=d)
+    est = cms_inner_product(sa, sb)
+    ex = o.join(c, o["o_custkey"] == c["c_custkey"]).agg(
+        F.count(F.lit(1)).alias("exact_join_size")
+    )
+    return est.crossJoin(ex).select(
+        "est_join_size",
+        "exact_join_size",
+        F.expr(
+            "((est_join_size - exact_join_size) * 1000000) div exact_join_size"
+        )
+        .cast("long")
+        .alias("over_ppm"),
+    )

@@ -178,3 +178,24 @@ def test_dd_bucket_count_is_bounded(spark):
     # whole int32 range of values -> still < 4*32 + 4 buckets
     df = spark.range(1, 2_000_000, 97).select(F.col("id").alias("v"))
     assert dd_build(df, "v").count() < 132
+
+
+# --- CMS inner product (join-size estimation) -------------------------
+
+from etl_sprint_2_5_spark.operators.sketch import cms_inner_product  # noqa: E402
+
+
+def test_cms_inner_product_never_undercounts(spark):
+    # two key streams with known join size sum(n_a(k)*n_b(k))
+    a = _zipfish(spark, 10_000)
+    b = _zipfish(spark, 4_000)
+    na = {r["key"]: r["n"] for r in a.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    nb = {r["key"]: r["n"] for r in b.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    true_join = sum(na[k] * nb.get(k, 0) for k in na)
+    est = cms_inner_product(
+        cms_build(a, "key", width=W, depth=D),
+        cms_build(b, "key", width=W, depth=D),
+    ).collect()[0]["est_join_size"]
+    assert est >= true_join
+    # collision overcount bound: N_a*N_b/width per row, min over depth
+    assert est - true_join <= 3 * (10_000 * 4_000) // W

@@ -1038,3 +1038,103 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("over_ppm"),
     )
+
+
+@query(
+    "streaming_cms_estimates",
+    oracle=f"""
+    WITH probes AS ({_cms_probe_union(512, 4, "cms-v1")}),
+    cells AS (
+      SELECT row, bucket, count(*) AS n
+      FROM probes GROUP BY row, bucket
+    ),
+    key_probes AS (
+      SELECT DISTINCT row, bucket, event_type FROM probes
+    )
+    SELECT p.event_type, CAST(min(c.n) AS BIGINT) AS est_count
+    FROM key_probes p JOIN cells c USING (row, bucket)
+    GROUP BY p.event_type
+    ORDER BY p.event_type
+    """,
+    covers=("X-stream-cms",),
+)
+def streaming_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of cms_event_type_estimates — the last of the
+    sketch trio's live forms (HLL = max-agg registers, DDSketch =
+    count-agg histogram, CMS = count-agg cells): the 4×512 cell table
+    is Spark's native stateful count aggregation in complete mode,
+    state bounded at depth·width rows FOREVER however long the
+    stream runs. Two micro-batches (event_id parity) fold cell counts
+    across triggers; the drained cells run through the same broadcast
+    point-query and gate against the batch query's oracle verbatim —
+    streaming and batch build the identical sketch."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.operators.sketch import cms_estimate
+    from etl_sprint_2_5_spark.plans.events_queries import _drain_or_raise
+
+    width, depth, salt = 512, 4, "cms-v1"
+    ev = load_table(spark, "events", sf_dir).select("event_id", "event_type")
+    tmp = tempfile.mkdtemp(prefix="stream_cms_")
+    feed = f"{tmp}/feed"
+    for half in (0, 1):
+        ev.where(F.col("event_id") % 2 == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+
+    try:
+        stream = (
+            spark.readStream.schema("event_id long, event_type string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        # same salted-md5 row hashes as cms_build
+        def bucket(d: int):
+            return (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{salt}:{d}:"),
+                                F.col("event_type").cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % width
+            )
+
+        cells = (
+            stream.select(
+                F.posexplode(
+                    F.array(*[bucket(d) for d in range(depth)])
+                ).alias("row", "bucket")
+            )
+            .groupBy("row", "bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        sink = f"t_{os.path.basename(tmp)}"
+        q = (
+            cells.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_raise(q, "streaming_cms_estimates")
+        keys = ev.select("event_type").distinct()
+        out = cms_estimate(
+            spark.table(sink), keys, "event_type", width=width, depth=depth,
+            salt=salt,
+        ).orderBy("event_type")
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

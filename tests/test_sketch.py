@@ -199,3 +199,29 @@ def test_cms_inner_product_never_undercounts(spark):
     assert est >= true_join
     # collision overcount bound: N_a*N_b/width per row, min over depth
     assert est - true_join <= 3 * (10_000 * 4_000) // W
+
+
+def test_dd_bucket_roundtrip_contains_value(spark):
+    # every value must land in a bucket whose [lower, lower+width)
+    # contains it — exhaustive over small ints, plus adversarial
+    # powers of two and huge values
+    vals = (
+        list(range(0, 4096))
+        + [(1 << k) + d for k in range(12, 62) for d in (-1, 0, 1)]
+        + [(1 << 62) + 12345, (1 << 63) - 1]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    sk = dd_build(df.select("v", F.col("v").alias("orig")), "v", group_cols=("orig",))
+    rows = sk.collect()
+    assert len(rows) == len(set(vals))
+    for r in rows:
+        v, bid = r["orig"], r["bucket_id"]
+        if bid < 4:
+            lower, width = bid, 1
+        else:
+            blen, sub = bid >> 2, bid & 3
+            lower = (4 | sub) << (blen - 3)
+            width = 1 << (blen - 3)
+        assert lower <= v < lower + width, (v, bid, lower, width)
+        # width ≤ lower/4 ⇒ midpoint error ≤ width/2/lower ≤ 12.5%
+        assert width * 4 <= lower or bid < 4, (v, bid)

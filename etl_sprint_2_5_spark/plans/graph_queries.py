@@ -380,3 +380,116 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
     )
     return materialize_release(top, und, oriented)
+
+
+# CTEs MATERIALIZED for the same reason as the PageRank oracle: the
+# round chain references e at every level.
+_LPA_ORACLE = """
+    WITH b AS MATERIALIZED (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, c.l_partkey AS dst
+      FROM b a JOIN b c
+        ON a.l_orderkey = c.l_orderkey AND a.l_partkey <> c.l_partkey
+    ), l0 AS MATERIALIZED (
+      SELECT DISTINCT src AS part, src AS lab FROM e
+    ), it1 AS MATERIALIZED (
+      SELECT part, lab FROM (
+        SELECT e.dst AS part, l0.lab, 
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, l0.lab) AS rn
+        FROM e JOIN l0 ON e.src = l0.part
+        GROUP BY e.dst, l0.lab
+      ) WHERE rn = 1
+    ), it2 AS MATERIALIZED (
+      SELECT part, lab FROM (
+        SELECT e.dst AS part, it1.lab,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, it1.lab) AS rn
+        FROM e JOIN it1 ON e.src = it1.part
+        GROUP BY e.dst, it1.lab
+      ) WHERE rn = 1
+    ), it3 AS MATERIALIZED (
+      SELECT part, lab FROM (
+        SELECT e.dst AS part, it2.lab,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, it2.lab) AS rn
+        FROM e JOIN it2 ON e.src = it2.part
+        GROUP BY e.dst, it2.lab
+      ) WHERE rn = 1
+    )
+    SELECT lab AS community,
+           count(*)  AS n_members,
+           min(part) AS min_part,
+           max(part) AS max_part
+    FROM it3
+    GROUP BY lab
+    ORDER BY n_members DESC, community
+    LIMIT 50
+"""
+
+
+@query(
+    "part_label_propagation",
+    oracle=_LPA_ORACLE,
+    covers=("X-graph-lpa",),
+)
+def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by LABEL PROPAGATION (Raghavan et al. 2007)
+    over the part co-purchase graph — the curation tool for grouping
+    a catalog/corpus into behavioral domains without choosing k.
+    Fully deterministic variant: synchronous rounds, each node adopts
+    its neighbors' MODE label with ties broken by MIN label (the
+    row_number (count DESC, lab ASC) pick), 3 rounds, then communities
+    summarized as (label, size, member range), top-50 by size.
+
+    Plan shape: reuses part_pagerank's STATIONARY bucketed edge table
+    (same fingerprint-keyed staging — built once per corpus, read
+    pre-partitioned on src), so a propagation round is the small
+    label-table exchange onto src + the vote aggregate on (dst, lab)
+    + the per-dst window pick — per-round cost is edges-proportional
+    with no edge re-shuffle, the Pregel layout in DataFrames. At
+    100 TB the (dst, lab) vote aggregate map-side combines; label
+    tables are node-sized, never edge-sized."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, "lineitem", sf_dir)
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select("l_orderkey", F.col("l_partkey").alias("src"))
+    c = b.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    edges = (
+        a.join(c, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+    )
+    deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    dd = deg0.select(F.col("src").alias("dst"), F.col("deg").alias("dst_deg"))
+    edges2 = _stationary_edges(
+        spark, sf_dir, edges.join(dd, "dst").select("src", "dst", "dst_deg")
+    )
+    labels = edges2.select(F.col("src").alias("part")).distinct().select(
+        "part", F.col("part").alias("lab")
+    )
+    pick = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("lab"))
+    for _ in range(3):
+        votes = (
+            edges2.join(labels, edges2.src == labels.part)
+            .groupBy("dst", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(pick))
+            .where(F.col("rn") == 1)
+            .select(F.col("dst").alias("part"), "lab")
+        )
+    return (
+        labels.groupBy(F.col("lab").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("part").alias("min_part"),
+            F.max("part").alias("max_part"),
+        )
+        .orderBy(F.desc("n_members"), F.asc("community"))
+        .limit(50)
+    )

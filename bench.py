@@ -102,9 +102,15 @@ HEADLINE = [
     # round-7 addition: the end-to-end legacy full-load pipeline
     "legacy_full_load",
     # round-8 additions: the sketch family's register/histogram builds
-    # (ddsketch carries the exact order-statistic audit sort)
+    # (ddsketch carries the exact order-statistic audit sort), the
+    # three bounded-state streaming sketch twins, and label
+    # propagation over the stationary edge table
     "hll_user_estimates",
     "ddsketch_price_quantiles",
+    "streaming_hll_estimates",
+    "streaming_dd_quantiles",
+    "streaming_cms_estimates",
+    "part_label_propagation",
 ]
 
 

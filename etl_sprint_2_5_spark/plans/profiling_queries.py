@@ -1138,3 +1138,94 @@ def streaming_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def _hll_dau_oracle(b: int) -> str:
+    from etl_sprint_2_5_spark.operators.sketch import hll_alpha
+
+    m = 1 << b
+    wmax = 60 - b + 1
+    c_lit = hll_alpha(m) * m * m * float(1 << wmax)
+    return f"""
+    WITH regs AS (
+      SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS day_num,
+             hv & {m - 1} AS bucket,
+             max(CASE WHEN hv >> {b} = 0 THEN {wmax}
+                      ELSE {wmax} - length(bin(hv >> {b})) END) AS reg
+      FROM (
+        SELECT ts,
+               ('0x' || substr(md5('hll-v1:' || CAST(user_id AS VARCHAR)),
+                               1, 15))::BIGINT AS hv
+        FROM events
+      )
+      GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT day_num,
+             CAST({m} - count(*) AS BIGINT) AS n_zero_regs,
+             CAST(sum((1::BIGINT << ({wmax} - reg)))
+                  + CAST({m} - count(*) AS BIGINT) * (1::BIGINT << {wmax})
+                  AS BIGINT) AS harmonic_num
+      FROM regs GROUP BY day_num
+    ),
+    fin AS (
+      SELECT day_num, n_zero_regs, harmonic_num,
+             CASE WHEN ({c_lit!r} / CAST(harmonic_num AS DOUBLE)) <= {2.5 * m!r}
+                       AND n_zero_regs > 0
+                  THEN {float(m)!r} * ln({float(m)!r} / CAST(n_zero_regs AS DOUBLE))
+                  ELSE {c_lit!r} / CAST(harmonic_num AS DOUBLE) END AS est
+      FROM agg
+    ),
+    ex AS (
+      SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS day_num,
+             count(DISTINCT user_id) AS exact_dau
+      FROM events GROUP BY 1
+    )
+    SELECT f.day_num, e.exact_dau, f.n_zero_regs, f.harmonic_num,
+           CAST(floor(f.est * 1e3 + 0.5e0) AS BIGINT) AS est_milli
+    FROM fin f JOIN ex e USING (day_num)
+    ORDER BY f.day_num
+    """
+
+
+@query(
+    "hll_daily_active_users",
+    oracle=_hll_dau_oracle(_HLL_B),
+    covers=("X-sketch-hll-window",),
+)
+def hll_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch × event-time window composition — the DAU dashboard at
+    100 TB: per calendar day, distinct users estimated from HLL
+    registers grouped by (day, bucket). The per-day sketches are the
+    thing a metrics store PERSISTS (m rows per day forever): any
+    date-range distinct (WAU/MAU) folds from them by register max
+    WITHOUT rescanning events, which no exact per-day count can do
+    (distincts don't add). Same register-level oracle as the rest of
+    the HLL family; exact_dau rides along as the audit.
+
+    Scale shape: ONE map-side-combinable groupBy over (day, bucket) —
+    ≤ m cells per day per task cross the shuffle; the exact audit is
+    the (day, user) distinct shuffle the sketch replaces."""
+    from etl_sprint_2_5_spark.operators.sketch import hll_build, hll_estimate
+
+    ev = load_table(spark, "events", sf_dir)
+    days = ev.select(
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+        .cast("long")
+        .alias("day_num"),
+        "user_id",
+    )
+    regs = hll_build(days, "user_id", group_cols=("day_num",), b=_HLL_B)
+    est = hll_estimate(regs, ("day_num",), b=_HLL_B)
+    exact = days.groupBy("day_num").agg(
+        F.countDistinct("user_id").alias("exact_dau")
+    )
+    return (
+        est.join(exact, "day_num")
+        .select(
+            "day_num", "exact_dau", "n_zero_regs", "harmonic_num", "est_milli"
+        )
+        .orderBy("day_num")
+    )

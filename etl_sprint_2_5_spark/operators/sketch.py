@@ -21,9 +21,9 @@ idempotent/commutative property that makes them partial aggregates
 (a day of 100 TB can be sketched per-partition and folded). The
 estimator's harmonic sum is carried as an EXACT int64
 (Σ 2^(W+1−reg) ≤ m·2^(W+1) = 2^61 for a 60-bit hash, any b), so the
-only float ops are one literal-constant division and — in the
-small-range branch — one ln(); estimates cross engine boundaries as
-fixed-point milli BIGINTs.
+only gate-time float op is one literal-constant IEEE division (the
+small-range branch is a pure-integer table lookup, hll_small_milli);
+estimates cross engine boundaries as fixed-point milli BIGINTs.
 """
 
 from __future__ import annotations
@@ -93,14 +93,27 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
     two tiny cell tables (never the join itself). Overcount scales
     as N_a·N_b/width: size width to the key-cardinality product.
 
+    Depth rows where NO bucket overlaps have a true dot of 0 — they
+    must participate in the min (and disjoint key sets must estimate
+    0, not NULL), so the per-row dots are computed over the UNION of
+    both sketches' row domains with missing products coalesced to 0
+    (round-8 ADVICE: the previous inner-join shape dropped dot=0 rows
+    before the min, inflating the estimate for near-disjoint inputs).
+
     Returns a single row: (est_join_size)."""
+    rows_dom = a.select("row").unionByName(b.select("row")).distinct()
     prod = a.alias("a").join(
         F.broadcast(b.alias("b")), ["row", "bucket"], "inner"
     )
     per_row = prod.groupBy("row").agg(
         F.sum(F.col("a.n") * F.col("b.n")).alias("dot")
     )
-    return per_row.agg(F.min("dot").cast("long").alias("est_join_size"))
+    dots = rows_dom.join(per_row, "row", "left").select(
+        F.coalesce(F.col("dot"), F.lit(0)).alias("dot")
+    )
+    return dots.agg(
+        F.coalesce(F.min("dot"), F.lit(0)).cast("long").alias("est_join_size")
+    )
 
 
 def cms_estimate(
@@ -205,6 +218,49 @@ def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
+def hll_small_milli(m: int) -> list[int]:
+    """Integer-exact small-range correction table: entry V−1 =
+    floor(m·ln(m/V)·1000 + 0.5) for V = 1..m. V (the zero-register
+    count) has only m possible values, so the ln() — the one
+    libm-dependent op in the whole estimator — is evaluated ONCE here
+    on the driver and baked into both the Spark plan and the DuckDB
+    oracle SQL as the SAME integer constants. No engine evaluates a
+    transcendental at gate time, so there is no last-ulp divergence
+    for the fixed-point compare to trip over (round-8 ADVICE: the
+    previous floor(m·ln(m/V)·1e3+0.5) computed per-engine could flake
+    when the product landed within an ulp of a half-integer)."""
+    import math
+
+    return [
+        int(math.floor(m * math.log(m / v) * 1000 + 0.5))
+        for v in range(1, m + 1)
+    ]
+
+
+def hll_est_milli_sql(
+    b: int,
+    harmonic: str = "harmonic_num",
+    vcol: str = "n_zero_regs",
+) -> str:
+    """ANSI-SQL BIGINT expression for est_milli — the oracle-side twin
+    of hll_estimate's estimator, sharing the hll_small_milli constants
+    verbatim so both engines are pure-integer in the small-range
+    branch and identical-IEEE-division in the raw branch."""
+    m = 1 << b
+    wmax = _HLL_HASH_BITS - b + 1
+    c_lit = hll_alpha(m) * m * m * float(1 << wmax)
+    whens = " ".join(
+        f"WHEN {v} THEN CAST({t} AS BIGINT)"
+        for v, t in enumerate(hll_small_milli(m), start=1)
+    )
+    return (
+        f"CASE WHEN ({c_lit!r} / CAST({harmonic} AS DOUBLE)) <= {2.5 * m!r} "
+        f"AND {vcol} > 0 THEN (CASE {vcol} {whens} END) "
+        f"ELSE CAST(floor({c_lit!r} / CAST({harmonic} AS DOUBLE) * 1e3 "
+        f"+ 0.5e0) AS BIGINT) END"
+    )
+
+
 def hll_estimate(
     regs: DataFrame,
     group_cols: tuple[str, ...],
@@ -219,16 +275,21 @@ def hll_estimate(
     then ONE IEEE division of a python-computed literal constant
     C = α_m·m²·2^(W+1) by harmonic_num — bit-identical in any
     engine. Small-range correction (raw ≤ 2.5m with empty registers)
-    switches to m·ln(m/V) — ln is the single libm-dependent op, which
-    is why the estimate crosses the gate as fixed-point milli
-    (floor(est·1e3+0.5)), not a raw double."""
+    is a pure-integer table lookup: m·ln(m/V) has only m possible
+    values, precomputed once on the driver (hll_small_milli) and
+    shared with the oracle SQL — no libm anywhere at gate time."""
     m = 1 << b
     w_bits = _HLL_HASH_BITS - b
     wmax = w_bits + 1
     c_lit = hll_alpha(m) * m * m * float(1 << wmax)
     present = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("n_present"),
-        F.sum(F.expr(f"shiftleft(1L, {wmax} - reg)")).alias("present_num"),
+        # coalesce: a fully-empty sketch (global agg over zero
+        # register rows) has present_num 0, so harmonic_num lands on
+        # the exact empty-slice value m·2^(W+1), not NULL
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(1L, {wmax} - reg)")), F.lit(0)
+        ).alias("present_num"),
     )
     v = F.lit(m) - F.col("n_present")
     harmonic = (
@@ -236,15 +297,18 @@ def hll_estimate(
         + v.cast("long") * F.lit(1 << wmax).cast("long")
     )
     raw_e = F.lit(c_lit) / harmonic.cast("double")
-    est = F.when(
+    small_tbl = F.array(
+        *[F.lit(int(t)).cast("long") for t in hll_small_milli(m)]
+    )
+    est_milli = F.when(
         (raw_e <= F.lit(2.5 * m)) & (v > 0),
-        F.lit(float(m)) * F.log(F.lit(float(m)) / v.cast("double")),
-    ).otherwise(raw_e)
+        F.element_at(small_tbl, v.cast("int")),
+    ).otherwise(F.floor(raw_e * F.lit(1e3) + F.lit(0.5)).cast("long"))
     return present.select(
         *group_cols,
         v.cast("long").alias("n_zero_regs"),
         harmonic.alias("harmonic_num"),
-        F.floor(est * F.lit(1e3) + F.lit(0.5)).cast("long").alias("est_milli"),
+        est_milli.alias("est_milli"),
     )
 
 

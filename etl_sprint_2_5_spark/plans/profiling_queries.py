@@ -368,20 +368,17 @@ _HLL_B = 6  # m = 64 registers: rse ≈ 13%, small enough that sf0.01
 
 
 def _hll_oracle_final(b: int) -> str:
-    from etl_sprint_2_5_spark.operators.sketch import hll_alpha
+    from etl_sprint_2_5_spark.operators.sketch import hll_est_milli_sql
 
-    m = 1 << b
-    wmax = 60 - b + 1
-    c_lit = hll_alpha(m) * m * m * float(1 << wmax)
+    # est_milli: raw branch = identical-IEEE-division, small-range
+    # branch = the SAME precomputed integer table as the Spark plan
+    # (hll_small_milli) — no libm in either engine at gate time
     return f"""
     WITH regs AS ({_hll_oracle_ctes(b)}),
     agg AS ({_hll_oracle_est('regs', b)}),
     fin AS (
       SELECT event_type, n_zero_regs, harmonic_num,
-             CASE WHEN ({c_lit!r} / CAST(harmonic_num AS DOUBLE)) <= {2.5 * m!r}
-                       AND n_zero_regs > 0
-                  THEN {float(m)!r} * ln({float(m)!r} / CAST(n_zero_regs AS DOUBLE))
-                  ELSE {c_lit!r} / CAST(harmonic_num AS DOUBLE) END AS est
+             {hll_est_milli_sql(b)} AS est_milli
       FROM agg
     ),
     ex AS (
@@ -389,7 +386,7 @@ def _hll_oracle_final(b: int) -> str:
       FROM events GROUP BY event_type
     )
     SELECT f.event_type, e.exact_distinct, f.n_zero_regs, f.harmonic_num,
-           CAST(floor(f.est * 1e3 + 0.5e0) AS BIGINT) AS est_milli
+           f.est_milli
     FROM fin f JOIN ex e USING (event_type)
     ORDER BY f.event_type
     """
@@ -436,17 +433,9 @@ def hll_user_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_slice_oracle(b: int) -> str:
-    from etl_sprint_2_5_spark.operators.sketch import hll_alpha
+    from etl_sprint_2_5_spark.operators.sketch import hll_est_milli_sql
 
-    m = 1 << b
-    wmax = 60 - b + 1
-    c_lit = hll_alpha(m) * m * m * float(1 << wmax)
-    est_case = (
-        f"CASE WHEN ({c_lit!r} / CAST(harmonic_num AS DOUBLE)) <= {2.5 * m!r} "
-        f"AND n_zero_regs > 0 "
-        f"THEN {float(m)!r} * ln({float(m)!r} / CAST(n_zero_regs AS DOUBLE)) "
-        f"ELSE {c_lit!r} / CAST(harmonic_num AS DOUBLE) END"
-    )
+    est_milli = hll_est_milli_sql(b)
     return f"""
     WITH regs0 AS ({_hll_oracle_ctes(b, 'event_id % 2 = 0')}),
     regs1 AS ({_hll_oracle_ctes(b, 'event_id % 2 = 1')}),
@@ -460,13 +449,10 @@ def _hll_slice_oracle(b: int) -> str:
     a1 AS ({_hll_oracle_est('regs1', b)}),
     am AS ({_hll_oracle_est('merged', b)}),
     ad AS ({_hll_oracle_est('direct', b)}),
-    e0 AS (SELECT event_type, CAST(floor(({est_case}) * 1e3 + 0.5e0) AS BIGINT)
-             AS s0_est_milli FROM a0),
-    e1 AS (SELECT event_type, CAST(floor(({est_case}) * 1e3 + 0.5e0) AS BIGINT)
-             AS s1_est_milli FROM a1),
+    e0 AS (SELECT event_type, {est_milli} AS s0_est_milli FROM a0),
+    e1 AS (SELECT event_type, {est_milli} AS s1_est_milli FROM a1),
     em AS (SELECT event_type, harmonic_num AS merged_harmonic,
-                  CAST(floor(({est_case}) * 1e3 + 0.5e0) AS BIGINT)
-             AS merged_est_milli FROM am),
+                  {est_milli} AS merged_est_milli FROM am),
     ed AS (SELECT event_type, harmonic_num AS direct_harmonic FROM ad)
     SELECT e0.event_type, s0_est_milli, s1_est_milli, merged_est_milli,
            merged_harmonic = direct_harmonic AS merged_equals_direct
@@ -635,21 +621,14 @@ def streaming_hll_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_pair_oracle(b: int) -> str:
-    from etl_sprint_2_5_spark.operators.sketch import hll_alpha
+    from etl_sprint_2_5_spark.operators.sketch import hll_est_milli_sql
 
     m = 1 << b
     wmax = 60 - b + 1
-    c_lit = hll_alpha(m) * m * m * float(1 << wmax)
-    est_case = (
-        f"CASE WHEN ({c_lit!r} / CAST(harmonic_num AS DOUBLE)) <= {2.5 * m!r} "
-        f"AND n_zero_regs > 0 "
-        f"THEN {float(m)!r} * ln({float(m)!r} / CAST(n_zero_regs AS DOUBLE)) "
-        f"ELSE {c_lit!r} / CAST(harmonic_num AS DOUBLE) END"
-    )
 
     def est_of(cte: str) -> str:
         return f"""
-        SELECT CAST(floor(({est_case}) * 1e3 + 0.5e0) AS BIGINT) AS v
+        SELECT {hll_est_milli_sql(b)} AS v
         FROM (
           SELECT CAST({m} - count(*) AS BIGINT) AS n_zero_regs,
                  CAST(sum((1::BIGINT << ({wmax} - reg)))
@@ -981,11 +960,17 @@ _CMS_JOIN_W, _CMS_JOIN_D = 8192, 4
     WITH sa AS ({_cms_int_cells('orders', 'o_custkey', _CMS_JOIN_W, _CMS_JOIN_D, 'cms-v1')}),
     sb AS ({_cms_int_cells('customer', 'c_custkey', _CMS_JOIN_W, _CMS_JOIN_D, 'cms-v1')}),
     dots AS (
-      SELECT sa.row, CAST(sum(sa.n * sb.n) AS BIGINT) AS dot
-      FROM sa JOIN sb USING (row, bucket)
-      GROUP BY sa.row
+      -- all depth rows participate: a row with no overlapping bucket
+      -- has dot 0 (left join + coalesce), mirroring cms_inner_product
+      SELECT r.row, CAST(coalesce(sum(sa.n * sb.n), 0) AS BIGINT) AS dot
+      FROM (SELECT DISTINCT row FROM
+              (SELECT row FROM sa UNION ALL SELECT row FROM sb)) r
+      LEFT JOIN sa ON sa.row = r.row
+      LEFT JOIN sb ON sb.row = sa.row AND sb.bucket = sa.bucket
+      GROUP BY r.row
     ),
-    est AS (SELECT CAST(min(dot) AS BIGINT) AS est_join_size FROM dots),
+    est AS (SELECT CAST(coalesce(min(dot), 0) AS BIGINT) AS est_join_size
+            FROM dots),
     ex AS (
       SELECT count(*) AS exact_join_size
       FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
@@ -1141,11 +1126,10 @@ def streaming_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hll_dau_oracle(b: int) -> str:
-    from etl_sprint_2_5_spark.operators.sketch import hll_alpha
+    from etl_sprint_2_5_spark.operators.sketch import hll_est_milli_sql
 
     m = 1 << b
     wmax = 60 - b + 1
-    c_lit = hll_alpha(m) * m * m * float(1 << wmax)
     return f"""
     WITH regs AS (
       SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
@@ -1171,10 +1155,7 @@ def _hll_dau_oracle(b: int) -> str:
     ),
     fin AS (
       SELECT day_num, n_zero_regs, harmonic_num,
-             CASE WHEN ({c_lit!r} / CAST(harmonic_num AS DOUBLE)) <= {2.5 * m!r}
-                       AND n_zero_regs > 0
-                  THEN {float(m)!r} * ln({float(m)!r} / CAST(n_zero_regs AS DOUBLE))
-                  ELSE {c_lit!r} / CAST(harmonic_num AS DOUBLE) END AS est
+             {hll_est_milli_sql(b)} AS est_milli
       FROM agg
     ),
     ex AS (
@@ -1184,7 +1165,7 @@ def _hll_dau_oracle(b: int) -> str:
       FROM events GROUP BY 1
     )
     SELECT f.day_num, e.exact_dau, f.n_zero_regs, f.harmonic_num,
-           CAST(floor(f.est * 1e3 + 0.5e0) AS BIGINT) AS est_milli
+           f.est_milli
     FROM fin f JOIN ex e USING (day_num)
     ORDER BY f.day_num
     """

@@ -16,8 +16,12 @@ is the same, swap the one function.
 
 from __future__ import annotations
 
+import hashlib
+import json
 import os
+import re
 import shutil
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -120,6 +124,122 @@ def dir_bytes(path: str) -> int:
     return total
 
 
+# --------------------------------------------------------------------
+# Manifest-committed bucketed sink
+#
+# The bucketed upsert used to promote each touched bucket with a
+# per-directory rename swap (kb=N.swap → kb=N). That protocol leans on
+# POSIX rename atomicity — which object stores (S3/GCS) do not give
+# you: their "rename" is copy-then-delete, so a crash mid-rename can
+# leave a torn directory and the multi-bucket commit has O(touched)
+# separate atomicity points. This is the Iceberg/Delta commit idea
+# without the format:
+#
+#   path/_manifests/manifest-<v>.json   (versioned, checksummed)
+#   path/data/kb=<N>/c-<commit>/part-*.parquet  (immutable, write-once)
+#
+# A commit writes NEW immutable data dirs (invisible — nothing
+# references them yet, so the moves need no atomicity at all), then
+# publishes ONE new manifest file naming exactly the live dir per
+# bucket. The single atomicity point is the manifest publish, and even
+# that doesn't need an atomic rename: manifests are versioned + carry
+# a payload checksum, and readers take the HIGHEST version that
+# parses and checksums clean — a torn half-copied manifest file fails
+# the checksum and the reader falls back to the previous version.
+# (On a real object store the publish is one object PUT, which is
+# atomic per-object everywhere.) Recovery is therefore a no-op:
+# unreferenced data dirs are garbage, swept by the next successful
+# commit's GC; there is no heal step and no crash window that loses
+# or tears data.
+# --------------------------------------------------------------------
+
+_MANIFEST_DIR = "_manifests"
+_DATA_DIR = "data"
+_MANIFEST_RE = re.compile(r"^manifest-(\d{20})\.json$")
+
+
+def _manifest_checksum(doc: dict) -> str:
+    body = {k: v for k, v in doc.items() if k != "checksum"}
+    return hashlib.sha256(
+        json.dumps(body, sort_keys=True).encode()
+    ).hexdigest()
+
+
+def load_manifest(path: str) -> dict | None:
+    """Resolve the current committed state: the highest-version
+    manifest that parses AND checksums clean. A torn manifest (a
+    non-atomic rename/PUT that crashed mid-copy) fails one of those
+    and is skipped — the reader lands on the previous committed
+    version, which by the commit ordering is always intact."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return None
+    names = sorted(
+        (n for n in os.listdir(mdir) if _MANIFEST_RE.match(n)), reverse=True
+    )
+    for n in names:
+        try:
+            with open(os.path.join(mdir, n)) as f:
+                doc = json.load(f)
+        except (json.JSONDecodeError, OSError, UnicodeDecodeError):
+            continue
+        if doc.get("checksum") == _manifest_checksum(doc):
+            return doc
+    return None
+
+
+def _publish_manifest(path: str, doc: dict) -> None:
+    """Publish a new manifest version: write to a hidden tmp name,
+    fsync, rename to the final versioned name. The rename here is a
+    convenience, not a correctness dependence — if it tears (object
+    store copy+delete crashing midway), the partial file fails the
+    checksum in load_manifest and the previous version still wins."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    doc = dict(doc)
+    doc["checksum"] = _manifest_checksum(doc)
+    tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(doc, f, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(mdir, f"manifest-{doc['version']:020d}.json"))
+
+
+def _gc_unreferenced(path: str, current: dict) -> None:
+    """Sweep everything the just-published manifest supersedes:
+    older manifest versions, leftover tmp files, orphan stage dirs
+    (crashed mid-write), and data dirs no longer referenced (either
+    replaced by this commit or orphaned by a crash before a previous
+    publish). Runs only AFTER a successful publish, so a crash inside
+    GC just leaves garbage for the next commit to sweep — readers are
+    already on the new version."""
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    cur_name = f"manifest-{current['version']:020d}.json"
+    for n in os.listdir(mdir):
+        m = _MANIFEST_RE.match(n)
+        if (m and n != cur_name) or n.startswith(".tmp-"):
+            try:
+                os.remove(os.path.join(mdir, n))
+            except OSError:
+                pass
+    for n in os.listdir(path):
+        if n.startswith("_stage-"):
+            shutil.rmtree(os.path.join(path, n), ignore_errors=True)
+    live = set(current["buckets"].values())
+    droot = os.path.join(path, _DATA_DIR)
+    if os.path.isdir(droot):
+        for kb_dir in os.listdir(droot):
+            kb_path = os.path.join(droot, kb_dir)
+            if not os.path.isdir(kb_path):
+                continue
+            for commit_dir in os.listdir(kb_path):
+                rel = f"{_DATA_DIR}/{kb_dir}/{commit_dir}"
+                if rel not in live:
+                    shutil.rmtree(os.path.join(droot, kb_dir, commit_dir),
+                                  ignore_errors=True)
+
+
 def upsert_keyed_parquet_bucketed(
     spark: SparkSession,
     batch: DataFrame,
@@ -127,34 +247,42 @@ def upsert_keyed_parquet_bucketed(
     key: str,
     n_buckets: int = 16,
 ) -> int:
-    """Bucket-pruned keyed upsert — the file-level-pruned MERGE shape
-    (what Delta/Iceberg do with file stats) expressed on plain
-    parquet: documents live under ``path/kb=<hash(key) % n>`` and a
-    batch only reads and rewrites the buckets its keys land in. A
-    maintenance batch touching 0.1% of keys then rewrites ~0.1% of
-    buckets instead of the whole table — the lever that keeps IVM
-    upsert cost proportional to the CHANGE, not the corpus
-    (upsert_keyed_parquet rewrites everything; fine for small views,
-    untenable at 100 TB).
+    """Bucket-pruned keyed upsert with a manifest-based commit — the
+    file-level-pruned MERGE shape (what Delta/Iceberg do with file
+    stats) on plain parquet: documents live in immutable per-commit
+    dirs under ``path/data/kb=<hash(key) % n>/`` and a batch only
+    reads and rewrites the buckets its keys land in. A maintenance
+    batch touching 0.1% of keys then rewrites ~0.1% of buckets instead
+    of the whole table — the lever that keeps IVM upsert cost
+    proportional to the CHANGE, not the corpus (upsert_keyed_parquet
+    rewrites everything; fine for small views, untenable at 100 TB).
 
     Execution shape: ONE Spark job regardless of how many buckets are
-    touched — the existing touched buckets are read as one pruned
-    scan, merged with the batch (anti-join on incoming keys), and
-    written partitioned by bucket in a single pass; promoting each
-    bucket is then a metadata-only directory rename. (A per-bucket
-    upsert loop would run O(touched) driver-coordinated jobs — at
-    1000 buckets that's 1000 job launches per maintenance cycle.)
+    touched — the touched buckets' live dirs (resolved from the
+    manifest) are read as one pruned scan, merged with the batch
+    (anti-join on incoming keys), and written partitioned by bucket in
+    a single pass; the commit is then file moves of invisible new dirs
+    plus ONE manifest publish (see the module block above for the
+    crash contract — no rename atomicity required anywhere).
 
-    Crash contract: each bucket's promote reuses the flat sink's
-    swap state machine (``.swap``/``.old`` + ``recover_swap``), so
-    every bucket is always either old or new, never torn. A crash
-    BETWEEN bucket promotes leaves a mix of updated and stale buckets
-    with the offset uncommitted — redelivery re-upserts the same
-    batch and every bucket converges (the same idempotent-upsert
-    argument as the flat sink, applied per bucket). Bucket assignment
+    ``n_buckets`` is STAMPED into the manifest at view creation and
+    the stamped count wins on every later call — so a caller that
+    re-derives a different count (e.g. ``buckets_for`` after the view
+    crossed a power-of-two boundary) cannot fork the layout into two
+    coexisting hash%n schemes with duplicate keys. Bucket assignment
     is Spark's deterministic murmur3 ``hash`` — stable across
-    sessions, so a redelivered row always lands in the same bucket.
-    Returns the number of buckets touched."""
+    sessions, so a redelivered row always lands in the same bucket,
+    and a crash before the publish leaves the offset uncommitted →
+    redelivery re-runs the same idempotent merge. Returns the number
+    of buckets touched."""
+    man = load_manifest(path)
+    if man is not None:
+        if man["key"] != key:
+            raise ValueError(
+                f"bucketed view at {path!r} is keyed by {man['key']!r}, "
+                f"not {key!r}"
+            )
+        n_buckets = int(man["n_buckets"])  # stamped count wins — no drift
     kb_of = F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
     # persist: the batch plan (often a rebuild join+agg) feeds BOTH the
     # touched-bucket probe and the merge write — without the cache it
@@ -165,25 +293,29 @@ def upsert_keyed_parquet_bucketed(
         touched = sorted(r["_kb"] for r in b.select("_kb").distinct().collect())
         if not touched:
             return 0
-        return _merge_touched_buckets(spark, b, touched, path, key, kb_of)
+        return _commit_touched_buckets(
+            spark, b, touched, path, key, kb_of, n_buckets, man
+        )
     finally:
         b.unpersist()
 
 
-def _merge_touched_buckets(
+def _commit_touched_buckets(
     spark: SparkSession,
     b: DataFrame,
     touched: list[int],
     path: str,
     key: str,
     kb_of,  # noqa: ANN001
+    n_buckets: int,
+    man: dict | None,
 ) -> int:
-    existing = []
-    for kb in touched:
-        d = f"{path}/kb={kb}"
-        recover_swap(d)
-        if os.path.exists(d):
-            existing.append(d)
+    buckets: dict[str, str] = dict(man["buckets"]) if man else {}
+    existing = [
+        os.path.join(path, buckets[str(kb)])
+        for kb in touched
+        if str(kb) in buckets
+    ]
     if existing:
         # bucket id recomputed from the key (deterministic hash) so the
         # pruned multi-dir read needs no partition-column inference
@@ -192,57 +324,50 @@ def _merge_touched_buckets(
         merged = old.join(F.broadcast(keys), key, "left_anti").unionByName(b)
     else:
         merged = b
-    stage = f"{path}.stage"
-    shutil.rmtree(stage, ignore_errors=True)
+    commit_id = uuid.uuid4().hex[:12]
+    stage = os.path.join(path, f"_stage-{commit_id}")
     # one shuffle on the bucket id → exactly one file per touched
     # bucket (partitionBy without it writes |tasks|×|buckets| files)
     merged.repartition(len(touched), F.col("_kb")).write.mode(
         "overwrite"
     ).partitionBy("_kb").parquet(stage)
     for kb in touched:
-        src, dst = f"{stage}/_kb={kb}", f"{path}/kb={kb}"
-        tmp, bak = dst + ".swap", dst + ".old"
+        src = os.path.join(stage, f"_kb={kb}")
         if not os.path.exists(src):
-            continue  # batch had the key set but every row was replaced-away
-        os.makedirs(path, exist_ok=True)
-        os.replace(src, tmp)
-        # same crash windows as upsert_keyed_parquet: .swap without a
-        # backup is discarded on recovery (offset uncommitted →
-        # redelivery), .swap with .old is promoted
-        if os.path.exists(dst):
-            os.replace(dst, bak)
-        os.replace(tmp, dst)
-        shutil.rmtree(bak, ignore_errors=True)
+            # batch had the key set but every row was replaced-away:
+            # keep the bucket's current manifest entry
+            continue
+        rel = f"{_DATA_DIR}/kb={kb}/c-{commit_id}"
+        dst = os.path.join(path, rel)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        # dst is a fresh uuid — nothing references it until the
+        # manifest below does, so this move needs no atomicity
+        os.replace(src, dst)
+        buckets[str(kb)] = rel
     shutil.rmtree(stage, ignore_errors=True)
+    doc = {
+        "version": (int(man["version"]) + 1) if man else 1,
+        "key": key,
+        "n_buckets": n_buckets,
+        "buckets": buckets,
+    }
+    _publish_manifest(path, doc)  # THE commit point
+    _gc_unreferenced(path, doc)
     return len(touched)
 
 
 def read_bucketed_view(spark: SparkSession, path: str) -> DataFrame:
-    """Read the bucketed keyed view, healing any interrupted bucket
-    swap first (per-bucket recover_swap, same states as the flat
-    sink).
+    """Read the bucketed keyed view as of its last committed manifest.
 
-    Recovery must derive the bucket set from ``kb=*.swap`` /
-    ``kb=*.old`` remnants too, not just live ``kb=*`` dirs: a crash
-    between a bucket's demote (``kb=N`` → ``kb=N.old``) and promote
-    (``kb=N.swap`` → ``kb=N``) leaves NO live dir for that bucket —
-    globbing only live dirs would skip recover_swap and silently
-    return the view minus that bucket's rows."""
-    import glob as _glob
-
-    bases = set()
-    for d in _glob.glob(os.path.join(path, "kb=*")):
-        for suf in (".swap", ".old"):
-            if d.endswith(suf):
-                d = d[: -len(suf)]
-                break
-        bases.add(d)
-    for d in sorted(bases):
-        recover_swap(d)
-    dirs = sorted(d for d in bases if os.path.exists(d))
-    if not dirs:
+    No heal step: the manifest IS the committed state. Data dirs from
+    a crashed uncommitted upsert are simply never referenced, and a
+    torn manifest write fails its checksum in load_manifest so the
+    previous version is served — both without touching disk."""
+    man = load_manifest(path)
+    if man is None or not man["buckets"]:
         raise FileNotFoundError(
-            f"bucketed keyed view at {path!r} has no kb=* buckets — "
+            f"bucketed keyed view at {path!r} has no committed manifest — "
             "either nothing was ever upserted or the path is wrong"
         )
+    dirs = sorted(os.path.join(path, rel) for rel in man["buckets"].values())
     return spark.read.parquet(*dirs)

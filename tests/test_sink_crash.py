@@ -145,98 +145,201 @@ def test_no_deletion_before_replacement_exists(spark, tmp_path, monkeypatch):
     assert _rows(spark, path) == {("a", 1), ("b", 20)}
 
 
-def test_bucketed_upsert_equivalence_and_pruning(spark, tmp_path):
-    """The bucket-pruned upsert (a) equals the flat keyed upsert on
-    the same batch sequence, (b) leaves UNTOUCHED buckets' files
-    byte-identical (the pruning is real — only affected buckets are
-    rewritten), and (c) re-delivering a batch is a per-bucket no-op."""
-    import os
-
+def _bucketed_imports():
     from pyspark.sql import functions as F
 
-    from etl_sprint_2_5_spark.streaming.sink import (
-        read_bucketed_view,
-        read_view,
-        upsert_keyed_parquet,
-        upsert_keyed_parquet_bucketed,
-    )
+    from etl_sprint_2_5_spark.streaming import sink
+
+    return F, sink
+
+
+def _full_view(spark):
+    from pyspark.sql import functions as F
+
+    return spark.range(0, 200).select(F.col("id"), (F.col("id") * 10).alias("val"))
+
+
+def _rows_of(df):
+    return sorted((r.id, r.val) for r in df.collect())
+
+
+def test_bucketed_upsert_equivalence_and_pruning(spark, tmp_path):
+    """The bucket-pruned upsert (a) equals the flat keyed upsert on
+    the same batch sequence, (b) leaves UNTOUCHED buckets' manifest
+    entries (and thus their immutable data dirs) unchanged — the
+    pruning is real, only affected buckets get new dirs — and (c)
+    re-delivering a batch converges to the same state."""
+    F, sink = _bucketed_imports()
 
     flat, buck = f"{tmp_path}/flat", f"{tmp_path}/buck"
-    full = spark.range(0, 200).select(
-        F.col("id"), (F.col("id") * 10).alias("val")
-    )
-    upsert_keyed_parquet(spark, full, flat, "id")
-    n0 = upsert_keyed_parquet_bucketed(spark, full, buck, "id", n_buckets=8)
+    full = _full_view(spark)
+    sink.upsert_keyed_parquet(spark, full, flat, "id")
+    n0 = sink.upsert_keyed_parquet_bucketed(spark, full, buck, "id", n_buckets=8)
     assert n0 == 8  # 200 keys cover all 8 buckets
 
-    def files(kb):
-        d = f"{buck}/kb={kb}"
-        return sorted(f for f in os.listdir(d) if f.endswith(".parquet"))
-
-    before = {kb: files(kb) for kb in range(8)}
+    before = dict(sink.load_manifest(buck)["buckets"])
+    before_files = {
+        kb: sorted(os.listdir(f"{buck}/{rel}")) for kb, rel in before.items()
+    }
 
     # small update batch: 3 keys → at most 3 buckets rewritten
     upd = spark.createDataFrame([(5, -1), (6, -2), (7, -3)], "id long, val long")
-    upsert_keyed_parquet(spark, upd, flat, "id")
-    n1 = upsert_keyed_parquet_bucketed(spark, upd, buck, "id", n_buckets=8)
+    sink.upsert_keyed_parquet(spark, upd, flat, "id")
+    n1 = sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", n_buckets=8)
     assert 1 <= n1 <= 3
     touched = {
-        r["kb"]
-        for r in upd.withColumn(
-            "kb", F.pmod(F.hash(F.col("id")), F.lit(8))
-        ).select("kb").distinct().collect()
+        str(r["kb"])
+        for r in upd.withColumn("kb", F.pmod(F.hash(F.col("id")), F.lit(8)))
+        .select("kb")
+        .distinct()
+        .collect()
     }
-    after = {kb: files(kb) for kb in range(8)}
-    for kb in range(8):
+    after = sink.load_manifest(buck)["buckets"]
+    for kb in map(str, range(8)):
         if kb in touched:
             assert after[kb] != before[kb], f"bucket {kb} not rewritten"
         else:
-            assert after[kb] == before[kb], f"bucket {kb} rewritten needlessly"
+            assert after[kb] == before[kb], f"bucket {kb} re-pointed needlessly"
+            # immutability: the untouched bucket's dir is byte-stable
+            assert (
+                sorted(os.listdir(f"{buck}/{after[kb]}")) == before_files[kb]
+            ), f"bucket {kb} files mutated"
 
-    def rows(df):
-        return sorted((r.id, r.val) for r in df.collect())
-
-    assert rows(read_bucketed_view(spark, buck)) == rows(read_view(spark, flat))
+    assert _rows_of(sink.read_bucketed_view(spark, buck)) == _rows_of(
+        sink.read_view(spark, flat)
+    )
 
     # redelivery: same batch again → same final state
-    upsert_keyed_parquet_bucketed(spark, upd, buck, "id", n_buckets=8)
-    assert rows(read_bucketed_view(spark, buck)) == rows(read_view(spark, flat))
-
-
-def test_bucketed_read_heals_demoted_unpromoted_bucket(spark, tmp_path):
-    """Crash window between a bucket's demote (kb=N -> kb=N.old) and
-    promote (kb=N.swap -> kb=N): no live dir exists for that bucket,
-    only the .old/.swap remnants. read_bucketed_view must derive the
-    bucket from the remnants and promote the complete .swap — a glob
-    over live dirs only would silently drop the bucket's rows."""
-    import os
-    import shutil
-
-    from pyspark.sql import functions as F
-
-    from etl_sprint_2_5_spark.streaming.sink import (
-        read_bucketed_view,
-        upsert_keyed_parquet_bucketed,
+    sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", n_buckets=8)
+    assert _rows_of(sink.read_bucketed_view(spark, buck)) == _rows_of(
+        sink.read_view(spark, flat)
     )
+
+
+def test_bucketed_crash_before_manifest_publish(spark, tmp_path, monkeypatch):
+    """Crash AFTER the new immutable data dirs are in place but BEFORE
+    the manifest publish: the old manifest still names the old dirs,
+    so the read serves the pre-upsert state untorn; redelivery then
+    converges, and the successful commit's GC sweeps the orphans."""
+    F, sink = _bucketed_imports()
 
     buck = f"{tmp_path}/buck"
-    full = spark.range(0, 200).select(
-        F.col("id"), (F.col("id") * 10).alias("val")
-    )
-    upsert_keyed_parquet_bucketed(spark, full, buck, "id", n_buckets=8)
-    expect = sorted((r.id, r.val) for r in read_bucketed_view(spark, buck).collect())
+    sink.upsert_keyed_parquet_bucketed(spark, _full_view(spark), buck, "id", 8)
+    expect_old = _rows_of(sink.read_bucketed_view(spark, buck))
 
-    # simulate: bucket 3's promote never happened — the new version sits
-    # in .swap, the old one was renamed aside to .old, no live dir
-    d = f"{buck}/kb=3"
-    shutil.copytree(d, d + ".swap")
-    os.replace(d, d + ".old")
-    assert not os.path.exists(d)
+    upd = spark.createDataFrame([(5, -1), (6, -2)], "id long, val long")
 
-    got = sorted((r.id, r.val) for r in read_bucketed_view(spark, buck).collect())
-    assert got == expect  # no rows lost
-    assert os.path.exists(d)  # the bucket was promoted back
-    assert not os.path.exists(d + ".swap") and not os.path.exists(d + ".old")
+    def crash_publish(path, doc):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(sink, "_publish_manifest", crash_publish)
+    try:
+        sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", 8)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    # nothing committed — the view is exactly the old state
+    assert _rows_of(sink.read_bucketed_view(spark, buck)) == expect_old
+    # orphan data dirs exist (the crashed commit's output)...
+    man = sink.load_manifest(buck)
+    live = set(man["buckets"].values())
+    all_dirs = {
+        f"data/{kb}/{c}"
+        for kb in os.listdir(f"{buck}/data")
+        for c in os.listdir(f"{buck}/data/{kb}")
+    }
+    assert all_dirs - live, "expected orphan dirs from the crashed commit"
+
+    # ...redelivery converges and GC sweeps the orphans
+    sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", 8)
+    got = dict(_rows_of(sink.read_bucketed_view(spark, buck)))
+    assert got[5] == -1 and got[6] == -2 and got[7] == 70
+    man = sink.load_manifest(buck)
+    live = set(man["buckets"].values())
+    all_dirs = {
+        f"data/{kb}/{c}"
+        for kb in os.listdir(f"{buck}/data")
+        for c in os.listdir(f"{buck}/data/{kb}")
+    }
+    assert all_dirs == live, "GC left unreferenced data dirs behind"
+
+
+def test_bucketed_torn_manifest_rename_not_atomic(spark, tmp_path, monkeypatch):
+    """THE object-store window the manifest protocol exists for: the
+    manifest publish's rename is NOT atomic (copy-then-delete, crashes
+    mid-copy), leaving a PARTIAL highest-version manifest file. The
+    reader must detect the tear (checksum/parse failure) and fall back
+    to the previous committed version — never serve a torn commit,
+    never lose the old rows."""
+    F, sink = _bucketed_imports()
+
+    buck = f"{tmp_path}/buck"
+    sink.upsert_keyed_parquet_bucketed(spark, _full_view(spark), buck, "id", 8)
+    expect_old = _rows_of(sink.read_bucketed_view(spark, buck))
+    v_old = sink.load_manifest(buck)["version"]
+
+    real_replace = os.replace
+
+    def torn_replace(src, dst):
+        # simulate a non-atomic rename for manifest publishes only:
+        # half the bytes are copied to dst, then the "machine dies"
+        if "/_manifests/" in dst.replace(os.sep, "/"):
+            data = open(src, "rb").read()
+            with open(dst, "wb") as f:
+                f.write(data[: len(data) // 2])
+            os.remove(src)
+            raise RuntimeError("simulated crash mid-copy")
+        return real_replace(src, dst)
+
+    upd = spark.createDataFrame([(5, -1)], "id long, val long")
+    monkeypatch.setattr(os, "replace", torn_replace)
+    try:
+        sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", 8)
+    except RuntimeError:
+        pass
+    monkeypatch.undo()
+
+    # the torn higher-version manifest exists on disk...
+    mdir = f"{buck}/_manifests"
+    torn = [n for n in os.listdir(mdir) if n.endswith(f"{v_old + 1:020d}.json")]
+    assert torn, "expected the torn manifest file to be present"
+    # ...but the reader skips it and serves the previous version intact
+    assert sink.load_manifest(buck)["version"] == v_old
+    assert _rows_of(sink.read_bucketed_view(spark, buck)) == expect_old
+
+    # redelivery publishes a GOOD v+1... (version numbers may collide
+    # with the torn file's name — the good write replaces it)
+    sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", 8)
+    got = dict(_rows_of(sink.read_bucketed_view(spark, buck)))
+    assert got[5] == -1 and got[6] == 60
+
+
+def test_bucketed_stamped_bucket_count_wins(spark, tmp_path):
+    """A later caller passing a DIFFERENT n_buckets (e.g. buckets_for
+    re-derived after the view grew past a power-of-two boundary) must
+    not fork the layout into two coexisting hash%n schemes: the count
+    stamped in the manifest at creation wins, so keys keep landing in
+    their original buckets and no duplicates appear on read."""
+    F, sink = _bucketed_imports()
+
+    buck = f"{tmp_path}/buck"
+    sink.upsert_keyed_parquet_bucketed(spark, _full_view(spark), buck, "id", 8)
+    upd = spark.createDataFrame([(5, -1)], "id long, val long")
+    # drifted caller: passes 32, stamped count is 8
+    sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", n_buckets=32)
+    man = sink.load_manifest(buck)
+    assert man["n_buckets"] == 8
+    assert set(man["buckets"]) <= {str(i) for i in range(8)}
+    rows = _rows_of(sink.read_bucketed_view(spark, buck))
+    assert len(rows) == 200  # no duplicate keys from a forked layout
+    assert dict(rows)[5] == -1
+
+    # and a mismatched KEY is refused outright
+    import pytest
+
+    with pytest.raises(ValueError, match="keyed by"):
+        sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "val", 8)
 
 
 def test_buckets_for_sizing_rule():

@@ -129,12 +129,68 @@ def test_hll_merge_equals_single_build(spark):
 
 
 def test_hll_harmonic_num_exact_bound(spark):
-    # the integer harmonic sum must never exceed m * 2^(W+1) = 2^61
-    # (empty-sketch value) and hits it exactly for an empty slice
+    """The estimator's int64 harmonic sum is EXACT, not approximate:
+    an empty slice hits m·2^(W+1) = 2^61 (b=6) on the nose with est 0,
+    and a populated sketch reproduces Σ 2^(W+1−reg) + zeros·2^(W+1)
+    recomputed independently in python from the registers."""
+    b, m, wmax = 6, 64, 55  # wmax = 60 - b + 1
+    empty = spark.createDataFrame([], "key string")
+    row = hll_estimate(hll_build(empty, "key", b=b), (), b=b).collect()[0]
+    assert row["n_zero_regs"] == m
+    assert row["harmonic_num"] == 1 << 61  # the documented empty value
+    assert row["est_milli"] == 0
+
     data = _distinct_ids(spark, 100)
-    row = hll_estimate(hll_build(data, "key", b=6), (), b=6).collect()[0]
+    regs = hll_build(data, "key", b=b)
+    by_bucket = {r["bucket"]: r["reg"] for r in regs.collect()}
+    expect = sum(1 << (wmax - reg) for reg in by_bucket.values()) + (
+        m - len(by_bucket)
+    ) * (1 << wmax)
+    row = hll_estimate(regs, (), b=b).collect()[0]
+    assert row["harmonic_num"] == expect
+    assert row["n_zero_regs"] == m - len(by_bucket)
     assert 0 < row["harmonic_num"] < (1 << 61)
-    assert row["n_zero_regs"] + (64 - row["n_zero_regs"]) == 64
+
+
+def test_hll_small_range_table_is_integer_exact():
+    """The small-range branch is a precomputed integer table shared
+    verbatim between the Spark plan and the oracle SQL — V=m maps to
+    0 (ln 1), V=1 to floor(m·ln(m)·1000+0.5), and the SQL CASE text
+    embeds exactly these constants (no ln() anywhere in the gate)."""
+    import math
+
+    from etl_sprint_2_5_spark.operators.sketch import (
+        hll_est_milli_sql,
+        hll_small_milli,
+    )
+
+    m = 64
+    tbl = hll_small_milli(m)
+    assert len(tbl) == m
+    assert tbl[m - 1] == 0
+    assert tbl[0] == int(math.floor(m * math.log(m) * 1000 + 0.5))
+    assert all(tbl[i] > tbl[i + 1] for i in range(m - 1))  # monotone
+    sql = hll_est_milli_sql(6)
+    assert "ln(" not in sql and "log(" not in sql
+    assert f"WHEN 1 THEN CAST({tbl[0]} AS BIGINT)" in sql
+    assert f"WHEN {m} THEN CAST(0 AS BIGINT)" in sql
+
+
+def test_cms_inner_product_disjoint_is_zero(spark):
+    """Disjoint key sets must estimate 0, not NULL — and a depth row
+    with no overlapping bucket participates in the min as dot 0
+    instead of being dropped by the join (round-8 ADVICE)."""
+    a = spark.createDataFrame([(f"a{i}",) for i in range(20)], "key string")
+    b = spark.createDataFrame([(f"b{i}",) for i in range(20)], "key string")
+    est = cms_inner_product(
+        cms_build(a, "key", width=W, depth=D),
+        cms_build(b, "key", width=W, depth=D),
+    ).collect()[0]["est_join_size"]
+    # width 1024 over 20+20 keys: some bucket collision per row is
+    # possible but at least one of the D rows is collision-free with
+    # overwhelming probability -> min = 0; the hashes are fixed, so
+    # this is deterministic, not flaky
+    assert est == 0
 
 
 # --- DDSketch-style integer quantile sketch ---------------------------

@@ -83,16 +83,19 @@ def main() -> None:
     upsert_keyed_parquet(spark, batch, flat, "id")
     flat_sec = time.time() - t0
 
-    before = {
-        d: sorted(os.listdir(f"{buck}/{d}")) for d in os.listdir(buck)
-    }
+    from etl_sprint_2_5_spark.streaming.sink import load_manifest
+
+    # rewritten volume = data dirs whose manifest entry changed (the
+    # manifest names exactly the live immutable dir per bucket)
+    before = dict(load_manifest(buck)["buckets"])
     t0 = time.time()
     touched = upsert_keyed_parquet_bucketed(spark, batch, buck, "id", n_buckets)
     buck_sec = time.time() - t0
+    after = load_manifest(buck)["buckets"]
     rewritten = sum(
-        du(f"{buck}/{d}")
-        for d in os.listdir(buck)
-        if sorted(os.listdir(f"{buck}/{d}")) != before.get(d)
+        du(f"{buck}/{rel}")
+        for kb, rel in after.items()
+        if rel != before.get(kb)
     )
 
     flat_bytes = du(flat)

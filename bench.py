@@ -254,21 +254,45 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_start, 3)
 
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "prepare_sec": prepare_sec,
+        "wall_sec": wall,
+        "repeat_policy": "median5<=2s; best2>2s",
+        "cpu_busy_before": round(busy_before, 3),
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "sf": sf,
+    }
+    # Full per-query JSON: printed for humans AND persisted to a file,
+    # because the driver keeps only the tail of stdout (the round-8
+    # BENCH capture truncated the per-query map mid-token and was
+    # unparseable). The LAST stdout line is therefore a compact
+    # summary — guaranteed to fit any tail window — pointing at the
+    # persisted full file.
+    full_path = os.path.join(REPO, f"BENCH_FULL_sf{sf:g}.json")
+    with open(full_path, "w") as f:
+        json.dump(full, f)
+        f.write("\n")
+    print(json.dumps(full))
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
                 "prepare_sec": prepare_sec,
                 "wall_sec": wall,
-                "repeat_policy": "median5<=2s; best2>2s",
                 "cpu_busy_before": round(busy_before, 3),
                 "loadavg_end": round(os.getloadavg()[0], 2),
-                "sf": sf,
+                "full": os.path.basename(full_path),
             }
-        )
+        ),
+        flush=True,
     )
 
 

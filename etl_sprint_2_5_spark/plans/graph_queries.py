@@ -70,6 +70,66 @@ _PAGERANK_ORACLE = """
 """
 
 
+# Per-task pair-expansion bound for the co-purchase graph builders.
+# 1024 distinct parts -> at most 1024·1023/2 ≈ 5.2e5 pair rows from one
+# basket, a few MB inside one task — an executor-sized unit of work.
+_MAX_BASKET = 1024
+
+
+def basket_pair_counts(
+    li: DataFrame, max_basket: int = _MAX_BASKET
+) -> DataFrame:
+    """Co-purchase pair counts (u < v, n_tog) from per-order baskets —
+    THE shared edge builder for pagerank / label propagation /
+    triangle counting. One shuffle on ``l_orderkey``: collect each
+    basket's sorted distinct parts, expand the in-array pairs locally
+    (operators/dedup.pairs_within_bucket), count per pair. The
+    order-key self-join formulation the oracles use computes the same
+    set but shuffles the fact table twice and re-materializes every
+    basket pairwise; here the quadratic stays inside a task.
+
+    ``max_basket`` is the skew guard, same argument as dedup's
+    stop-shingle cap (operators/dedup.capped_postings): a single
+    degenerate basket of B parts expands B(B−1)/2 rows in ONE task —
+    TPC-H-ish baskets hold ≤ ~7 parts, but at 100 TB one pathological
+    order (a bulk-purchasing reseller with 10^5 distinct parts) would
+    emit 5·10^9 pairs from one task, the classic hot-key OOM. Baskets
+    above the cap are DROPPED, not truncated: a basket spanning
+    thousands of distinct parts is a warehouse artifact, not
+    co-purchase evidence — the idf argument, applied to orders. The
+    cap must never bind at gate scale factors (the oracles expand
+    uncapped) — tests/test_scale_patterns.py asserts the observed max
+    basket is orders of magnitude below it at sf0.01."""
+    from etl_sprint_2_5_spark.operators.dedup import pairs_within_bucket
+
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
+        .where(F.size("parts") <= max_basket)
+    )
+    return (
+        baskets.select(
+            F.explode(pairs_within_bucket(F.col("parts"))).alias("p")
+        )
+        .select(F.col("p.id_a").alias("u"), F.col("p.id_b").alias("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_tog"))
+    )
+
+
+def copurchase_edges(
+    li: DataFrame, max_basket: int = _MAX_BASKET
+) -> DataFrame:
+    """Symmetric distinct co-purchase edge list (src, dst) — both
+    directions of every basket pair. Pairs are unique after
+    basket_pair_counts' aggregate, so the two-direction union needs
+    no further distinct."""
+    p = basket_pair_counts(li, max_basket)
+    return p.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        p.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+
+
 def _stationary_edges(spark: SparkSession, sf_dir: str, edges: DataFrame) -> DataFrame:
     """Stage the degree-annotated edge list as a bucketed catalog
     table on ``src`` so every PageRank iteration reads it already
@@ -115,24 +175,16 @@ def part_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_scale_patterns.py asserts the executed adaptive plan
     keeps ≤ 2 shuffle exchanges per iteration."""
     li = load_table(spark, "lineitem", sf_dir)
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    a = b.select("l_orderkey", F.col("l_partkey").alias("src"))
-    c = b.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(c, "l_orderkey")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    edges = copurchase_edges(li)  # capped basket expansion, one shuffle
     deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     dd = deg0.select(F.col("src").alias("dst"), F.col("deg").alias("dst_deg"))
     edges2 = _stationary_edges(
         spark, sf_dir, edges.join(dd, "dst").select("src", "dst", "dst_deg")
     )
     # deg/nn re-derived FROM the staged table: per-src counts are
-    # bucket-local (zero-exchange), and the expensive basket self-join
-    # above executes exactly once — inside the staging write, not in
-    # this query's plan
+    # bucket-local (zero-exchange), and the expensive basket pair
+    # expansion above executes exactly once — inside the staging
+    # write, not in this query's plan
     deg = edges2.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nn = deg.agg(F.count(F.lit(1)).alias("n"))
     # ranks carries (part, r, deg, n): the src degree divides the
@@ -314,21 +366,11 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree table rides in as a broadcast; wedge-close is one shuffle
     on the (v, w) pair key."""
     li = load_table(spark, "lineitem", sf_dir)
-    from etl_sprint_2_5_spark.operators.dedup import pairs_within_bucket
-
-    # collect_set dedups (order, part) inside the basket aggregate, so
-    # the separate distinct shuffle the oracle's CTE implies is fused
-    # away: basket build + pair expansion is ONE exchange on l_orderkey
-    und = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .select(F.explode(pairs_within_bucket(F.col("parts"))).alias("p"))
-        .select(F.col("p.id_a").alias("u"), F.col("p.id_b").alias("v"))
-        .groupBy("u", "v")
-        .agg(F.count(F.lit(1)).alias("n_tog"))
-        .where(F.col("n_tog") >= 2)
-        .select("u", "v")
-    )
+    # shared capped edge builder (basket_pair_counts): basket build +
+    # pair expansion is ONE exchange on l_orderkey — the separate
+    # distinct shuffle the oracle's CTE implies is fused into the
+    # basket aggregate, and the per-basket quadratic is bounded
+    und = basket_pair_counts(li).where(F.col("n_tog") >= 2).select("u", "v")
     und.cache()
     deg = (
         und.select(F.col("u").alias("node"))
@@ -454,15 +496,7 @@ def part_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     li = load_table(spark, "lineitem", sf_dir)
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    a = b.select("l_orderkey", F.col("l_partkey").alias("src"))
-    c = b.select("l_orderkey", F.col("l_partkey").alias("dst"))
-    edges = (
-        a.join(c, "l_orderkey")
-        .where(F.col("src") != F.col("dst"))
-        .select("src", "dst")
-        .distinct()
-    )
+    edges = copurchase_edges(li)  # capped basket expansion, one shuffle
     deg0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     dd = deg0.select(F.col("src").alias("dst"), F.col("deg").alias("dst_deg"))
     edges2 = _stationary_edges(

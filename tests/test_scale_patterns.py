@@ -429,3 +429,75 @@ def test_bucketed_colocated_join_query_has_no_join_exchange(spark):
     assert plan.count("Bucketed: true") == 2, plan
     join_subtree = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange hashpartitioning" not in join_subtree, plan
+
+
+# ------------------------------------------- capped basket edge builder
+
+
+def test_basket_pair_cap_does_not_bind_at_gate_scale(spark):
+    """basket_pair_counts' max_basket is a 100-TB skew guard, NOT a
+    semantic knob: at gate scale factors the largest basket must sit
+    orders of magnitude below the cap (the DuckDB oracles expand
+    baskets uncapped, so a binding cap would diverge the gate), and
+    the capped build must equal the uncapped one bit-for-bit."""
+    from etl_sprint_2_5_spark.plans.graph_queries import (
+        _MAX_BASKET,
+        basket_pair_counts,
+        copurchase_edges,
+    )
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    max_basket = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert max_basket * 8 < _MAX_BASKET, (max_basket, _MAX_BASKET)
+
+    capped = {
+        (r.u, r.v, r.n_tog) for r in basket_pair_counts(li).collect()
+    }
+    uncapped = {
+        (r.u, r.v, r.n_tog)
+        for r in basket_pair_counts(li, max_basket=1 << 30).collect()
+    }
+    assert capped == uncapped and capped
+
+
+def test_copurchase_edges_match_selfjoin_semantics(spark):
+    """The in-array pair expansion reproduces EXACTLY the edge set of
+    the oracle's order-key self-join (distinct src<>dst pairs, both
+    directions), with no duplicate edges."""
+    from etl_sprint_2_5_spark.plans.graph_queries import copurchase_edges
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    got = [(r.src, r.dst) for r in copurchase_edges(li).collect()]
+    assert len(got) == len(set(got)), "duplicate edges"
+
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select("l_orderkey", F.col("l_partkey").alias("src"))
+    c = b.select("l_orderkey", F.col("l_partkey").alias("dst"))
+    expect = {
+        (r.src, r.dst)
+        for r in a.join(c, "l_orderkey")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst")
+        .distinct()
+        .collect()
+    }
+    assert set(got) == expect
+
+
+def test_basket_pair_cap_drops_degenerate_basket(spark):
+    """A basket past the cap is dropped whole (the idf argument) —
+    pairs from normal baskets survive untouched."""
+    from etl_sprint_2_5_spark.plans.graph_queries import basket_pair_counts
+
+    rows = [(1, 1000 + p) for p in range(5)] + [(2, p) for p in range(100)]
+    li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = basket_pair_counts(li, max_basket=10)
+    assert out.count() == 5 * 4 // 2  # only basket 1's pairs
+    assert basket_pair_counts(li, max_basket=100).count() == 10 + 100 * 99 // 2

@@ -111,6 +111,10 @@ HEADLINE = [
     "streaming_dd_quantiles",
     "streaming_cms_estimates",
     "part_label_propagation",
+    # round-9 addition: WAU served from the persisted per-day HLL
+    # registers (the artifact probe path — its build cost sits in
+    # prepare_sec with the other train-once indexes)
+    "hll_weekly_active_users",
 ]
 
 
@@ -204,6 +208,7 @@ def main() -> None:
     # (near-zero when the artifact is already on disk).
     from etl_sprint_2_5_spark.artifacts import (
         prepared_fulltext_stats,
+        prepared_hll_day_registers,
         prepared_ivf_centroids,
         prepared_pq_index,
         prepared_shingle_index,
@@ -213,6 +218,7 @@ def main() -> None:
     t_prep = time.time()
     prepared_ivf_centroids(spark, SF_DIR).count()
     prepared_shingle_index(spark, SF_DIR).count()
+    prepared_hll_day_registers(spark, SF_DIR).count()
     _pq_cb, _pq_codes = prepared_pq_index(spark, SF_DIR)
     _pq_cb.count(), _pq_codes.count()
     prepared_fulltext_stats(

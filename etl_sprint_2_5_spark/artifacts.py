@@ -45,6 +45,9 @@ ALGO_VERSION = {
     "shingle_index": 1,
     "ftindex": 1,
     "pq_index": 1,
+    "hll_day_registers": 1,
+    "dd_price_histogram": 1,
+    "cms_cells": 1,
 }
 
 
@@ -434,3 +437,148 @@ def prepared_pq_index(
         # lost the publish race (same deterministic bytes) — discard
         shutil.rmtree(tmp, ignore_errors=True)
     return spark.read.parquet(str(cb_dest)), spark.read.parquet(str(codes_dest))
+
+
+# --------------------------------------------------------------------
+# Mergeable sketch tables (HLL day registers / DD histogram / CMS cells)
+# --------------------------------------------------------------------
+#
+# The sketch family's whole 100-TB argument is that the summary is
+# PERSISTED once per corpus slice and probed forever: a day of events
+# collapses to m HLL registers, a fact column to ~256 histogram
+# buckets, a join key to depth×width counters — after which WAU/MAU,
+# quantile, and join-size questions fold from the artifact without
+# rescanning. These prepared_* functions make that serving path real
+# with the same fingerprint+ALGO_VERSION+atomic-rename machinery as
+# the ANN/dedup indexes. Every build is deterministic (salted-md5
+# hashes, integer buckets), so artifact == inline bit-for-bit and the
+# DuckDB oracles — which always rebuild inline — stay green either way
+# (tests/test_artifacts.py asserts the equality).
+
+
+def _persist_df(spark: SparkSession, kind: str, key: str, inline_fn) -> DataFrame:  # noqa: ANN001
+    """Shared read-or-train-and-publish dance: serve the parquet
+    artifact when present, else build, write to a tmp dir, and publish
+    with one atomic rename (losing the race to an identical writer is
+    harmless — same deterministic bytes)."""
+    dest = artifact_root() / f"{kind}-{key}"
+    if (dest / "_SUCCESS").exists():
+        return spark.read.parquet(str(dest))
+    built = inline_fn()
+    tmp = dest.with_name(dest.name + f".tmp{os.getpid()}")
+    built.coalesce(1).write.mode("overwrite").parquet(str(tmp))
+    try:
+        tmp.rename(dest)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.read.parquet(str(dest))
+
+
+def prepared_hll_day_registers(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    b: int = 6,
+    use_artifact: bool = True,
+) -> DataFrame:
+    """Per-day HLL user registers (day_num, bucket, reg) over events —
+    the persisted form of hll_daily_active_users' sketch: m rows per
+    day forever, from which ANY date-range distinct (DAU/WAU/MAU)
+    folds by register max without rescanning events."""
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.operators.sketch import hll_build
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    def inline() -> DataFrame:
+        ev = load_table(spark, "events", sf_dir)
+        days = ev.select(
+            F.expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+            .cast("long")
+            .alias("day_num"),
+            "user_id",
+        )
+        return hll_build(days, "user_id", group_cols=("day_num",), b=b)
+
+    if not use_artifact:
+        return inline()
+    key = _key(
+        {
+            "kind": "hll_day_registers",
+            "fp": table_fingerprint(sf_dir, "events"),
+            "b": b,
+        }
+    )
+    return _persist_df(spark, "hll_day_registers", key, inline)
+
+
+def prepared_dd_price_histogram(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    use_artifact: bool = True,
+) -> DataFrame:
+    """Per-returnflag DDSketch-style price histogram (g, bucket_id, n)
+    over lineitem cents — ≤ ~256 integer buckets per group, the
+    persisted quantile summary ddsketch_price_quantiles builds."""
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.operators.sketch import dd_build
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    def inline() -> DataFrame:
+        li = load_table(spark, "lineitem", sf_dir)
+        cents = li.select(
+            F.col("l_returnflag").alias("g"),
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("c"),
+        )
+        return dd_build(cents, "c", group_cols=("g",))
+
+    if not use_artifact:
+        return inline()
+    key = _key(
+        {
+            "kind": "dd_price_histogram",
+            "fp": table_fingerprint(sf_dir, "lineitem"),
+        }
+    )
+    return _persist_df(spark, "dd_price_histogram", key, inline)
+
+
+def prepared_cms_custkey_cells(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    table: str = "orders",
+    key_col: str = "o_custkey",
+    width: int = 8192,
+    depth: int = 4,
+    use_artifact: bool = True,
+) -> DataFrame:
+    """CMS cells (row, bucket, n) over a join key — the persisted
+    frequency sketch cms_join_size_estimate builds per side; two such
+    artifacts answer a join-size question with a broadcast join of
+    two tiny cell tables."""
+    from etl_sprint_2_5_spark.operators.sketch import cms_build
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    def inline() -> DataFrame:
+        return cms_build(
+            load_table(spark, table, sf_dir), key_col, width=width, depth=depth
+        )
+
+    if not use_artifact:
+        return inline()
+    key = _key(
+        {
+            "kind": "cms_cells",
+            "fp": table_fingerprint(sf_dir, table),
+            "table": table,
+            "key": key_col,
+            "w": width,
+            "d": depth,
+        }
+    )
+    return _persist_df(spark, "cms_cells", key, inline)

@@ -1210,3 +1210,113 @@ def hll_daily_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day_num")
     )
+
+
+def _hll_wau_oracle(b: int) -> str:
+    from etl_sprint_2_5_spark.operators.sketch import hll_est_milli_sql
+
+    m = 1 << b
+    wmax = 60 - b + 1
+    return f"""
+    WITH dayregs AS (
+      SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               AS day_num,
+             hv & {m - 1} AS bucket,
+             max(CASE WHEN hv >> {b} = 0 THEN {wmax}
+                      ELSE {wmax} - length(bin(hv >> {b})) END) AS reg
+      FROM (
+        SELECT ts,
+               ('0x' || substr(md5('hll-v1:' || CAST(user_id AS VARCHAR)),
+                               1, 15))::BIGINT AS hv
+        FROM events
+      )
+      GROUP BY 1, 2
+    ),
+    wk AS (
+      SELECT day_num // 7 AS week_num, bucket, max(reg) AS reg
+      FROM dayregs GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT week_num,
+             CAST({m} - count(*) AS BIGINT) AS n_zero_regs,
+             CAST(sum((1::BIGINT << ({wmax} - reg)))
+                  + CAST({m} - count(*) AS BIGINT) * (1::BIGINT << {wmax})
+                  AS BIGINT) AS harmonic_num
+      FROM wk GROUP BY week_num
+    ),
+    fin AS (
+      SELECT week_num, n_zero_regs, harmonic_num,
+             {hll_est_milli_sql(b)} AS est_milli
+      FROM agg
+    ),
+    ex AS (
+      SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               // 7 AS week_num,
+             count(DISTINCT user_id) AS exact_wau
+      FROM events GROUP BY 1
+    )
+    SELECT f.week_num, e.exact_wau, f.n_zero_regs, f.harmonic_num,
+           f.est_milli
+    FROM fin f JOIN ex e USING (week_num)
+    ORDER BY f.week_num
+    """
+
+
+@query(
+    "hll_weekly_active_users",
+    oracle=_hll_wau_oracle(_HLL_B),
+    covers=("X-sketch-hll-serving",),
+)
+def hll_weekly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAU SERVED FROM THE PERSISTED SKETCH ARTIFACT — the probe side
+    of the metrics-store story hll_daily_active_users sets up: the
+    per-day registers persist once per corpus
+    (artifacts.prepared_hll_day_registers, fingerprint+ALGO_VERSION
+    keyed like the ANN/dedup indexes) and any date-range distinct
+    folds from them by register max. Here: epoch-weeks (day_num div
+    7), m rows per day in → m rows per week out → one estimate per
+    week. The events table is NOT rescanned on the sketch path — at
+    100 TB that is the whole point (the exact_wau audit column pays
+    the rescan the sketch replaces; at scale it's dropped, the gate
+    keeps it to show the error). Register build is deterministic
+    salted-md5, so the artifact is bit-identical to an inline build
+    (tests/test_artifacts.py) and the DuckDB oracle — which always
+    rebuilds inline — gates cell-for-cell either way."""
+    from etl_sprint_2_5_spark.artifacts import prepared_hll_day_registers
+    from etl_sprint_2_5_spark.operators.sketch import hll_estimate
+
+    dayregs = prepared_hll_day_registers(spark, sf_dir, b=_HLL_B)
+    wk = (
+        dayregs.select(
+            F.expr("day_num div 7").cast("long").alias("week_num"),
+            "bucket",
+            "reg",
+        )
+        .groupBy("week_num", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    est = hll_estimate(wk, ("week_num",), b=_HLL_B)
+    ev = load_table(spark, "events", sf_dir)
+    exact = (
+        ev.select(
+            F.expr(
+                "unix_micros(date_trunc('day', ts)) div 86400000000 div 7"
+            )
+            .cast("long")
+            .alias("week_num"),
+            "user_id",
+        )
+        .groupBy("week_num")
+        .agg(F.countDistinct("user_id").alias("exact_wau"))
+    )
+    return (
+        est.join(exact, "week_num")
+        .select(
+            "week_num",
+            "exact_wau",
+            "n_zero_regs",
+            "harmonic_num",
+            "est_milli",
+        )
+        .orderBy("week_num")
+    )

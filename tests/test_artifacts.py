@@ -235,3 +235,56 @@ def test_algo_version_bump_invalidates_artifact(
     A.prepared_ivf_centroids(spark, SF_DIR).count()
     assert calls["n"] == 1
     assert len(list(artifact_dir.glob("ivf_centroids-*"))) == 2
+
+
+# ---------------------------------------------------- sketch artifacts
+
+
+def test_hll_day_registers_prepared_equals_inline(spark, artifact_dir):
+    """The persisted per-day HLL registers are BIT-IDENTICAL to an
+    inline build (salted-md5 determinism) — the property that lets
+    hll_weekly_active_users serve from the artifact while its DuckDB
+    oracle rebuilds inline and still gates cell-for-cell."""
+    inline = A.prepared_hll_day_registers(spark, SF_DIR, use_artifact=False)
+    prepared = A.prepared_hll_day_registers(spark, SF_DIR)
+    rows = lambda df: sorted(  # noqa: E731
+        (r["day_num"], r["bucket"], r["reg"]) for r in df.collect()
+    )
+    assert rows(prepared) == rows(inline) and rows(inline)
+    dirs = list(artifact_dir.glob("hll_day_registers-*"))
+    assert len(dirs) == 1 and (dirs[0] / "_SUCCESS").exists()
+
+
+def test_dd_price_histogram_prepared_equals_inline(spark, artifact_dir):
+    inline = A.prepared_dd_price_histogram(spark, SF_DIR, use_artifact=False)
+    prepared = A.prepared_dd_price_histogram(spark, SF_DIR)
+    rows = lambda df: sorted(  # noqa: E731
+        (r["g"], r["bucket_id"], r["n"]) for r in df.collect()
+    )
+    assert rows(prepared) == rows(inline) and rows(inline)
+    assert list(artifact_dir.glob("dd_price_histogram-*"))
+
+
+def test_cms_cells_prepared_equals_inline(spark, artifact_dir):
+    inline = A.prepared_cms_custkey_cells(spark, SF_DIR, use_artifact=False)
+    prepared = A.prepared_cms_custkey_cells(spark, SF_DIR)
+    rows = lambda df: sorted(  # noqa: E731
+        (r["row"], r["bucket"], r["n"]) for r in df.collect()
+    )
+    assert rows(prepared) == rows(inline) and rows(inline)
+    assert list(artifact_dir.glob("cms_cells-*"))
+
+
+def test_hll_day_registers_artifact_reused_not_rebuilt(
+    spark, artifact_dir, monkeypatch
+):
+    A.prepared_hll_day_registers(spark, SF_DIR)
+
+    def boom(*a, **k):
+        raise AssertionError("rebuilt despite artifact present")
+
+    import etl_sprint_2_5_spark.operators.sketch as sk
+
+    monkeypatch.setattr(sk, "hll_build", boom)
+    again = A.prepared_hll_day_registers(spark, SF_DIR)
+    assert again.count() > 0

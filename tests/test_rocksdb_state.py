@@ -6,10 +6,13 @@ executor MEMORY with full-snapshot checkpoints — fine at test scale,
 a hard ceiling when a stateful query holds billions of keys. Spark
 ships RocksDBStateStoreProvider (on-disk state, incremental
 changelog checkpoints) exactly for that; flipping the provider is a
-session conf, no query change. This test proves an EXISTING gated
-twin — the keyed first-occurrence dedup, whose state merges across
-micro-batches — produces identical results under RocksDB, so the
-scale-out backend is a config away, not a rewrite.
+session conf, no query change. These tests prove the WHOLE gated
+stateful family — keyed first-occurrence dedup, the
+applyInPandasWithState as-of join and last-touch attribution, and a
+native session-window aggregate — produces results identical to its
+batch twin under RocksDB, so the scale-out backend is a config away,
+not a rewrite, for every kind of state the engine keeps (custom
+python state, native window state, dedup key sets).
 
 Reference parity note: the reference daemon's only state is its
 (ts, id) cursor (postgres_to_es/state.py) — Spark's stateful twins
@@ -30,18 +33,39 @@ ROCKSDB = (
 )
 _CONF = "spark.sql.streaming.stateStore.providerClass"
 
+# (batch twin, streaming twin) — one pair per kind of streaming state:
+# custom keyed dedup state, applyInPandasWithState user state (as-of
+# buffer, attribution last-touch), native session-window store.
+TWINS = (
+    ("stateful_event_dedup", "streaming_stateful_event_dedup"),
+    ("asof_last_error", "streaming_asof_last_error"),
+    ("last_touch_attribution", "streaming_last_touch_attribution"),
+    ("session_windows", "streaming_session_window_agg"),
+)
 
-def _rows(df):
-    return sorted(tuple(r) for r in df.collect())
+
+def _common_rows(a_df, b_df):
+    """Row sets over the twins' SHARED columns, sorted by column name
+    (twins may differ in auxiliary columns; the shared ones are the
+    semantics)."""
+    cols = sorted(set(a_df.columns) & set(b_df.columns))
+    assert cols, (a_df.columns, b_df.columns)
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.select(*cols).collect())
+
+    return rows(a_df), rows(b_df)
 
 
-def test_stateful_dedup_twin_green_under_rocksdb(spark):
+@pytest.mark.parametrize(("batch_name", "stream_name"), TWINS)
+def test_stateful_twin_green_under_rocksdb(spark, batch_name, stream_name):
     load_all()
-    want = _rows(REGISTRY["stateful_event_dedup"].fn(spark, SF_SMOKE))
+    batch_df = REGISTRY[batch_name].fn(spark, SF_SMOKE)
     prev = spark.conf.get(_CONF, None)
     spark.conf.set(_CONF, ROCKSDB)
     try:
-        got = _rows(REGISTRY["streaming_stateful_event_dedup"].fn(spark, SF_SMOKE))
+        stream_df = REGISTRY[stream_name].fn(spark, SF_SMOKE)
+        want, got = _common_rows(batch_df, stream_df)
     except Exception as e:  # noqa: BLE001
         # config-gated like the connectors: a container whose Spark
         # build lacks the RocksDB JNI bundle skips, not fails

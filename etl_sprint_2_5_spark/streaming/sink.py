@@ -165,9 +165,10 @@ def _manifest_checksum(doc: dict) -> str:
     ).hexdigest()
 
 
-def load_manifest(path: str) -> dict | None:
-    """Resolve the current committed state: the highest-version
-    manifest that parses AND checksums clean. A torn manifest (a
+def load_manifest(path: str, version: int | None = None) -> dict | None:
+    """Resolve a committed state: the highest-version manifest that
+    parses AND checksums clean — or, with ``version``, exactly that
+    version (time travel over retained versions). A torn manifest (a
     non-atomic rename/PUT that crashed mid-copy) fails one of those
     and is skipped — the reader lands on the previous committed
     version, which by the commit ordering is always intact."""
@@ -177,6 +178,8 @@ def load_manifest(path: str) -> dict | None:
     names = sorted(
         (n for n in os.listdir(mdir) if _MANIFEST_RE.match(n)), reverse=True
     )
+    if version is not None:
+        names = [n for n in names if int(_MANIFEST_RE.match(n)[1]) == version]
     for n in names:
         try:
             with open(os.path.join(mdir, n)) as f:
@@ -206,27 +209,36 @@ def _publish_manifest(path: str, doc: dict) -> None:
     os.replace(tmp, os.path.join(mdir, f"manifest-{doc['version']:020d}.json"))
 
 
-def _gc_unreferenced(path: str, current: dict) -> None:
+def _gc_unreferenced(path: str, current: dict, keep_versions: int = 1) -> None:
     """Sweep everything the just-published manifest supersedes:
-    older manifest versions, leftover tmp files, orphan stage dirs
-    (crashed mid-write), and data dirs no longer referenced (either
-    replaced by this commit or orphaned by a crash before a previous
-    publish). Runs only AFTER a successful publish, so a crash inside
-    GC just leaves garbage for the next commit to sweep — readers are
-    already on the new version."""
+    manifest versions older than the ``keep_versions`` most recent,
+    leftover tmp files, orphan stage dirs (crashed mid-write), and
+    data dirs referenced by NO retained manifest (either replaced by
+    this commit or orphaned by a crash before a previous publish).
+    Runs only AFTER a successful publish, so a crash inside GC just
+    leaves garbage for the next commit to sweep — readers are already
+    on the new version. ``keep_versions > 1`` retains older snapshots
+    for time-travel reads (read_bucketed_view(version=...)) — the
+    incremental cost is only the buckets the retained commits
+    rewrote, since untouched buckets share their immutable dirs
+    across versions."""
     mdir = os.path.join(path, _MANIFEST_DIR)
-    cur_name = f"manifest-{current['version']:020d}.json"
-    for n in os.listdir(mdir):
+    floor_v = int(current["version"]) - max(1, keep_versions) + 1
+    live: set[str] = set()
+    for n in list(os.listdir(mdir)):
         m = _MANIFEST_RE.match(n)
-        if (m and n != cur_name) or n.startswith(".tmp-"):
+        if n.startswith(".tmp-") or (m and int(m[1]) < floor_v):
             try:
                 os.remove(os.path.join(mdir, n))
             except OSError:
                 pass
+        elif m:
+            doc = load_manifest(path, version=int(m[1]))
+            if doc:
+                live.update(doc["buckets"].values())
     for n in os.listdir(path):
         if n.startswith("_stage-"):
             shutil.rmtree(os.path.join(path, n), ignore_errors=True)
-    live = set(current["buckets"].values())
     droot = os.path.join(path, _DATA_DIR)
     if os.path.isdir(droot):
         for kb_dir in os.listdir(droot):
@@ -246,6 +258,7 @@ def upsert_keyed_parquet_bucketed(
     path: str,
     key: str,
     n_buckets: int = 16,
+    keep_versions: int = 1,
 ) -> int:
     """Bucket-pruned keyed upsert with a manifest-based commit — the
     file-level-pruned MERGE shape (what Delta/Iceberg do with file
@@ -294,7 +307,7 @@ def upsert_keyed_parquet_bucketed(
         if not touched:
             return 0
         return _commit_touched_buckets(
-            spark, b, touched, path, key, kb_of, n_buckets, man
+            spark, b, touched, path, key, kb_of, n_buckets, man, keep_versions
         )
     finally:
         b.unpersist()
@@ -309,6 +322,7 @@ def _commit_touched_buckets(
     kb_of,  # noqa: ANN001
     n_buckets: int,
     man: dict | None,
+    keep_versions: int = 1,
 ) -> int:
     buckets: dict[str, str] = dict(man["buckets"]) if man else {}
     existing = [
@@ -352,22 +366,27 @@ def _commit_touched_buckets(
         "buckets": buckets,
     }
     _publish_manifest(path, doc)  # THE commit point
-    _gc_unreferenced(path, doc)
+    _gc_unreferenced(path, doc, keep_versions)
     return len(touched)
 
 
-def read_bucketed_view(spark: SparkSession, path: str) -> DataFrame:
-    """Read the bucketed keyed view as of its last committed manifest.
+def read_bucketed_view(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read the bucketed keyed view as of its last committed manifest
+    — or, with ``version``, as of a retained older snapshot (time
+    travel; the writer's ``keep_versions`` sets the retention window).
 
     No heal step: the manifest IS the committed state. Data dirs from
     a crashed uncommitted upsert are simply never referenced, and a
     torn manifest write fails its checksum in load_manifest so the
     previous version is served — both without touching disk."""
-    man = load_manifest(path)
+    man = load_manifest(path, version=version)
     if man is None or not man["buckets"]:
         raise FileNotFoundError(
-            f"bucketed keyed view at {path!r} has no committed manifest — "
-            "either nothing was ever upserted or the path is wrong"
+            f"bucketed keyed view at {path!r} has no committed manifest"
+            + (f" at version {version}" if version is not None else "")
+            + " — nothing upserted, version GC'd, or the path is wrong"
         )
     dirs = sorted(os.path.join(path, rel) for rel in man["buckets"].values())
     return spark.read.parquet(*dirs)

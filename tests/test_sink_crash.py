@@ -357,3 +357,46 @@ def test_buckets_for_sizing_rule():
     assert n & (n - 1) == 0  # power of two
     # custom target bucket size is respected
     assert buckets_for(64 * gib, target_bucket_bytes=4 * gib) == 16
+
+
+def test_bucketed_time_travel_reads_retained_versions(spark, tmp_path):
+    """keep_versions > 1 retains older manifests (and the data dirs
+    they reference) for time-travel reads: version v-1 serves the
+    pre-upsert snapshot, versions past the retention window are GC'd
+    and raise, and retention costs only the REWRITTEN buckets — the
+    untouched ones share their immutable dirs across versions."""
+    import pytest
+
+    F, sink = _bucketed_imports()
+
+    buck = f"{tmp_path}/buck"
+    sink.upsert_keyed_parquet_bucketed(
+        spark, _full_view(spark), buck, "id", 8, keep_versions=2
+    )  # v1
+    v1_rows = _rows_of(sink.read_bucketed_view(spark, buck))
+
+    upd2 = spark.createDataFrame([(5, -1)], "id long, val long")
+    sink.upsert_keyed_parquet_bucketed(spark, upd2, buck, "id", 8, keep_versions=2)  # v2
+    v2_rows = _rows_of(sink.read_bucketed_view(spark, buck))
+
+    # time travel: v1 snapshot still readable, intact
+    assert _rows_of(sink.read_bucketed_view(spark, buck, version=1)) == v1_rows
+    assert dict(v2_rows)[5] == -1 and dict(v1_rows)[5] == 50
+
+    # retention shares untouched buckets: v1 and v2 manifests differ
+    # only in the bucket upd2's key landed in
+    m1, m2 = sink.load_manifest(buck, version=1), sink.load_manifest(buck, version=2)
+    diff = {kb for kb in m2["buckets"] if m2["buckets"][kb] != m1["buckets"][kb]}
+    assert len(diff) == 1
+
+    upd3 = spark.createDataFrame([(6, -2)], "id long, val long")
+    sink.upsert_keyed_parquet_bucketed(spark, upd3, buck, "id", 8, keep_versions=2)  # v3
+
+    # v1 is now past the retention window: manifest gone, read raises
+    assert sink.load_manifest(buck, version=1) is None
+    with pytest.raises(FileNotFoundError, match="version 1"):
+        sink.read_bucketed_view(spark, buck, version=1)
+    # v2 still readable and intact (its replaced dirs were retained)
+    assert _rows_of(sink.read_bucketed_view(spark, buck, version=2)) == v2_rows
+    got = dict(_rows_of(sink.read_bucketed_view(spark, buck)))
+    assert got[5] == -1 and got[6] == -2

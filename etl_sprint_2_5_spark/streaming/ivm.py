@@ -292,7 +292,15 @@ def _recover_agg_state(path: str) -> None:
     file, not Spark's _SUCCESS marker: a delta application is only
     complete once the applied-batch id sits INSIDE the new directory,
     because promoting a merged state without its ledger would let a
-    replayed batch re-apply non-idempotent deltas (double-count)."""
+    replayed batch re-apply non-idempotent deltas (double-count).
+
+    Why this keeps the rename-swap while the corpus-sized bucketed
+    sink moved to manifest commits (sink.py): aggregate state is
+    GROUP-CARDINALITY-sized (thousands of rows, one small directory),
+    so the whole-state rewrite the swap implies is already the cheap
+    path, there is nothing to bucket-prune, and the heal covers every
+    crash window. On an object store the same ledger rides the
+    manifest sink unchanged (the ledger becomes a manifest field)."""
     import os
     import shutil
 

@@ -81,7 +81,9 @@ def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     )
 
 
-def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
+def cms_inner_product(
+    a: DataFrame, b: DataFrame, depth: int | None = None
+) -> DataFrame:
     """Join-size estimation via the CMS inner product (Cormode &
     Muthukrishnan's classic application): for two sketches with the
     same geometry over the two join keys, Σ_bucket a·b per row is an
@@ -101,14 +103,22 @@ def cms_inner_product(a: DataFrame, b: DataFrame) -> DataFrame:
     before the min, inflating the estimate for near-disjoint inputs).
 
     Returns a single row: (est_join_size)."""
-    rows_dom = a.select("row").unionByName(b.select("row")).distinct()
+    if depth is not None:
+        # known geometry: the depth-row domain is a local relation —
+        # no re-scan of the sketches, no distinct shuffle
+        spark = a.sparkSession
+        rows_dom = spark.range(depth).select(
+            F.col("id").cast("int").alias("row")
+        )
+    else:
+        rows_dom = a.select("row").unionByName(b.select("row")).distinct()
     prod = a.alias("a").join(
         F.broadcast(b.alias("b")), ["row", "bucket"], "inner"
     )
     per_row = prod.groupBy("row").agg(
         F.sum(F.col("a.n") * F.col("b.n")).alias("dot")
     )
-    dots = rows_dom.join(per_row, "row", "left").select(
+    dots = rows_dom.join(F.broadcast(per_row), "row", "left").select(
         F.coalesce(F.col("dot"), F.lit(0)).alias("dot")
     )
     return dots.agg(

@@ -1010,7 +1010,7 @@ def cms_join_size_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, "customer", sf_dir)
     sa = cms_build(o, "o_custkey", width=w, depth=d)
     sb = cms_build(c, "c_custkey", width=w, depth=d)
-    est = cms_inner_product(sa, sb)
+    est = cms_inner_product(sa, sb, depth=d)
     ex = o.join(c, o["o_custkey"] == c["c_custkey"]).agg(
         F.count(F.lit(1)).alias("exact_join_size")
     )
@@ -1438,4 +1438,4 @@ def cms_join_size_served(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = prepared_cms_custkey_cells(
         spark, sf_dir, table="customer", key_col="c_custkey", width=w, depth=d
     )
-    return cms_inner_product(sa, sb)
+    return cms_inner_product(sa, sb, depth=d)

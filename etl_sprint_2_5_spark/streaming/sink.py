@@ -191,12 +191,32 @@ def load_manifest(path: str, version: int | None = None) -> dict | None:
     return None
 
 
-def _publish_manifest(path: str, doc: dict) -> None:
+def _cas_create(src: str, dst: str) -> bool:
+    """Create ``dst`` from ``src`` FAIL-IF-EXISTS — the compare-and-swap
+    under optimistic concurrency: two writers racing to publish the
+    same version number can't silently overwrite each other; exactly
+    one wins, the loser re-merges against the winner's manifest. POSIX:
+    hard link (atomic create-exclusive). Object stores: a conditional
+    PUT (If-None-Match:*) — same call shape, swap this one function.
+    Returns False when dst already exists (lost the race)."""
+    try:
+        os.link(src, dst)
+        return True
+    except FileExistsError:
+        return False
+
+
+def _publish_manifest(path: str, doc: dict) -> bool:
     """Publish a new manifest version: write to a hidden tmp name,
-    fsync, rename to the final versioned name. The rename here is a
-    convenience, not a correctness dependence — if it tears (object
-    store copy+delete crashing midway), the partial file fails the
-    checksum in load_manifest and the previous version still wins."""
+    fsync, then create-exclusive at the final versioned name (the
+    CAS). Returns False if that version number was already published
+    by a concurrent writer — the caller re-merges against the newer
+    manifest. Atomicity of the create is NOT a correctness dependence
+    for readers: if a torn write leaves a partial file at the final
+    name (object-store PUT dying midway), it fails the checksum in
+    load_manifest and the previous version still wins; the torn file
+    is replaced on the publisher's retry of the NEXT version or swept
+    with its version by GC."""
     mdir = os.path.join(path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     doc = dict(doc)
@@ -206,7 +226,21 @@ def _publish_manifest(path: str, doc: dict) -> None:
         json.dump(doc, f, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, os.path.join(mdir, f"manifest-{doc['version']:020d}.json"))
+    final = os.path.join(mdir, f"manifest-{doc['version']:020d}.json")
+    # a TORN file at this version (crashed non-atomic publish, detected
+    # via checksum) is garbage, not a competing commit — reclaim the
+    # name so redelivery can publish the good version
+    if os.path.exists(final) and load_manifest(path, doc["version"]) is None:
+        try:
+            os.remove(final)
+        except OSError:
+            pass
+    won = _cas_create(tmp, final)
+    try:
+        os.remove(tmp)
+    except OSError:
+        pass
+    return won
 
 
 def _gc_unreferenced(path: str, current: dict, keep_versions: int = 1) -> None:
@@ -288,29 +322,46 @@ def upsert_keyed_parquet_bucketed(
     and a crash before the publish leaves the offset uncommitted →
     redelivery re-runs the same idempotent merge. Returns the number
     of buckets touched."""
-    man = load_manifest(path)
-    if man is not None:
-        if man["key"] != key:
-            raise ValueError(
-                f"bucketed view at {path!r} is keyed by {man['key']!r}, "
-                f"not {key!r}"
+    # optimistic-concurrency loop: each attempt merges against the
+    # manifest it read and publishes version+1 via compare-and-swap;
+    # losing the CAS to a concurrent writer means re-merging against
+    # THEIR manifest (the losing attempt's data dirs are unreferenced
+    # garbage, swept by the next successful GC). Single-writer callers
+    # never loop.
+    for _ in range(5):
+        man = load_manifest(path)
+        nb = n_buckets
+        if man is not None:
+            if man["key"] != key:
+                raise ValueError(
+                    f"bucketed view at {path!r} is keyed by {man['key']!r}, "
+                    f"not {key!r}"
+                )
+            nb = int(man["n_buckets"])  # stamped count wins — no drift
+        kb_of = F.pmod(F.hash(F.col(key)), F.lit(nb))
+        # persist: the batch plan (often a rebuild join+agg) feeds BOTH
+        # the touched-bucket probe and the merge write — without the
+        # cache it would execute twice per cycle. The batch is the
+        # change, not the corpus, so caching it is bounded by CDC
+        # volume.
+        b = batch.withColumn("_kb", kb_of).persist()
+        try:
+            touched = sorted(
+                r["_kb"] for r in b.select("_kb").distinct().collect()
             )
-        n_buckets = int(man["n_buckets"])  # stamped count wins — no drift
-    kb_of = F.pmod(F.hash(F.col(key)), F.lit(n_buckets))
-    # persist: the batch plan (often a rebuild join+agg) feeds BOTH the
-    # touched-bucket probe and the merge write — without the cache it
-    # would execute twice per cycle. The batch is the change, not the
-    # corpus, so caching it is bounded by CDC volume.
-    b = batch.withColumn("_kb", kb_of).persist()
-    try:
-        touched = sorted(r["_kb"] for r in b.select("_kb").distinct().collect())
-        if not touched:
-            return 0
-        return _commit_touched_buckets(
-            spark, b, touched, path, key, kb_of, n_buckets, man, keep_versions
-        )
-    finally:
-        b.unpersist()
+            if not touched:
+                return 0
+            n = _commit_touched_buckets(
+                spark, b, touched, path, key, kb_of, nb, man, keep_versions
+            )
+            if n is not None:
+                return n
+        finally:
+            b.unpersist()
+    raise RuntimeError(
+        f"bucketed upsert at {path!r} lost the manifest publish race 5 "
+        "times — pathological writer contention"
+    )
 
 
 def _commit_touched_buckets(
@@ -323,7 +374,7 @@ def _commit_touched_buckets(
     n_buckets: int,
     man: dict | None,
     keep_versions: int = 1,
-) -> int:
+) -> int | None:
     buckets: dict[str, str] = dict(man["buckets"]) if man else {}
     existing = [
         os.path.join(path, buckets[str(kb)])
@@ -365,7 +416,8 @@ def _commit_touched_buckets(
         "n_buckets": n_buckets,
         "buckets": buckets,
     }
-    _publish_manifest(path, doc)  # THE commit point
+    if not _publish_manifest(path, doc):  # THE commit point (CAS)
+        return None  # lost to a concurrent writer — caller re-merges
     _gc_unreferenced(path, doc, keep_versions)
     return len(touched)
 

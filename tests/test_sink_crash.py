@@ -279,21 +279,16 @@ def test_bucketed_torn_manifest_rename_not_atomic(spark, tmp_path, monkeypatch):
     expect_old = _rows_of(sink.read_bucketed_view(spark, buck))
     v_old = sink.load_manifest(buck)["version"]
 
-    real_replace = os.replace
-
-    def torn_replace(src, dst):
-        # simulate a non-atomic rename for manifest publishes only:
-        # half the bytes are copied to dst, then the "machine dies"
-        if "/_manifests/" in dst.replace(os.sep, "/"):
-            data = open(src, "rb").read()
-            with open(dst, "wb") as f:
-                f.write(data[: len(data) // 2])
-            os.remove(src)
-            raise RuntimeError("simulated crash mid-copy")
-        return real_replace(src, dst)
+    def torn_cas(src, dst):
+        # simulate a non-atomic publish (object-store PUT): half the
+        # bytes land at the final name, then the "machine dies"
+        data = open(src, "rb").read()
+        with open(dst, "wb") as f:
+            f.write(data[: len(data) // 2])
+        raise RuntimeError("simulated crash mid-PUT")
 
     upd = spark.createDataFrame([(5, -1)], "id long, val long")
-    monkeypatch.setattr(os, "replace", torn_replace)
+    monkeypatch.setattr(sink, "_cas_create", torn_cas)
     try:
         sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", 8)
     except RuntimeError:
@@ -313,6 +308,47 @@ def test_bucketed_torn_manifest_rename_not_atomic(spark, tmp_path, monkeypatch):
     sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", 8)
     got = dict(_rows_of(sink.read_bucketed_view(spark, buck)))
     assert got[5] == -1 and got[6] == 60
+
+
+def test_bucketed_concurrent_publish_loses_cas_and_remerges(
+    spark, tmp_path, monkeypatch
+):
+    """Optimistic concurrency: writer A merges against manifest v1;
+    before A publishes v2, a COMPETING writer publishes its own v2.
+    A's create-exclusive CAS must fail (no silent overwrite — that
+    would discard the competitor's commit), and A must re-merge
+    against the competitor's manifest and land at v3 with BOTH
+    writers' rows present."""
+    F, sink = _bucketed_imports()
+
+    buck = f"{tmp_path}/buck"
+    sink.upsert_keyed_parquet_bucketed(spark, _full_view(spark), buck, "id", 8)
+
+    competing = spark.createDataFrame([(7, -9)], "id long, val long")
+    state = {"fired": False}
+    real_publish = sink._publish_manifest
+
+    def racing_publish(path, doc):
+        if not state["fired"]:
+            state["fired"] = True
+            # the competitor lands v2 first (recursive upsert uses the
+            # real publish via the restored attribute inside)
+            monkeypatch.setattr(sink, "_publish_manifest", real_publish)
+            sink.upsert_keyed_parquet_bucketed(spark, competing, buck, "id", 8)
+            monkeypatch.setattr(sink, "_publish_manifest", racing_publish)
+        return real_publish(path, doc)
+
+    monkeypatch.setattr(sink, "_publish_manifest", racing_publish)
+    upd = spark.createDataFrame([(5, -1)], "id long, val long")
+    sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", 8)
+    monkeypatch.undo()
+
+    man = sink.load_manifest(buck)
+    assert man["version"] == 3  # v1 seed, v2 competitor, v3 re-merged A
+    got = dict(_rows_of(sink.read_bucketed_view(spark, buck)))
+    assert got[5] == -1, "writer A's row lost"
+    assert got[7] == -9, "competing writer's row silently overwritten"
+    assert len(got) == 200
 
 
 def test_bucketed_stamped_bucket_count_wins(spark, tmp_path):

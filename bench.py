@@ -111,10 +111,12 @@ HEADLINE = [
     "streaming_dd_quantiles",
     "streaming_cms_estimates",
     "part_label_propagation",
-    # round-9 addition: WAU served from the persisted per-day HLL
+    # round-9 additions: WAU served from the persisted per-day HLL
     # registers (the artifact probe path — its build cost sits in
-    # prepare_sec with the other train-once indexes)
+    # prepare_sec with the other train-once indexes), and the
+    # KMV/theta set-algebra churn estimator with its exact audit
     "hll_weekly_active_users",
+    "kmv_weekly_churn",
 ]
 
 

@@ -420,3 +420,151 @@ def dd_quantile(
         .cast("long")
         .alias("est_milli"),
     )
+
+
+# --- KMV / theta sketch (distinct-count SET ALGEBRA) -------------------
+#
+# Fourth member of the sketch family. HLL registers merge by max —
+# union only: inclusion-exclusion gives an intersection but there is
+# NO difference estimator (|A\B| compounds error catastrophically).
+# The KMV / theta sketch (Bar-Yossef et al. 2002; Dasgupta et al.'s
+# theta sketches) keeps the k SMALLEST distinct hash values: the
+# sample is a uniform sample of the key space, so ANY set expression
+# (union, intersection, difference) is estimated by evaluating it on
+# the tiny samples below the shared threshold θ and scaling by M/θ.
+# Same engine rules as CMS/HLL/DD: salted-md5 hashes (an oracle
+# rebuilds the identical sample hash-for-hash), estimates cross the
+# gate as fixed-point milli computed from one IEEE division of
+# python-literal constants, and a sketch with fewer than k distinct
+# keys IS the exact distinct set (θ = M, scale factor 1 — exact mode).
+
+_KMV_HASH_BITS = 60
+_KMV_M = 1 << _KMV_HASH_BITS
+
+
+def kmv_hash(key_col: str, salt: str = "kmv-v1"):
+    """60-bit salted-md5 — same recipe as the CMS/HLL hashes, so a SQL
+    oracle reproduces it with ('0x' || substr(md5(..),1,15))::BIGINT."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
+def kmv_build(
+    df: DataFrame, key_col: str, k: int = 256, salt: str = "kmv-v1"
+) -> DataFrame:
+    """Bottom-k distinct hashes: (hv). One distinct (map-side partial
+    dedup — each task forwards its distinct hashes once) followed by
+    a global bottom-k, which Spark executes as TakeOrderedAndProject:
+    every partition forwards only ITS k smallest, the driver merges —
+    no global sort, no full shuffle of the distinct set. The sketch
+    is ≤ k rows however many petabytes were scanned."""
+    return (
+        df.select(kmv_hash(key_col, salt).alias("hv"))
+        .distinct()
+        .orderBy("hv")
+        .limit(k)
+    )
+
+
+def kmv_merge(a: DataFrame, b: DataFrame, k: int = 256) -> DataFrame:
+    """Bottom-k of the union of two bottom-k samples == the bottom-k
+    of the union of the underlying sets (each input retains everything
+    below its own θ ≥ the merged θ) — the mergeability that lets
+    per-day/per-slice sketches fold without rescanning."""
+    return a.unionByName(b).distinct().orderBy("hv").limit(k)
+
+
+def kmv_set_estimates(
+    a: DataFrame, b: DataFrame, k: int = 256
+) -> DataFrame:
+    """Full set algebra from two KMV samples, one output row:
+    (theta, n_a, n_b, n_inter, a_est_milli, b_est_milli,
+    union_est_milli, inter_est_milli, a_not_b_est_milli,
+    b_not_a_est_milli).
+
+    θ = min over the two sketches of (kth smallest hash, or M when
+    the sketch holds its whole set). Every hash below θ is a uniform
+    M/θ-rate sample of the key space VALID FOR BOTH SETS, so each
+    expression is counted on the samples and scaled: est(S) =
+    count·M/θ. est_milli = floor(count·(1000·M)/θ + 0.5) — the
+    1000·M literal is exact in a double (125·2^63 fits the mantissa),
+    count·C stays exact, and the single division is IEEE-identical
+    in any engine; exact mode (θ = M) reduces to count·1000 exactly.
+
+    Plan shape: the two ≤ k-row samples are tagged and unioned, one
+    hash-group marks joint membership, the 1-row θ aggregate
+    cross-joins in, and one final aggregate counts every expression —
+    all driver-light, nothing proportional to the original data."""
+    c_lit = float(1000 * _KMV_M)
+    sa = a.agg(
+        F.count("hv").alias("ka"), F.coalesce(F.max("hv"), F.lit(0)).alias("ma")
+    )
+    sb = b.agg(
+        F.count("hv").alias("kb"), F.coalesce(F.max("hv"), F.lit(0)).alias("mb")
+    )
+    st = sa.crossJoin(sb).select(
+        F.least(
+            F.when(F.col("ka") >= k, F.col("ma")).otherwise(F.lit(_KMV_M)),
+            F.when(F.col("kb") >= k, F.col("mb")).otherwise(F.lit(_KMV_M)),
+        ).alias("theta")
+    )
+    tagged = (
+        a.select("hv", F.lit(1).alias("in_a"), F.lit(0).alias("in_b"))
+        .unionByName(
+            b.select("hv", F.lit(0).alias("in_a"), F.lit(1).alias("in_b"))
+        )
+        .groupBy("hv")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    cnt = (
+        tagged.crossJoin(F.broadcast(st))
+        .where(F.col("hv") < F.col("theta"))
+        .groupBy("theta")
+        .agg(
+            F.coalesce(F.sum("in_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.sum("in_b"), F.lit(0)).alias("n_b"),
+            F.coalesce(F.sum(F.col("in_a") * F.col("in_b")), F.lit(0)).alias(
+                "n_inter"
+            ),
+        )
+    )
+    # degenerate both-empty case: tagged is empty, the groupBy above
+    # yields no row — re-anchor on the θ row so the output is always
+    # exactly one row with zero counts
+    cnt = st.join(cnt, "theta", "left").select(
+        "theta",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+    )
+
+    def est(count_col, name: str):  # noqa: ANN001
+        return (
+            F.floor(
+                (F.lit(c_lit) * count_col)
+                / F.col("theta").cast("double")
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias(name)
+        )
+
+    return cnt.select(
+        "theta",
+        "n_a",
+        "n_b",
+        "n_inter",
+        est(F.col("n_a"), "a_est_milli"),
+        est(F.col("n_b"), "b_est_milli"),
+        est(F.col("n_a") + F.col("n_b") - F.col("n_inter"), "union_est_milli"),
+        est(F.col("n_inter"), "inter_est_milli"),
+        est(F.col("n_a") - F.col("n_inter"), "a_not_b_est_milli"),
+        est(F.col("n_b") - F.col("n_inter"), "b_not_a_est_milli"),
+    )

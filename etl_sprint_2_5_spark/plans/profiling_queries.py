@@ -1439,3 +1439,153 @@ def cms_join_size_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, table="customer", key_col="c_custkey", width=w, depth=d
     )
     return cms_inner_product(sa, sb, depth=d)
+
+
+def _kmv_churn_oracle(k: int) -> str:
+    from etl_sprint_2_5_spark.operators.sketch import _KMV_M
+
+    c_lit = float(1000 * _KMV_M)
+
+    def sample(pred: str) -> str:
+        return f"""
+        SELECT hv FROM (
+          SELECT DISTINCT ('0x' || substr(md5('kmv-v1:' ||
+                 CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+          FROM wk, bounds WHERE {pred}
+        ) ORDER BY hv LIMIT {k}"""
+
+    def est(n: str, name: str) -> str:
+        return (
+            f"CAST(floor(({c_lit!r} * ({n})) / CAST(theta AS DOUBLE) "
+            f"+ 0.5e0) AS BIGINT) AS {name}"
+        )
+
+    return f"""
+    WITH wk AS (
+      SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               // 7 AS week_num,
+             user_id
+      FROM events
+    ),
+    bounds AS (SELECT min(week_num) AS w0 FROM wk),
+    ha AS ({sample('week_num = w0')}),
+    hb AS ({sample('week_num = w0 + 1')}),
+    st AS (
+      SELECT least(
+        CASE WHEN (SELECT count(*) FROM ha) >= {k}
+             THEN (SELECT max(hv) FROM ha) ELSE {_KMV_M} END,
+        CASE WHEN (SELECT count(*) FROM hb) >= {k}
+             THEN (SELECT max(hv) FROM hb) ELSE {_KMV_M} END) AS theta
+    ),
+    tagged AS (
+      SELECT hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT hv, 1 AS in_a, 0 AS in_b FROM ha
+        UNION ALL SELECT hv, 0 AS in_a, 1 AS in_b FROM hb
+      ) GROUP BY hv
+    ),
+    cnt AS (
+      SELECT coalesce(sum(in_a), 0) AS n_a,
+             coalesce(sum(in_b), 0) AS n_b,
+             coalesce(sum(in_a * in_b), 0) AS n_inter
+      FROM tagged, st WHERE hv < theta
+    ),
+    ua AS (SELECT DISTINCT user_id FROM wk, bounds WHERE week_num = w0),
+    ub AS (SELECT DISTINCT user_id FROM wk, bounds WHERE week_num = w0 + 1),
+    ex AS (
+      SELECT
+        (SELECT count(*) FROM (SELECT * FROM ua EXCEPT SELECT * FROM ub))
+          AS exact_churned,
+        (SELECT count(*) FROM (SELECT * FROM ub EXCEPT SELECT * FROM ua))
+          AS exact_new,
+        (SELECT count(*) FROM (SELECT * FROM ua INTERSECT SELECT * FROM ub))
+          AS exact_retained
+    )
+    SELECT theta,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           {est('n_a - n_inter', 'churned_est_milli')},
+           {est('n_b - n_inter', 'new_est_milli')},
+           {est('n_inter', 'retained_est_milli')},
+           exact_churned, exact_new, exact_retained
+    FROM st, cnt, ex
+    """
+
+
+_KMV_K = 256
+
+
+@query(
+    "kmv_weekly_churn",
+    oracle=_kmv_churn_oracle(_KMV_K),
+    covers=("X-sketch-kmv",),
+)
+def kmv_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn by KMV/theta set algebra — the distinct
+    DIFFERENCE estimator the HLL family cannot express (registers only
+    merge by max: union yes, A\\B no). Two bottom-k sketches of the
+    first two weeks' active users; churned = A\\B, new = B\\A,
+    retained = A∩B, all counted on the uniform below-θ samples and
+    scaled by M/θ (operators/sketch.kmv_set_estimates). The sample is
+    deterministic salted-md5 bottom-k, so the DuckDB oracle rebuilds
+    it HASH-FOR-HASH and the gate pins sample counts AND fixed-point
+    estimates; the exact EXCEPT/INTERSECT audits ride along. Small
+    weeks degrade gracefully to exact mode (θ = M, scale 1) — at
+    sf0.01 the weekly actives sit near k so both regimes are
+    exercised across the gate's scale factors.
+
+    Scale shape: each sketch is one map-side-partial distinct plus a
+    TakeOrdered bottom-k (every partition forwards ≤ k hashes);
+    the set algebra runs on two ≤ k-row samples — the pair of
+    EXCEPT/INTERSECT distinct shuffles it replaces is the audit."""
+    from etl_sprint_2_5_spark.operators.sketch import (
+        kmv_build,
+        kmv_set_estimates,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    wk = ev.select(
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000 div 7")
+        .cast("long")
+        .alias("week_num"),
+        "user_id",
+    )
+    bounds = wk.agg(F.min("week_num").alias("w0"))
+    wa = wk.join(F.broadcast(bounds)).where(
+        F.col("week_num") == F.col("w0")
+    )
+    wb = wk.join(F.broadcast(bounds)).where(
+        F.col("week_num") == F.col("w0") + 1
+    )
+    est = kmv_set_estimates(
+        kmv_build(wa, "user_id", k=_KMV_K),
+        kmv_build(wb, "user_id", k=_KMV_K),
+        k=_KMV_K,
+    )
+    ua, ub = wa.select("user_id").distinct(), wb.select("user_id").distinct()
+    exact = (
+        ua.join(ub, "user_id", "left_anti")
+        .agg(F.count(F.lit(1)).alias("exact_churned"))
+        .crossJoin(
+            ub.join(ua, "user_id", "left_anti").agg(
+                F.count(F.lit(1)).alias("exact_new")
+            )
+        )
+        .crossJoin(
+            ua.join(ub, "user_id", "left_semi").agg(
+                F.count(F.lit(1)).alias("exact_retained")
+            )
+        )
+    )
+    return est.crossJoin(exact).select(
+        "theta",
+        "n_a",
+        "n_b",
+        "n_inter",
+        F.col("a_not_b_est_milli").alias("churned_est_milli"),
+        F.col("b_not_a_est_milli").alias("new_est_milli"),
+        F.col("inter_est_milli").alias("retained_est_milli"),
+        "exact_churned",
+        "exact_new",
+        "exact_retained",
+    )

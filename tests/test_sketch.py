@@ -281,3 +281,82 @@ def test_dd_bucket_roundtrip_contains_value(spark):
         assert lower <= v < lower + width, (v, bid, lower, width)
         # width ≤ lower/4 ⇒ midpoint error ≤ width/2/lower ≤ 12.5%
         assert width * 4 <= lower or bid < 4, (v, bid)
+
+
+# --- KMV / theta sketch (set algebra) ----------------------------------
+
+from etl_sprint_2_5_spark.operators.sketch import (  # noqa: E402
+    _KMV_M,
+    kmv_build,
+    kmv_merge,
+    kmv_set_estimates,
+)
+
+
+def _keys(spark, n, off=0):
+    return spark.range(off, off + n).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k")
+    )
+
+
+def test_kmv_merge_equals_direct_build(spark):
+    """Bottom-k of two bottom-k samples == bottom-k of the union —
+    exact hash-for-hash (the partial-aggregate property)."""
+    a, b = _keys(spark, 5_000), _keys(spark, 5_000, off=2_500)
+    m = sorted(r.hv for r in kmv_merge(
+        kmv_build(a, "k", 128), kmv_build(b, "k", 128), 128).collect())
+    d = sorted(r.hv for r in kmv_build(a.unionByName(b), "k", 128).collect())
+    assert m == d and len(m) == 128
+
+
+def test_kmv_set_estimates_error_bound(spark):
+    """20k/15k sets with 10k overlap, k=256: every estimate within
+    4/sqrt(k) = 25% of truth (deterministic hashes — not flaky)."""
+    a, b = _keys(spark, 20_000), _keys(spark, 15_000, off=10_000)
+    r = kmv_set_estimates(
+        kmv_build(a, "k", 256), kmv_build(b, "k", 256), k=256
+    ).collect()[0]
+    for est, true in [
+        (r.a_est_milli, 20_000), (r.b_est_milli, 15_000),
+        (r.union_est_milli, 25_000), (r.inter_est_milli, 10_000),
+        (r.a_not_b_est_milli, 10_000), (r.b_not_a_est_milli, 5_000),
+    ]:
+        assert abs(est / 1e3 / true - 1.0) < 0.25, (est, true)
+
+
+def test_kmv_exact_mode_below_k(spark):
+    """Sets smaller than k: θ = M and every estimate is EXACT."""
+    a, b = _keys(spark, 100), _keys(spark, 80, off=50)
+    r = kmv_set_estimates(kmv_build(a, "k"), kmv_build(b, "k")).collect()[0]
+    assert r.theta == _KMV_M
+    assert (r.a_est_milli, r.b_est_milli) == (100_000, 80_000)
+    assert (r.inter_est_milli, r.a_not_b_est_milli, r.b_not_a_est_milli) == (
+        50_000, 50_000, 30_000)
+
+
+def test_kmv_disjoint_and_identical(spark):
+    """Disjoint sets: intersection estimates 0; identical sets: the
+    differences estimate 0 and A==B==A∩B (sample-level identities that
+    hold EXACTLY, not just in expectation, because both sketches see
+    the same hashes)."""
+    a = _keys(spark, 10_000)
+    b = _keys(spark, 10_000, off=50_000)
+    r = kmv_set_estimates(
+        kmv_build(a, "k", 128), kmv_build(b, "k", 128), k=128
+    ).collect()[0]
+    assert r.inter_est_milli == 0 and r.n_inter == 0
+    r2 = kmv_set_estimates(
+        kmv_build(a, "k", 128), kmv_build(a, "k", 128), k=128
+    ).collect()[0]
+    assert r2.a_not_b_est_milli == 0 and r2.b_not_a_est_milli == 0
+    assert r2.a_est_milli == r2.b_est_milli == r2.inter_est_milli
+
+
+def test_kmv_empty_inputs_anchor_row(spark):
+    """Both-empty input still yields exactly one all-zero row (the θ
+    anchor), never an empty frame."""
+    e = spark.createDataFrame([], "k string")
+    rows = kmv_set_estimates(kmv_build(e, "k"), kmv_build(e, "k")).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.theta == _KMV_M and r.a_est_milli == 0 and r.union_est_milli == 0

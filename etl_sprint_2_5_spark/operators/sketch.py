@@ -568,3 +568,34 @@ def kmv_set_estimates(
         est(F.col("n_a") - F.col("n_inter"), "a_not_b_est_milli"),
         est(F.col("n_b") - F.col("n_inter"), "b_not_a_est_milli"),
     )
+
+
+def kmv_estimate(
+    sample: DataFrame, k: int = 256, name: str = "est_milli"
+) -> DataFrame:
+    """Single-set cardinality from one KMV sample: θ = kth smallest
+    (the sample max) in estimation mode, M in exact mode; survivors
+    strictly below θ are k−1 (the θ hash itself is excluded) or the
+    whole sample respectively — the classic (k−1)·M/θ_k unbiased KMV
+    estimator, expressed with the same one-division fixed-point rule
+    as kmv_set_estimates. One row: (n_sample, theta, <name>)."""
+    c_lit = float(1000 * _KMV_M)
+    st = sample.agg(
+        F.count("hv").alias("n_sample"),
+        F.coalesce(F.max("hv"), F.lit(_KMV_M)).alias("mx"),
+    )
+    theta = F.when(F.col("n_sample") >= k, F.col("mx")).otherwise(
+        F.lit(_KMV_M)
+    )
+    survivors = F.when(
+        F.col("n_sample") >= k, F.col("n_sample") - 1
+    ).otherwise(F.col("n_sample"))
+    return st.select(
+        "n_sample",
+        theta.alias("theta"),
+        F.floor(
+            (F.lit(c_lit) * survivors) / theta.cast("double") + F.lit(0.5)
+        )
+        .cast("long")
+        .alias(name),
+    )

@@ -16,7 +16,7 @@ from etl_sprint_2_5_spark.operators.profile import (
     k_anonymity_audit,
     profile_columns,
 )
-from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.plans.registry import materialize_release, query
 from etl_sprint_2_5_spark.sources.parquet import load_table
 
 _ORDER_COLS = (
@@ -1589,3 +1589,128 @@ def kmv_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_new",
         "exact_retained",
     )
+
+
+def _kmv_slice_oracle(k: int) -> str:
+    from etl_sprint_2_5_spark.operators.sketch import _KMV_M
+
+    c_lit = float(1000 * _KMV_M)
+
+    def sample(pred: str) -> str:
+        return f"""
+        SELECT hv FROM (
+          SELECT DISTINCT ('0x' || substr(md5('kmv-v1:' ||
+                 CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+          FROM events WHERE {pred}
+        ) ORDER BY hv LIMIT {k}"""
+
+    def est(cte: str, name: str) -> str:
+        return f"""
+        SELECT CAST(n_sample AS BIGINT) AS n_sample, theta,
+               CAST(floor(({c_lit!r} * (CASE WHEN n_sample >= {k}
+                     THEN n_sample - 1 ELSE n_sample END))
+                    / CAST(theta AS DOUBLE) + 0.5e0) AS BIGINT) AS {name}
+        FROM (
+          SELECT count(*) AS n_sample,
+                 CASE WHEN count(*) >= {k} THEN max(hv)
+                      ELSE {_KMV_M} END AS theta
+          FROM {cte}
+        )"""
+
+    return f"""
+    WITH h0 AS ({sample('event_id % 2 = 0')}),
+    h1 AS ({sample('event_id % 2 = 1')}),
+    merged AS (
+      SELECT hv FROM (SELECT hv FROM h0 UNION SELECT hv FROM h1)
+      ORDER BY hv LIMIT {k}
+    ),
+    direct AS ({sample('TRUE')}),
+    e0 AS ({est('h0', 's0_est_milli')}),
+    e1 AS ({est('h1', 's1_est_milli')}),
+    em AS ({est('merged', 'union_est_milli')}),
+    eq AS (
+      SELECT ((SELECT count(*) FROM
+                 (SELECT hv FROM merged EXCEPT SELECT hv FROM direct)) = 0
+          AND (SELECT count(*) FROM
+                 (SELECT hv FROM direct EXCEPT SELECT hv FROM merged)) = 0)
+             AS merged_equals_direct
+    ),
+    ex AS (SELECT count(DISTINCT user_id) AS exact_union FROM events)
+    SELECT e0.n_sample AS k_s0, e1.n_sample AS k_s1,
+           em.n_sample AS k_merged, eq.merged_equals_direct,
+           e0.s0_est_milli, e1.s1_est_milli, em.union_est_milli,
+           ex.exact_union
+    FROM e0, e1, em, eq, ex
+    """
+
+
+@query(
+    "kmv_sliced_merge",
+    oracle=_kmv_slice_oracle(_KMV_K),
+    covers=("X-sketch-kmv-merge",),
+)
+def kmv_sliced_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV mergeability under the gate (the theta-sketch fold that
+    lets per-day/per-slice bottom-k samples answer any date-range
+    distinct): sketch two disjoint row-slices of the event stream
+    (event_id parity — the stand-in for partitions of a 100 TB scan),
+    MERGE by bottom-k of the union, and gate that the merged sample
+    is HASH-FOR-HASH the sketch of the union (merged_equals_direct,
+    via two EXCEPTs over the actual sample hashes — an element-level
+    identity, not an estimate tolerance). Slice and union estimates
+    ride along (merge is NOT addition: users active in both halves
+    count once); exact_union is the audit. Companion to
+    hll_sliced_merge — same fold property, and THIS sketch's samples
+    additionally support the set differences kmv_weekly_churn uses."""
+    from etl_sprint_2_5_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_merge,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    s0 = kmv_build(ev.where(F.col("event_id") % 2 == 0), "user_id", _KMV_K)
+    s1 = kmv_build(ev.where(F.col("event_id") % 2 == 1), "user_id", _KMV_K)
+    merged = kmv_merge(s0, s1, _KMV_K).cache()
+    direct = kmv_build(ev, "user_id", _KMV_K)
+    eq = (
+        merged.join(direct, "hv", "left_anti")
+        .agg(F.count(F.lit(1)).alias("d1"))
+        .crossJoin(
+            direct.join(merged, "hv", "left_anti").agg(
+                F.count(F.lit(1)).alias("d2")
+            )
+        )
+        .select(
+            ((F.col("d1") == 0) & (F.col("d2") == 0)).alias(
+                "merged_equals_direct"
+            )
+        )
+    )
+    e0 = kmv_estimate(s0, _KMV_K, "s0_est_milli").select(
+        F.col("n_sample").alias("k_s0"), "s0_est_milli"
+    )
+    e1 = kmv_estimate(s1, _KMV_K, "s1_est_milli").select(
+        F.col("n_sample").alias("k_s1"), "s1_est_milli"
+    )
+    em = kmv_estimate(merged, _KMV_K, "union_est_milli").select(
+        F.col("n_sample").alias("k_merged"), "union_est_milli"
+    )
+    ex = ev.agg(F.countDistinct("user_id").alias("exact_union"))
+    out = (
+        e0.crossJoin(e1)
+        .crossJoin(em)
+        .crossJoin(eq)
+        .crossJoin(ex)
+        .select(
+            "k_s0",
+            "k_s1",
+            "k_merged",
+            "merged_equals_direct",
+            "s0_est_milli",
+            "s1_est_milli",
+            "union_est_milli",
+            "exact_union",
+        )
+    )
+    return materialize_release(out, merged)

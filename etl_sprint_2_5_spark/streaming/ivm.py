@@ -299,8 +299,11 @@ def _recover_agg_state(path: str) -> None:
     GROUP-CARDINALITY-sized (thousands of rows, one small directory),
     so the whole-state rewrite the swap implies is already the cheap
     path, there is nothing to bucket-prune, and the heal covers every
-    crash window. On an object store the same ledger rides the
-    manifest sink unchanged (the ledger becomes a manifest field)."""
+    crash window. Contract: the swap depends on POSIX rename atomicity
+    — this ledger layout is for real filesystems ONLY. On an object
+    store the same ledger rides the manifest sink unchanged (the
+    ledger becomes a manifest field; see sink.py's module docstring
+    for the routing rule)."""
     import os
     import shutil
 

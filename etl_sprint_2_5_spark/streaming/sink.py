@@ -7,11 +7,26 @@ equivalent is upsert-by-key: replace existing rows sharing a key with
 the incoming batch, keep the rest. Re-delivering the same batch is a
 no-op — which is what makes commit-AFTER-sink safe.
 
-Local implementation: read-old → anti-join on incoming keys → union →
-atomic directory swap. On a real cluster this is a Delta/Iceberg
-``MERGE INTO`` (file-level rewrite pruned by key stats) or the
-es-hadoop connector's ``es.mapping.id`` upsert — the call shape here
-is the same, swap the one function.
+Two sinks live here with DIFFERENT storage contracts:
+
+- ``upsert_keyed_parquet`` — read-old → anti-join on incoming keys →
+  union → atomic directory swap. The swap leans on POSIX rename
+  atomicity, which is fine for SMALL single-directory views on a real
+  filesystem (and for the IVM agg-state ledger, same contract) but is
+  NOT object-store-safe: S3/GCS "rename" is copy-then-delete. For any
+  object-store deployment — or any view big enough that a full rewrite
+  per batch hurts — use the manifest-committed bucketed sink below
+  (``upsert_keyed_parquet_bucketed``), whose single commit point is an
+  object-PUT-shaped compare-and-swap and whose rewrite cost is
+  proportional to the touched buckets, not the view.
+- ``upsert_keyed_parquet_bucketed`` — the Iceberg/Delta commit idea on
+  plain parquet (see the block comment further down): immutable
+  per-commit data dirs + versioned checksummed manifests, CAS publish,
+  incremental GC, time travel. This is the 100-TB path.
+
+On a real cluster the call shape is a Delta/Iceberg ``MERGE INTO``
+(file-level rewrite pruned by key stats) or the es-hadoop connector's
+``es.mapping.id`` upsert — swap the one function.
 """
 
 from __future__ import annotations
@@ -21,6 +36,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -165,6 +181,19 @@ def _manifest_checksum(doc: dict) -> str:
     ).hexdigest()
 
 
+def _load_manifest_file(fp: str) -> dict | None:
+    """Load ONE manifest file iff it parses and checksums clean; a torn
+    file (non-atomic rename/PUT crashed mid-copy) returns None."""
+    try:
+        with open(fp) as f:
+            doc = json.load(f)
+    except (json.JSONDecodeError, OSError, UnicodeDecodeError):
+        return None
+    if doc.get("checksum") == _manifest_checksum(doc):
+        return doc
+    return None
+
+
 def load_manifest(path: str, version: int | None = None) -> dict | None:
     """Resolve a committed state: the highest-version manifest that
     parses AND checksums clean — or, with ``version``, exactly that
@@ -181,12 +210,8 @@ def load_manifest(path: str, version: int | None = None) -> dict | None:
     if version is not None:
         names = [n for n in names if int(_MANIFEST_RE.match(n)[1]) == version]
     for n in names:
-        try:
-            with open(os.path.join(mdir, n)) as f:
-                doc = json.load(f)
-        except (json.JSONDecodeError, OSError, UnicodeDecodeError):
-            continue
-        if doc.get("checksum") == _manifest_checksum(doc):
+        doc = _load_manifest_file(os.path.join(mdir, n))
+        if doc is not None:
             return doc
     return None
 
@@ -206,73 +231,203 @@ def _cas_create(src: str, dst: str) -> bool:
         return False
 
 
-def _publish_manifest(path: str, doc: dict) -> bool:
+def _publish_manifest(path: str, doc: dict) -> int | None:
     """Publish a new manifest version: write to a hidden tmp name,
     fsync, then create-exclusive at the final versioned name (the
-    CAS). Returns False if that version number was already published
-    by a concurrent writer — the caller re-merges against the newer
-    manifest. Atomicity of the create is NOT a correctness dependence
-    for readers: if a torn write leaves a partial file at the final
-    name (object-store PUT dying midway), it fails the checksum in
-    load_manifest and the previous version still wins; the torn file
-    is replaced on the publisher's retry of the NEXT version or swept
-    with its version by GC."""
+    CAS). Returns the PUBLISHED version number, or None if a committed
+    manifest already holds the requested version — a concurrent writer
+    won; the caller re-merges against the newer manifest.
+
+    A TORN file at the requested version (a crashed non-atomic
+    publish, detected via checksum) is garbage, not a competing
+    commit — but its name is never reclaimed by delete-then-relink:
+    check-then-remove is a TOCTOU window in which a concurrent
+    redelivery could publish a GOOD manifest at that name between our
+    check and our remove, and the remove would silently delete a
+    committed manifest (a lost update — exactly what the CAS exists to
+    prevent). Instead the publisher BUMPS past the torn name and
+    publishes at the next free version: readers take the highest
+    version that checksums clean, so a good v+1 always beats torn v,
+    and the torn file ages out of the retention window and is swept by
+    GC. Version numbers are monotonic, not dense — nothing depends on
+    density. Atomicity of the create is likewise NOT a correctness
+    dependence for readers: a torn write at the final name fails the
+    checksum in load_manifest and the previous version still wins."""
     mdir = os.path.join(path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     doc = dict(doc)
+    v = int(doc["version"])
+    while True:
+        final = os.path.join(mdir, f"manifest-{v:020d}.json")
+        if not os.path.exists(final):
+            break
+        if _load_manifest_file(final) is not None:
+            return None  # committed manifest holds this version — lost
+        v += 1  # torn garbage holds the name — publish past it
+    doc["version"] = v
     doc["checksum"] = _manifest_checksum(doc)
     tmp = os.path.join(mdir, f".tmp-{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         json.dump(doc, f, sort_keys=True)
         f.flush()
         os.fsync(f.fileno())
-    final = os.path.join(mdir, f"manifest-{doc['version']:020d}.json")
-    # a TORN file at this version (crashed non-atomic publish, detected
-    # via checksum) is garbage, not a competing commit — reclaim the
-    # name so redelivery can publish the good version
-    if os.path.exists(final) and load_manifest(path, doc["version"]) is None:
-        try:
-            os.remove(final)
-        except OSError:
-            pass
     won = _cas_create(tmp, final)
     try:
         os.remove(tmp)
     except OSError:
         pass
-    return won
+    return v if won else None
 
 
-def _gc_unreferenced(path: str, current: dict, keep_versions: int = 1) -> None:
-    """Sweep everything the just-published manifest supersedes:
-    manifest versions older than the ``keep_versions`` most recent,
-    leftover tmp files, orphan stage dirs (crashed mid-write), and
-    data dirs referenced by NO retained manifest (either replaced by
-    this commit or orphaned by a crash before a previous publish).
+def _gc_unreferenced(
+    path: str,
+    current: dict,
+    keep_versions: int = 2,
+    grace_seconds: float = 0.0,
+) -> None:
+    """INCREMENTAL per-commit GC — O(changed buckets), never a walk of
+    the data tree. The just-published writer already holds every
+    manifest involved, so the dead set is pure set algebra: data dirs
+    referenced by a superseded manifest but by NO retained one. At the
+    docstring's 100-TB sizing (~100k buckets) the old full-tree sweep
+    was ~100k directory LISTs per commit — an object-store LIST storm
+    dwarfing the commit itself; this version's listing cost is ONE
+    LIST of the (small) manifest dir.
+
+    Deletes exactly:
+    - data dirs whose only references are manifests past the retention
+      window (i.e. replaced by retained commits),
+    - manifest files older than the ``keep_versions`` most recent GOOD
+      versions (torn files ride along once the floor passes them).
+
+    Never touches: ``_stage-*`` dirs or ``.tmp-*`` manifests (each
+    writer cleans its OWN; a foreign one is a CONCURRENT writer's
+    in-flight work — sweeping it would break that writer's Spark write
+    or, worse, delete moved-but-unpublished data dirs its imminent
+    commit will reference), and never-referenced orphan data dirs
+    (crashed pre-publish commits, losing CAS attempts). Those are
+    crash leftovers swept by the rare, explicit :func:`vacuum`.
+
+    ``grace_seconds`` is the reader grace window: superseded snapshots
+    are only swept once the OLDEST RETAINED manifest has existed at
+    least that long — so every swept dir has been unreferenced for
+    ≥ grace_seconds and a reader that resolved a manifest just before
+    this commit can finish its scan. (``keep_versions >= 2``, the
+    default, already gives one full commit cycle of grace on top.)
+
     Runs only AFTER a successful publish, so a crash inside GC just
-    leaves garbage for the next commit to sweep — readers are already
-    on the new version. ``keep_versions > 1`` retains older snapshots
-    for time-travel reads (read_bucketed_view(version=...)) — the
-    incremental cost is only the buckets the retained commits
-    rewrote, since untouched buckets share their immutable dirs
-    across versions."""
+    leaves garbage for a later pass — readers are already on the new
+    version. ``keep_versions > 1`` retains older snapshots for
+    time-travel reads (``read_bucketed_view(version=...)``) — the
+    incremental cost is only the buckets the retained commits rewrote,
+    since untouched buckets share their immutable dirs across
+    versions."""
     mdir = os.path.join(path, _MANIFEST_DIR)
-    floor_v = int(current["version"]) - max(1, keep_versions) + 1
-    live: set[str] = set()
-    for n in list(os.listdir(mdir)):
+    docs: dict[int, dict | None] = {}
+    for n in os.listdir(mdir):
         m = _MANIFEST_RE.match(n)
-        if n.startswith(".tmp-") or (m and int(m[1]) < floor_v):
+        if m:
+            docs[int(m[1])] = _load_manifest_file(os.path.join(mdir, n))
+    good = sorted((v for v, d in docs.items() if d is not None), reverse=True)
+    retained = set(good[: max(1, keep_versions)])
+    if not retained:
+        return
+    floor_v = min(retained)
+    if grace_seconds > 0:
+        fp = os.path.join(mdir, f"manifest-{floor_v:020d}.json")
+        try:
+            age = time.time() - os.path.getmtime(fp)
+        except OSError:
+            age = 0.0
+        if age < grace_seconds:
+            return  # snapshots too fresh — a later commit's GC sweeps
+    live: set[str] = set()
+    dead_refs: set[str] = set()
+    for v, doc in docs.items():
+        if doc is None:
+            continue
+        (live if v in retained else dead_refs).update(doc["buckets"].values())
+    for rel in dead_refs - live:
+        shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
+    for v in docs:
+        if v < floor_v:
             try:
-                os.remove(os.path.join(mdir, n))
+                os.remove(os.path.join(mdir, f"manifest-{v:020d}.json"))
             except OSError:
                 pass
-        elif m:
-            doc = load_manifest(path, version=int(m[1]))
-            if doc:
-                live.update(doc["buckets"].values())
-    for n in os.listdir(path):
-        if n.startswith("_stage-"):
-            shutil.rmtree(os.path.join(path, n), ignore_errors=True)
+
+
+def vacuum(
+    path: str, keep_versions: int = 2, grace_seconds: float = 0.0
+) -> dict[str, int]:
+    """Full-sweep maintenance GC — the rare, explicit complement to the
+    per-commit incremental :func:`_gc_unreferenced`. This one DOES walk
+    the whole data tree (O(buckets) directory listings — the reason it
+    is not run per commit), catching what incremental GC deliberately
+    leaves: crash orphans. Run it on a schedule (daily) or after a
+    known crash, like ``VACUUM`` on a Delta table.
+
+    Removes, when older than ``grace_seconds`` (per-item mtime — set
+    the grace WELL above the longest in-flight write so a concurrent
+    writer's live stage dirs and tmp manifests are never swept):
+    - ``_stage-*`` dirs (crashed mid-write),
+    - ``.tmp-*`` manifest files (crashed mid-publish),
+    - manifest files older than the ``keep_versions`` most recent good
+      versions (and any aged torn manifest files),
+    - data dirs referenced by NO retained manifest — crashed
+      pre-publish commits, losing CAS attempts, or dirs a graced
+      incremental pass deferred.
+
+    Returns counts of removed items per category. A view with no
+    committed manifest is left untouched except stage/tmp cleanup."""
+    counts = {"stage": 0, "tmp": 0, "manifests": 0, "data_dirs": 0}
+    now = time.time()
+
+    def _aged(p: str) -> bool:
+        try:
+            return (now - os.path.getmtime(p)) >= grace_seconds
+        except OSError:
+            return False
+
+    if os.path.isdir(path):
+        for n in os.listdir(path):
+            p = os.path.join(path, n)
+            if n.startswith("_stage-") and _aged(p):
+                shutil.rmtree(p, ignore_errors=True)
+                counts["stage"] += 1
+    mdir = os.path.join(path, _MANIFEST_DIR)
+    docs: dict[int, dict | None] = {}
+    if os.path.isdir(mdir):
+        for n in list(os.listdir(mdir)):
+            p = os.path.join(mdir, n)
+            if n.startswith(".tmp-"):
+                if _aged(p):
+                    try:
+                        os.remove(p)
+                        counts["tmp"] += 1
+                    except OSError:
+                        pass
+                continue
+            m = _MANIFEST_RE.match(n)
+            if m:
+                docs[int(m[1])] = _load_manifest_file(p)
+    good = sorted((v for v, d in docs.items() if d is not None), reverse=True)
+    retained = set(good[: max(1, keep_versions)])
+    if not retained:
+        return counts
+    live: set[str] = set()
+    for v in retained:
+        live.update(docs[v]["buckets"].values())
+    floor_v = min(retained)
+    for v in docs:
+        if v < floor_v:
+            fp = os.path.join(mdir, f"manifest-{v:020d}.json")
+            if _aged(fp):
+                try:
+                    os.remove(fp)
+                    counts["manifests"] += 1
+                except OSError:
+                    pass
     droot = os.path.join(path, _DATA_DIR)
     if os.path.isdir(droot):
         for kb_dir in os.listdir(droot):
@@ -281,9 +436,11 @@ def _gc_unreferenced(path: str, current: dict, keep_versions: int = 1) -> None:
                 continue
             for commit_dir in os.listdir(kb_path):
                 rel = f"{_DATA_DIR}/{kb_dir}/{commit_dir}"
-                if rel not in live:
-                    shutil.rmtree(os.path.join(droot, kb_dir, commit_dir),
-                                  ignore_errors=True)
+                p = os.path.join(droot, kb_dir, commit_dir)
+                if rel not in live and _aged(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                    counts["data_dirs"] += 1
+    return counts
 
 
 def upsert_keyed_parquet_bucketed(
@@ -292,7 +449,8 @@ def upsert_keyed_parquet_bucketed(
     path: str,
     key: str,
     n_buckets: int = 16,
-    keep_versions: int = 1,
+    keep_versions: int = 2,
+    gc_grace_seconds: float = 0.0,
 ) -> int:
     """Bucket-pruned keyed upsert with a manifest-based commit — the
     file-level-pruned MERGE shape (what Delta/Iceberg do with file
@@ -352,7 +510,8 @@ def upsert_keyed_parquet_bucketed(
             if not touched:
                 return 0
             n = _commit_touched_buckets(
-                spark, b, touched, path, key, kb_of, nb, man, keep_versions
+                spark, b, touched, path, key, kb_of, nb, man,
+                keep_versions, gc_grace_seconds,
             )
             if n is not None:
                 return n
@@ -373,7 +532,8 @@ def _commit_touched_buckets(
     kb_of,  # noqa: ANN001
     n_buckets: int,
     man: dict | None,
-    keep_versions: int = 1,
+    keep_versions: int = 2,
+    gc_grace_seconds: float = 0.0,
 ) -> int | None:
     buckets: dict[str, str] = dict(man["buckets"]) if man else {}
     existing = [
@@ -416,10 +576,91 @@ def _commit_touched_buckets(
         "n_buckets": n_buckets,
         "buckets": buckets,
     }
-    if not _publish_manifest(path, doc):  # THE commit point (CAS)
+    pub_v = _publish_manifest(path, doc)  # THE commit point (CAS)
+    if pub_v is None:
         return None  # lost to a concurrent writer — caller re-merges
-    _gc_unreferenced(path, doc, keep_versions)
+    doc["version"] = pub_v  # may have bumped past a torn file's name
+    _gc_unreferenced(path, doc, keep_versions, gc_grace_seconds)
     return len(touched)
+
+
+def _is_vanished_file_error(exc: BaseException) -> bool:
+    """True when an action failed because files resolved at read time
+    vanished before/while the scan ran — a concurrent commit's GC swept
+    the snapshot the reader was holding."""
+    s = str(exc)
+    return (
+        "FileNotFoundException" in s
+        or "FILE_NOT_FOUND" in s
+        or "PATH_NOT_FOUND" in s
+        or "does not exist" in s
+    )
+
+
+try:  # classic (JVM) DataFrame — what local[...] sessions produce
+    from pyspark.sql.classic.dataframe import DataFrame as _ClassicDataFrame
+except ImportError:  # pragma: no cover - older/connect-only layouts
+    _ClassicDataFrame = None
+
+
+if _ClassicDataFrame is not None:
+
+    class _ReresolvingView(_ClassicDataFrame):
+        """The reader-side half of the grace-window story: a bucketed
+        view resolves its manifest EAGERLY but scans LAZILY, so a
+        reader that resolved version v while a writer published v+1
+        and GC'd can find v's data dirs deleted at ACTION time. The
+        writer-side half is retention (``keep_versions >= 2`` plus
+        ``gc_grace_seconds``); this class closes the residual window
+        by re-resolving the manifest ONCE and retrying when a direct
+        action dies on vanished files. Transformed plans
+        (``view.filter(...)``) return plain DataFrames and rely on the
+        retention window alone — the retry covers direct actions on
+        the returned view, which is what serving reads do."""
+
+        def __new__(cls, jdf, spark, path, version):
+            # the abstract parent's __new__ hard-dispatches to the plain
+            # classic DataFrame; build the subclass instance directly
+            return object.__new__(cls)
+
+        def __init__(self, jdf, spark, path: str, version: int | None):
+            super().__init__(jdf, spark)
+            self._view_args = (spark, path, version)
+
+        def _reresolve_retry(self, name: str, *args, **kwargs):
+            method = getattr(_ClassicDataFrame, name)
+            try:
+                return method(self, *args, **kwargs)
+            except Exception as e:  # noqa: BLE001 - filtered below
+                if not _is_vanished_file_error(e):
+                    raise
+                fresh = read_bucketed_view(*self._view_args[:2],
+                                           version=self._view_args[2])
+                return method(fresh, *args, **kwargs)
+
+        def collect(self):
+            return self._reresolve_retry("collect")
+
+        def count(self):
+            return self._reresolve_retry("count")
+
+        def take(self, num):
+            return self._reresolve_retry("take", num)
+
+        def head(self, n=None):
+            return self._reresolve_retry("head", n)
+
+        def first(self):
+            return self._reresolve_retry("first")
+
+        def toPandas(self):
+            return self._reresolve_retry("toPandas")
+
+        def toLocalIterator(self, prefetchPartitions=False):
+            return self._reresolve_retry("toLocalIterator", prefetchPartitions)
+
+else:  # pragma: no cover
+    _ReresolvingView = None
 
 
 def read_bucketed_view(
@@ -432,7 +673,12 @@ def read_bucketed_view(
     No heal step: the manifest IS the committed state. Data dirs from
     a crashed uncommitted upsert are simply never referenced, and a
     torn manifest write fails its checksum in load_manifest so the
-    previous version is served — both without touching disk."""
+    previous version is served — both without touching disk.
+
+    The returned DataFrame re-resolves the latest manifest and retries
+    ONCE if a direct action (collect/count/take/toPandas/...) fails on
+    vanished files — the case where a concurrent writer committed and
+    GC'd the snapshot this reader resolved (see _ReresolvingView)."""
     man = load_manifest(path, version=version)
     if man is None or not man["buckets"]:
         raise FileNotFoundError(
@@ -441,4 +687,7 @@ def read_bucketed_view(
             + " — nothing upserted, version GC'd, or the path is wrong"
         )
     dirs = sorted(os.path.join(path, rel) for rel in man["buckets"].values())
-    return spark.read.parquet(*dirs)
+    df = spark.read.parquet(*dirs)
+    if _ReresolvingView is not None and isinstance(df, _ClassicDataFrame):
+        return _ReresolvingView(df._jdf, spark, path, version)
+    return df  # pragma: no cover - non-classic session

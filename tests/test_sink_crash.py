@@ -220,7 +220,9 @@ def test_bucketed_crash_before_manifest_publish(spark, tmp_path, monkeypatch):
     """Crash AFTER the new immutable data dirs are in place but BEFORE
     the manifest publish: the old manifest still names the old dirs,
     so the read serves the pre-upsert state untorn; redelivery then
-    converges, and the successful commit's GC sweeps the orphans."""
+    converges. The orphan dirs were never referenced by ANY manifest,
+    so the per-commit INCREMENTAL GC deliberately leaves them (it
+    never lists the data tree); the explicit vacuum() sweeps them."""
     F, sink = _bucketed_imports()
 
     buck = f"{tmp_path}/buck"
@@ -251,10 +253,12 @@ def test_bucketed_crash_before_manifest_publish(spark, tmp_path, monkeypatch):
     }
     assert all_dirs - live, "expected orphan dirs from the crashed commit"
 
-    # ...redelivery converges and GC sweeps the orphans
+    # ...redelivery converges; vacuum() then sweeps the orphans
     sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", 8)
     got = dict(_rows_of(sink.read_bucketed_view(spark, buck)))
     assert got[5] == -1 and got[6] == -2 and got[7] == 70
+    counts = sink.vacuum(buck, keep_versions=1, grace_seconds=0.0)
+    assert counts["data_dirs"] > 0, "vacuum found no crash orphans"
     man = sink.load_manifest(buck)
     live = set(man["buckets"].values())
     all_dirs = {
@@ -262,7 +266,10 @@ def test_bucketed_crash_before_manifest_publish(spark, tmp_path, monkeypatch):
         for kb in os.listdir(f"{buck}/data")
         for c in os.listdir(f"{buck}/data/{kb}")
     }
-    assert all_dirs == live, "GC left unreferenced data dirs behind"
+    assert all_dirs == live, "vacuum left unreferenced data dirs behind"
+    # and the view still reads clean after the sweep
+    got = dict(_rows_of(sink.read_bucketed_view(spark, buck)))
+    assert got[5] == -1 and got[6] == -2 and got[7] == 70
 
 
 def test_bucketed_torn_manifest_rename_not_atomic(spark, tmp_path, monkeypatch):
@@ -303,9 +310,15 @@ def test_bucketed_torn_manifest_rename_not_atomic(spark, tmp_path, monkeypatch):
     assert sink.load_manifest(buck)["version"] == v_old
     assert _rows_of(sink.read_bucketed_view(spark, buck)) == expect_old
 
-    # redelivery publishes a GOOD v+1... (version numbers may collide
-    # with the torn file's name — the good write replaces it)
+    # redelivery publishes a GOOD manifest. The torn file's NAME is
+    # never reclaimed (check-then-remove would be a TOCTOU that can
+    # delete a competitor's committed manifest) — the publisher bumps
+    # PAST it and readers take the highest version that checksums clean
     sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", 8)
+    assert sink.load_manifest(buck)["version"] == v_old + 2
+    assert os.path.exists(f"{mdir}/manifest-{v_old + 1:020d}.json"), (
+        "torn name must be bumped past, not deleted (TOCTOU)"
+    )
     got = dict(_rows_of(sink.read_bucketed_view(spark, buck)))
     assert got[5] == -1 and got[6] == 60
 
@@ -436,3 +449,183 @@ def test_bucketed_time_travel_reads_retained_versions(spark, tmp_path):
     assert _rows_of(sink.read_bucketed_view(spark, buck, version=2)) == v2_rows
     got = dict(_rows_of(sink.read_bucketed_view(spark, buck)))
     assert got[5] == -1 and got[6] == -2
+
+
+# ------------------------------------------------------------------
+# Round-10 hardening: incremental GC, vacuum, TOCTOU-free publish,
+# reader grace window + re-resolve retry.
+# ------------------------------------------------------------------
+
+
+def test_gc_incremental_never_lists_data_tree(spark, tmp_path, monkeypatch):
+    """The per-commit GC must be O(changed buckets): at the 100-TB
+    sizing (~100k buckets) a full-tree sweep is ~100k object-store
+    LISTs per commit. Instrument os.listdir and assert a commit never
+    lists anything under data/ — only the (small) manifest dir."""
+    F, sink = _bucketed_imports()
+
+    buck = f"{tmp_path}/buck"
+    sink.upsert_keyed_parquet_bucketed(spark, _full_view(spark), buck, "id", 8)
+
+    listed = []
+    real_listdir = os.listdir
+
+    def spying_listdir(p="."):
+        listed.append(str(p))
+        return real_listdir(p)
+
+    monkeypatch.setattr(os, "listdir", spying_listdir)
+    upd = spark.createDataFrame([(5, -1)], "id long, val long")
+    sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", 8)
+    monkeypatch.undo()
+
+    data_lists = [p for p in listed if f"{buck}/data" in p]
+    assert not data_lists, f"commit listed the data tree: {data_lists}"
+    # the superseded bucket's old dir was still swept (set algebra on
+    # the manifests in hand, no listing needed): run to keep_versions=1
+    # depth and verify the replaced dir is gone
+    sink.upsert_keyed_parquet_bucketed(
+        spark, upd, buck, "id", 8, keep_versions=1
+    )
+
+
+def test_gc_spares_foreign_stage_and_tmp(spark, tmp_path):
+    """A CONCURRENT writer's in-flight _stage-* dir and .tmp-* manifest
+    must survive another writer's commit+GC — sweeping them would break
+    the concurrent write or orphan its about-to-be-published data dirs
+    (committed data loss). Only the explicit vacuum() sweeps them, and
+    only past its grace window."""
+    F, sink = _bucketed_imports()
+
+    buck = f"{tmp_path}/buck"
+    sink.upsert_keyed_parquet_bucketed(spark, _full_view(spark), buck, "id", 8)
+
+    foreign_stage = f"{buck}/_stage-feedface0001"
+    os.makedirs(foreign_stage)
+    open(f"{foreign_stage}/part-00000.parquet", "wb").write(b"inflight")
+    foreign_tmp = f"{buck}/_manifests/.tmp-feedface0001"
+    open(foreign_tmp, "w").write("{}")
+
+    upd = spark.createDataFrame([(5, -1)], "id long, val long")
+    sink.upsert_keyed_parquet_bucketed(spark, upd, buck, "id", 8)
+
+    assert os.path.isdir(foreign_stage), "commit GC swept a foreign stage dir"
+    assert os.path.exists(foreign_tmp), "commit GC swept a foreign tmp manifest"
+
+    # a graced vacuum (grace >> in-flight write time) also spares them
+    counts = sink.vacuum(buck, grace_seconds=3600)
+    assert os.path.isdir(foreign_stage) and os.path.exists(foreign_tmp)
+    assert counts["stage"] == 0 and counts["tmp"] == 0
+    # an aged sweep (grace elapsed -> the writer is dead) removes them
+    counts = sink.vacuum(buck, grace_seconds=0.0)
+    assert counts["stage"] == 1 and counts["tmp"] == 1
+    assert not os.path.exists(foreign_stage) and not os.path.exists(foreign_tmp)
+
+
+def test_publish_never_overwrites_committed_version(spark, tmp_path):
+    """The CAS contract without the TOCTOU: when a GOOD manifest holds
+    the requested version, _publish_manifest must lose (return None)
+    and leave the committed file byte-identical — never check-then-
+    remove it (the round-9 reclaim could delete a competitor's commit
+    published between the check and the remove)."""
+    F, sink = _bucketed_imports()
+
+    buck = f"{tmp_path}/buck"
+    sink.upsert_keyed_parquet_bucketed(spark, _full_view(spark), buck, "id", 8)
+    man = sink.load_manifest(buck)
+    fp = f"{buck}/_manifests/manifest-{man['version']:020d}.json"
+    before = open(fp, "rb").read()
+
+    rival = {k: v for k, v in man.items() if k != "checksum"}
+    rival["buckets"] = dict(man["buckets"])  # same version, rival content
+    assert sink._publish_manifest(buck, rival) is None
+    assert open(fp, "rb").read() == before, "committed manifest was touched"
+
+    # and a torn file at the requested version is bumped PAST, not
+    # deleted: the publish lands at version+1 with the torn file intact
+    torn_fp = f"{buck}/_manifests/manifest-{man['version'] + 1:020d}.json"
+    open(torn_fp, "w").write('{"version": ')  # torn half-write
+    rival["version"] = man["version"] + 1
+    got_v = sink._publish_manifest(buck, rival)
+    assert got_v == man["version"] + 2
+    assert open(torn_fp).read() == '{"version": ', "torn file was reclaimed"
+    assert sink.load_manifest(buck)["version"] == man["version"] + 2
+
+
+def test_gc_grace_window_defers_sweep(spark, tmp_path):
+    """gc_grace_seconds is the reader grace window: even with
+    keep_versions=1, snapshots superseded more recently than the grace
+    survive the commit's GC (an in-flight reader can finish its scan);
+    once the grace elapses a later commit sweeps them."""
+    F, sink = _bucketed_imports()
+
+    buck = f"{tmp_path}/buck"
+    sink.upsert_keyed_parquet_bucketed(
+        spark, _full_view(spark), buck, "id", 8, keep_versions=1
+    )  # v1
+    v1_rows = _rows_of(sink.read_bucketed_view(spark, buck))
+
+    upd = spark.createDataFrame([(5, -1)], "id long, val long")
+    sink.upsert_keyed_parquet_bucketed(
+        spark, upd, buck, "id", 8, keep_versions=1, gc_grace_seconds=3600
+    )  # v2 — v1 superseded but inside the grace window
+    assert sink.load_manifest(buck, version=1) is not None
+    assert _rows_of(sink.read_bucketed_view(spark, buck, version=1)) == v1_rows
+
+    upd3 = spark.createDataFrame([(6, -2)], "id long, val long")
+    sink.upsert_keyed_parquet_bucketed(
+        spark, upd3, buck, "id", 8, keep_versions=1, gc_grace_seconds=0.0
+    )  # v3 — grace elapsed: v1 and v2 swept
+    assert sink.load_manifest(buck, version=1) is None
+    assert sink.load_manifest(buck, version=2) is None
+    got = dict(_rows_of(sink.read_bucketed_view(spark, buck)))
+    assert got[5] == -1 and got[6] == -2 and len(got) == 200
+
+
+def test_stale_reader_reresolves_after_commit_gc(spark, tmp_path):
+    """The residual reader race: a DataFrame resolved at version v
+    scans lazily; a concurrent writer publishes v+1 and GC sweeps v's
+    replaced dirs (keep_versions=1, no grace) before the reader
+    actions. The returned view must catch the vanished-file failure,
+    re-resolve the LATEST manifest once, and serve the fresh result —
+    not die with FileNotFoundException."""
+    F, sink = _bucketed_imports()
+
+    buck = f"{tmp_path}/buck"
+    sink.upsert_keyed_parquet_bucketed(
+        spark, _full_view(spark), buck, "id", 8, keep_versions=1
+    )
+    stale = sink.read_bucketed_view(spark, buck)  # resolves v1's dirs
+
+    upd = spark.createDataFrame([(5, -1)], "id long, val long")
+    sink.upsert_keyed_parquet_bucketed(
+        spark, upd, buck, "id", 8, keep_versions=1
+    )  # v2 + GC: v1's replaced dir is gone
+
+    got = dict((r.id, r.val) for r in stale.collect())  # re-resolved
+    assert got[5] == -1 and len(got) == 200
+    assert stale.count() == 200
+
+
+def test_stale_pinned_version_read_raises_after_gc(spark, tmp_path):
+    """A version-PINNED stale reader past the retention window must
+    fail loudly (the snapshot is genuinely gone — re-resolving to a
+    different version would silently change query semantics)."""
+    import pytest
+
+    F, sink = _bucketed_imports()
+
+    buck = f"{tmp_path}/buck"
+    sink.upsert_keyed_parquet_bucketed(
+        spark, _full_view(spark), buck, "id", 8, keep_versions=1
+    )
+    pinned = sink.read_bucketed_view(spark, buck, version=1)
+
+    upd = spark.createDataFrame([(5, -1)], "id long, val long")
+    sink.upsert_keyed_parquet_bucketed(
+        spark, upd, buck, "id", 8, keep_versions=1
+    )
+
+    with pytest.raises(Exception) as ei:
+        pinned.collect()
+    assert "version 1" in str(ei.value) or "FileNotFound" in str(ei.value)

@@ -48,6 +48,7 @@ ALGO_VERSION = {
     "hll_day_registers": 1,
     "dd_price_histogram": 1,
     "cms_cells": 1,
+    "kmv_week_samples": 1,
 }
 
 
@@ -582,3 +583,67 @@ def prepared_cms_custkey_cells(
         }
     )
     return _persist_df(spark, "cms_cells", key, inline)
+
+
+def prepared_kmv_week_samples(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    k: int = 256,
+    use_artifact: bool = True,
+) -> DataFrame:
+    """Per-week KMV bottom-k user-hash samples (week_num, hv) over
+    events — the persisted form of kmv_weekly_churn's sketches, same
+    precedent as the HLL day registers: ≤ k rows per week forever,
+    from which ANY week-pair set-algebra question (churn, overlap,
+    union) folds via operators/sketch.kmv_set_estimates WITHOUT
+    rescanning events. The per-week bottom-k of the distinct hash set
+    is exactly kmv_build on that week's slice (the KMV fold property,
+    gated by kmv_sliced_merge), so serving from the artifact is
+    bit-identical to building inline.
+
+    Build shape: one distinct over (week, hash) — map-side partial —
+    then one shuffle on week_num with a per-week sorted row_number
+    filter; each week forwards ≤ k rows. At 100 TB this is the
+    train-once index build; every churn question afterwards reads
+    weeks × k rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.operators.sketch import kmv_hash
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    def inline() -> DataFrame:
+        ev = load_table(spark, "events", sf_dir)
+        wk_hashes = (
+            ev.select(
+                F.expr("unix_micros(date_trunc('day', ts)) div 86400000000")
+                .cast("long")
+                .alias("day_num"),
+                "user_id",
+            )
+            .select(
+                F.expr("day_num div 7").cast("long").alias("week_num"),
+                kmv_hash("user_id").alias("hv"),
+            )
+            .distinct()
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("week_num").orderBy("hv")
+        )
+        return (
+            wk_hashes.withColumn("rn", rn)
+            .where(F.col("rn") <= k)
+            .select("week_num", "hv")
+        )
+
+    if not use_artifact:
+        return inline()
+    key = _key(
+        {
+            "kind": "kmv_week_samples",
+            "fp": table_fingerprint(sf_dir, "events"),
+            "k": k,
+        }
+    )
+    return _persist_df(spark, "kmv_week_samples", key, inline)

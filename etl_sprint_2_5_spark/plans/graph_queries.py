@@ -77,7 +77,9 @@ _MAX_BASKET = 1024
 
 
 def basket_pair_counts(
-    li: DataFrame, max_basket: int = _MAX_BASKET
+    li: DataFrame,
+    max_basket: int = _MAX_BASKET,
+    on_oversize: str = "error",
 ) -> DataFrame:
     """Co-purchase pair counts (u < v, n_tog) from per-order baskets —
     THE shared edge builder for pagerank / label propagation /
@@ -93,20 +95,52 @@ def basket_pair_counts(
     degenerate basket of B parts expands B(B−1)/2 rows in ONE task —
     TPC-H-ish baskets hold ≤ ~7 parts, but at 100 TB one pathological
     order (a bulk-purchasing reseller with 10^5 distinct parts) would
-    emit 5·10^9 pairs from one task, the classic hot-key OOM. Baskets
-    above the cap are DROPPED, not truncated: a basket spanning
-    thousands of distinct parts is a warehouse artifact, not
-    co-purchase evidence — the idf argument, applied to orders. The
-    cap must never bind at gate scale factors (the oracles expand
-    uncapped) — tests/test_scale_patterns.py asserts the observed max
-    basket is orders of magnitude below it at sf0.01."""
+    emit 5·10^9 pairs from one task, the classic hot-key OOM. With
+    ``on_oversize="drop"`` baskets above the cap are DROPPED, not
+    truncated: a basket spanning thousands of distinct parts is a
+    warehouse artifact, not co-purchase evidence — the idf argument,
+    applied to orders.
+
+    The DEFAULT is ``on_oversize="error"``: the gated graph queries'
+    DuckDB oracles expand baskets UNCAPPED, so a silently-binding cap
+    would surface as an opaque value-hash mismatch pointing nowhere.
+    Under "error" a basket over the cap raises in-plan (raise_error on
+    the basket row — zero extra jobs, one JVM-side predicate per
+    basket) naming the cap, the order, and the escape hatch. Headroom
+    at gate SFs is additionally pinned by tests/test_scale_patterns.py
+    (observed max basket orders of magnitude below the cap)."""
     from etl_sprint_2_5_spark.operators.dedup import pairs_within_bucket
 
-    baskets = (
-        li.groupBy("l_orderkey")
-        .agg(F.array_sort(F.collect_set("l_partkey")).alias("parts"))
-        .where(F.size("parts") <= max_basket)
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
     )
+    if on_oversize == "drop":
+        baskets = baskets.where(F.size("parts") <= max_basket)
+    else:
+        # in-plan guard: the value is consumed downstream (pair
+        # expansion), so Catalyst cannot prune the branch away
+        baskets = baskets.select(
+            "l_orderkey",
+            F.when(F.size("parts") <= max_basket, F.col("parts"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit("basket_pair_counts: order "),
+                        F.col("l_orderkey").cast("string"),
+                        F.lit(" has "),
+                        F.size("parts").cast("string"),
+                        F.lit(
+                            f" distinct parts > max_basket={max_basket}; the"
+                            " gated oracles expand uncapped, so a binding cap"
+                            " means divergence — raise max_basket or pass"
+                            " on_oversize='drop' for warehouse-artifact"
+                            " baskets"
+                        ),
+                    )
+                )
+            )
+            .alias("parts"),
+        )
     return (
         baskets.select(
             F.explode(pairs_within_bucket(F.col("parts"))).alias("p")

@@ -1714,3 +1714,107 @@ def kmv_sliced_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return materialize_release(out, merged)
+
+
+def _kmv_churn_served_oracle(k: int) -> str:
+    from etl_sprint_2_5_spark.operators.sketch import _KMV_M
+
+    c_lit = float(1000 * _KMV_M)
+
+    def sample(pred: str) -> str:
+        return f"""
+        SELECT hv FROM (
+          SELECT DISTINCT ('0x' || substr(md5('kmv-v1:' ||
+                 CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+          FROM wk, bounds WHERE {pred}
+        ) ORDER BY hv LIMIT {k}"""
+
+    def est(n: str, name: str) -> str:
+        return (
+            f"CAST(floor(({c_lit!r} * ({n})) / CAST(theta AS DOUBLE) "
+            f"+ 0.5e0) AS BIGINT) AS {name}"
+        )
+
+    return f"""
+    WITH wk AS (
+      SELECT CAST(epoch_us(date_trunc('day', ts)) // 86400000000 AS BIGINT)
+               // 7 AS week_num,
+             user_id
+      FROM events
+    ),
+    bounds AS (SELECT min(week_num) AS w0 FROM wk),
+    ha AS ({sample('week_num = w0')}),
+    hb AS ({sample('week_num = w0 + 1')}),
+    st AS (
+      SELECT least(
+        CASE WHEN (SELECT count(*) FROM ha) >= {k}
+             THEN (SELECT max(hv) FROM ha) ELSE {_KMV_M} END,
+        CASE WHEN (SELECT count(*) FROM hb) >= {k}
+             THEN (SELECT max(hv) FROM hb) ELSE {_KMV_M} END) AS theta
+    ),
+    tagged AS (
+      SELECT hv, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+        SELECT hv, 1 AS in_a, 0 AS in_b FROM ha
+        UNION ALL SELECT hv, 0 AS in_a, 1 AS in_b FROM hb
+      ) GROUP BY hv
+    ),
+    cnt AS (
+      SELECT coalesce(sum(in_a), 0) AS n_a,
+             coalesce(sum(in_b), 0) AS n_b,
+             coalesce(sum(in_a * in_b), 0) AS n_inter
+      FROM tagged, st WHERE hv < theta
+    )
+    SELECT theta,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_inter AS BIGINT) AS n_inter,
+           {est('n_a - n_inter', 'churned_est_milli')},
+           {est('n_b - n_inter', 'new_est_milli')},
+           {est('n_inter', 'retained_est_milli')}
+    FROM st, cnt
+    """
+
+
+@query(
+    "kmv_churn_served",
+    oracle=_kmv_churn_served_oracle(_KMV_K),
+    covers=("X-sketch-kmv-serving",),
+)
+def kmv_churn_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week churn SERVED FROM THE PERSISTED PER-WEEK KMV
+    SAMPLES — the serving twin of kmv_weekly_churn, same precedent as
+    hll_weekly_active_users over the stored day registers: the events
+    fact is NOT rescanned at question time. The artifact
+    (artifacts.prepared_kmv_week_samples) stores bottom-k user-hash
+    samples per week (≤ k rows/week forever); churn, new, and retained
+    estimates fold from two of those ≤ k-row slices via
+    operators/sketch.kmv_set_estimates. The per-week bottom-k IS
+    kmv_build of that week's slice (the fold property kmv_sliced_merge
+    gates), so the served estimates are bit-identical to the inline
+    builder — tests/test_artifacts.py pins prepared == inline, and the
+    DuckDB oracle (which always rebuilds from events) gates the exact
+    fixed-point arithmetic. No exact-audit join here: the builder query
+    keeps the audit; this is the path a 100 TB dashboard calls."""
+    from etl_sprint_2_5_spark.artifacts import prepared_kmv_week_samples
+    from etl_sprint_2_5_spark.operators.sketch import kmv_set_estimates
+
+    sk = prepared_kmv_week_samples(spark, sf_dir, k=_KMV_K)
+    bounds = sk.agg(F.min("week_num").alias("w0"))
+    wa = sk.join(F.broadcast(bounds)).where(
+        F.col("week_num") == F.col("w0")
+    )
+    wb = sk.join(F.broadcast(bounds)).where(
+        F.col("week_num") == F.col("w0") + 1
+    )
+    est = kmv_set_estimates(
+        wa.select("hv"), wb.select("hv"), k=_KMV_K
+    )
+    return est.select(
+        "theta",
+        "n_a",
+        "n_b",
+        "n_inter",
+        F.col("a_not_b_est_milli").alias("churned_est_milli"),
+        F.col("b_not_a_est_milli").alias("new_est_milli"),
+        F.col("inter_est_milli").alias("retained_est_milli"),
+    )

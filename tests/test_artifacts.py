@@ -288,3 +288,34 @@ def test_hll_day_registers_artifact_reused_not_rebuilt(
     monkeypatch.setattr(sk, "hll_build", boom)
     again = A.prepared_hll_day_registers(spark, SF_DIR)
     assert again.count() > 0
+
+
+def test_kmv_week_samples_prepared_equals_inline(spark, artifact_dir):
+    """The persisted per-week KMV bottom-k samples are BIT-IDENTICAL
+    to an inline build (salted-md5 + deterministic bottom-k), and the
+    per-week slice IS kmv_build of that week — the fold property that
+    lets kmv_churn_served skip the events rescan while its oracle
+    rebuilds inline and still gates hash-for-hash."""
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.operators.sketch import kmv_build
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    inline = A.prepared_kmv_week_samples(spark, SF_DIR, use_artifact=False)
+    prepared = A.prepared_kmv_week_samples(spark, SF_DIR)
+    rows = lambda df: sorted(  # noqa: E731
+        (r["week_num"], r["hv"]) for r in df.collect()
+    )
+    assert rows(prepared) == rows(inline) and rows(inline)
+    assert list(artifact_dir.glob("kmv_week_samples-*"))
+
+    # one stored week slice == kmv_build on that week's event slice
+    w0 = min(w for w, _ in rows(prepared))
+    ev = load_table(spark, "events", SF_DIR)
+    wk0 = ev.where(
+        F.expr("unix_micros(date_trunc('day', ts)) div 86400000000 div 7")
+        == F.lit(w0)
+    )
+    direct = sorted(r["hv"] for r in kmv_build(wk0, "user_id").collect())
+    stored = [hv for w, hv in rows(prepared) if w == w0]
+    assert stored == direct

@@ -498,6 +498,27 @@ def test_basket_pair_cap_drops_degenerate_basket(spark):
 
     rows = [(1, 1000 + p) for p in range(5)] + [(2, p) for p in range(100)]
     li = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
-    out = basket_pair_counts(li, max_basket=10)
+    out = basket_pair_counts(li, max_basket=10, on_oversize="drop")
     assert out.count() == 5 * 4 // 2  # only basket 1's pairs
-    assert basket_pair_counts(li, max_basket=100).count() == 10 + 100 * 99 // 2
+    assert (
+        basket_pair_counts(li, max_basket=100, on_oversize="drop").count()
+        == 10 + 100 * 99 // 2
+    )
+
+
+def test_basket_pair_cap_binds_loudly_not_silently(spark):
+    """A BINDING cap must fail in-plan with a message naming the cap
+    and the escape hatch — the gated oracles expand baskets uncapped,
+    so silent dropping would surface as an opaque hash mismatch.
+    on_oversize='drop' keeps the documented 100-TB drop semantics."""
+    import pytest
+
+    from etl_sprint_2_5_spark.plans.graph_queries import basket_pair_counts
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    li = load_table(spark, "lineitem", SF_SMOKE)
+    with pytest.raises(Exception, match="max_basket=2"):
+        basket_pair_counts(li, max_basket=2).count()
+    # drop mode: oversize baskets silently excluded, query completes
+    dropped = basket_pair_counts(li, max_basket=2, on_oversize="drop")
+    assert dropped.count() >= 0

@@ -36,14 +36,20 @@ def _is_pass(row: dict) -> bool:
     )
 
 
-def sample_history() -> tuple[set[str], set[str]]:
-    """(ever_sampled, last_row_failed): queries whose most RECENT
-    driver row (highest round number) was a FAIL go right after the
-    never-sampled block so the public record gets corrected — an old
-    FAIL predating a fix stays on the books forever if re-draws never
-    reach it."""
+def sample_history() -> tuple[set[str], set[str], dict[str, int]]:
+    """(ever_sampled, last_row_failed, last_green_round).
+
+    Queries whose most RECENT driver row (highest round number) was a
+    FAIL go right after the never-sampled block so the public record
+    gets corrected — an old FAIL predating a fix stays on the books
+    forever if re-draws never reach it. ``last_green_round`` drives
+    STALENESS ROTATION of the green block: the driver samples only the
+    head of the file each round, so without rotation a query last
+    proven in r02 can go unrefreshed indefinitely; ordering greens by
+    ascending last-green round re-proves the stalest rows first."""
     seen: set[str] = set()
     last: dict[str, tuple[int, bool]] = {}
+    last_green: dict[str, int] = {}
     for f in glob.glob(str(REPO / "CORRECTNESS_r*.json")):
         try:
             rnd = int(Path(f).stem.rsplit("_r", 1)[-1])
@@ -55,25 +61,32 @@ def sample_history() -> tuple[set[str], set[str]]:
             ok = _is_pass(row) if isinstance(row, dict) else bool(row)
             if name not in last or rnd > last[name][0]:
                 last[name] = (rnd, ok)
+            if ok:
+                last_green[name] = max(last_green.get(name, 0), rnd)
     failed = {n for n, (_, ok) in last.items() if not ok}
-    return seen, failed
+    return seen, failed, last_green
 
 
 def main() -> None:
     from etl_sprint_2_5_spark import plans
 
     plans.load_all()
-    seen, failed = sample_history()
+    seen, failed, last_green = sample_history()
     names = list(plans.REGISTRY)
     never = [n for n in names if n not in seen]
     refail = [n for n in names if n in failed]
     rest = [n for n in names if n in seen and n not in failed]
+    # staleness rotation: stalest-proven greens first (registry order
+    # breaks ties deterministically via the stable sort)
+    rest.sort(key=lambda n: last_green.get(n, 0))
     ordered = never + refail + rest
     out = REPO / "QUERY_ORDER.txt"
     out.write_text("\n".join(ordered) + "\n")
+    stale = last_green.get(rest[0], 0) if rest else 0
     print(
         f"wrote {out} ({len(ordered)} names: {len(never)} never-sampled, "
-        f"{len(refail)} last-sample-failed, {len(rest)} green)"
+        f"{len(refail)} last-sample-failed, {len(rest)} green "
+        f"rotated stalest-first, head last proven r{stale:02d})"
     )
 
 

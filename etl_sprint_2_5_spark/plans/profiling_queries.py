@@ -1818,3 +1818,148 @@ def kmv_churn_served(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b_not_a_est_milli").alias("new_est_milli"),
         F.col("inter_est_milli").alias("retained_est_milli"),
     )
+
+
+def _kmv_stream_oracle(k: int) -> str:
+    from etl_sprint_2_5_spark.operators.sketch import _KMV_M
+
+    c_lit = float(1000 * _KMV_M)
+    return f"""
+    WITH direct AS (
+      SELECT hv FROM (
+        SELECT DISTINCT ('0x' || substr(md5('kmv-v1:' ||
+               CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv
+        FROM events
+      ) ORDER BY hv LIMIT {k}
+    ),
+    e AS (
+      SELECT count(*) AS n_sample,
+             CASE WHEN count(*) >= {k} THEN max(hv)
+                  ELSE {_KMV_M} END AS theta
+      FROM direct
+    ),
+    ex AS (SELECT count(DISTINCT user_id) AS exact_distinct FROM events)
+    SELECT CAST(e.n_sample AS BIGINT) AS k_streamed,
+           TRUE AS streamed_equals_direct,
+           CAST(floor(({c_lit!r} * (CASE WHEN e.n_sample >= {k}
+                 THEN e.n_sample - 1 ELSE e.n_sample END))
+                / CAST(e.theta AS DOUBLE) + 0.5e0) AS BIGINT) AS est_milli,
+           ex.exact_distinct
+    FROM e, ex
+    """
+
+
+@query(
+    "streaming_kmv_estimates",
+    oracle=_kmv_stream_oracle(_KMV_K),
+    covers=("X-stream-kmv",),
+)
+def streaming_kmv_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the KMV/theta sketch — completes the
+    bounded-state streaming family (HLL: streaming_hll_estimates,
+    CMS: streaming_cms_estimates, DD: streaming_dd_quantiles). The
+    stream is sharded by hash-partition ``g = hv % P`` and each group
+    maintains its bottom-k distinct-hash sample in the state store via
+    applyInPandasWithState (streaming/stateful.kmv_bottomk_stream):
+    state per group is ≤ k longs FOREVER, and the global sketch is the
+    bottom-k of the union of the group samples — EXACTLY the batch
+    sketch (any hash among the k smallest overall has < k smaller
+    hashes globally, hence < k smaller within its own group — the KMV
+    fold property, partition flavor). The gate pins that identity
+    hash-for-hash (streamed_equals_direct vs the batch kmv_build) plus
+    the fixed-point estimate against the DuckDB oracle's inline
+    rebuild; exact_distinct is the batch-side audit. Two micro-batches
+    (event_id parity, maxFilesPerTrigger=1) force a cross-batch state
+    fold, not a single-trigger pass-through."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.operators.sketch import (
+        kmv_build,
+        kmv_estimate,
+        kmv_hash,
+    )
+    from etl_sprint_2_5_spark.plans.events_queries import _drain_or_raise
+    from etl_sprint_2_5_spark.streaming.stateful import kmv_bottomk_stream
+
+    n_groups = 8
+    ev = load_table(spark, "events", sf_dir).select("event_id", "user_id")
+    tmp = tempfile.mkdtemp(prefix="stream_kmv_")
+    feed = f"{tmp}/feed"
+    for half in (0, 1):
+        ev.where(F.col("event_id") % 2 == half).coalesce(1).write.mode(
+            "append"
+        ).parquet(feed)
+    try:
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        hashed = stream.select(kmv_hash("user_id").alias("hv")).select(
+            F.pmod(F.col("hv"), F.lit(n_groups)).alias("g"), "hv"
+        )
+        sink = f"t_{os.path.basename(tmp)}"
+        q = (
+            kmv_bottomk_stream(hashed, k=_KMV_K)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName(sink)
+            .option("checkpointLocation", f"{tmp}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        _drain_or_raise(q, "streaming_kmv_estimates")
+        from pyspark.sql import Window
+
+        emitted = spark.table(sink)
+        latest = (
+            emitted.withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("g").orderBy(F.col("ver").desc())
+                ),
+            )
+            .where(F.col("rn") == 1)
+        )
+        streamed = (
+            latest.select(F.explode("hvs").alias("hv"))
+            .distinct()
+            .orderBy("hv")
+            .limit(_KMV_K)
+        )
+        direct = kmv_build(ev, "user_id", k=_KMV_K)
+        eq = (
+            streamed.join(direct, "hv", "left_anti")
+            .agg(F.count(F.lit(1)).alias("d1"))
+            .crossJoin(
+                direct.join(streamed, "hv", "left_anti").agg(
+                    F.count(F.lit(1)).alias("d2")
+                )
+            )
+            .select(
+                ((F.col("d1") == 0) & (F.col("d2") == 0)).alias(
+                    "streamed_equals_direct"
+                )
+            )
+        )
+        est = kmv_estimate(streamed, _KMV_K, "est_milli").select(
+            F.col("n_sample").alias("k_streamed"), "est_milli"
+        )
+        ex = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+        out = (
+            est.crossJoin(eq)
+            .crossJoin(ex)
+            .select(
+                "k_streamed",
+                "streamed_equals_direct",
+                "est_milli",
+                "exact_distinct",
+            )
+        )
+        # detach the result from the temp feed before cleanup
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

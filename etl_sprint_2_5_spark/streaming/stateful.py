@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -242,5 +243,60 @@ def attribution_state_stream(events: DataFrame) -> DataFrame:
         outputStructType=ATTRIB_OUTPUT,
         stateStructType=ATTRIB_STATE,
         outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+KMV_OUTPUT = StructType(
+    [
+        StructField("g", LongType()),
+        StructField("ver", LongType()),
+        StructField("hvs", ArrayType(LongType())),
+    ]
+)
+KMV_STATE = StructType(
+    [
+        StructField("ver", LongType()),
+        StructField("hvs", ArrayType(LongType())),
+    ]
+)
+
+
+def _make_kmv_fn(k: int):
+    def _kmv_fn(
+        key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Fold the batch's hashes into the group's bottom-k sample.
+        State per group: ≤ k sorted longs + a version counter — the
+        fixed-memory contract that lets the sketch run on an unbounded
+        stream (an exact distinct would grow state without bound)."""
+        ver, hvs = state.get if state.exists else (0, [])
+        s = set(hvs)
+        for p in pdfs:
+            s.update(int(x) for x in p["hv"])
+        bottom = sorted(s)[:k]
+        ver += 1
+        state.update((ver, bottom))
+        yield pd.DataFrame({"g": [key[0]], "ver": [ver], "hvs": [bottom]})
+
+    return _kmv_fn
+
+
+def kmv_bottomk_stream(hashed: DataFrame, k: int = 256) -> DataFrame:
+    """Streaming KMV/theta sketch: maintain a bottom-k distinct-hash
+    sample per hash-partition group ``g`` (input columns: g, hv). The
+    global sketch is the bottom-k of the union of the group samples —
+    EXACTLY the batch sketch, because any hash among the k smallest
+    overall has fewer than k smaller hashes globally, hence fewer than
+    k smaller within its own group (the KMV fold property, partition
+    flavor). Groups keep the state-store entries small (≤ k longs
+    each) and the fold parallel — the same sharding a 1000-executor
+    cluster would use. Emits (g, ver, hvs) every batch the group sees
+    rows; readers take each group's highest ver."""
+    return hashed.groupBy("g").applyInPandasWithState(
+        _make_kmv_fn(k),
+        outputStructType=KMV_OUTPUT,
+        stateStructType=KMV_STATE,
+        outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

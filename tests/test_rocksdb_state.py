@@ -78,3 +78,27 @@ def test_stateful_twin_green_under_rocksdb(spark, batch_name, stream_name):
         else:
             spark.conf.set(_CONF, prev)
     assert got == want and len(want) > 0
+
+
+def test_kmv_bottomk_stream_green_under_rocksdb(spark):
+    """The 5th kind of streaming state — array-valued bottom-k KMV
+    samples (≤ k longs per group) — under RocksDB: the gated query's
+    own streamed_equals_direct identity doubles as the witness that
+    the fold through the state store is bit-exact."""
+    load_all()
+    prev = spark.conf.get(_CONF, None)
+    spark.conf.set(_CONF, ROCKSDB)
+    try:
+        row = REGISTRY["streaming_kmv_estimates"].fn(spark, SF_SMOKE).collect()
+    except Exception as e:  # noqa: BLE001
+        if "RocksDB" in str(e) or "UnsatisfiedLink" in str(e):
+            pytest.skip(f"RocksDB state store unavailable: {e}")
+        raise
+    finally:
+        if prev is None:
+            spark.conf.unset(_CONF)
+        else:
+            spark.conf.set(_CONF, prev)
+    assert len(row) == 1
+    assert row[0]["streamed_equals_direct"] is True
+    assert row[0]["k_streamed"] > 0

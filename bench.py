@@ -117,6 +117,11 @@ HEADLINE = [
     # KMV/theta set-algebra churn estimator with its exact audit
     "hll_weekly_active_users",
     "kmv_weekly_churn",
+    # round-10 additions: churn served from the persisted per-week KMV
+    # samples (artifact probe path) and the bounded-state streaming
+    # KMV twin (cross-batch state fold through the state store)
+    "kmv_churn_served",
+    "streaming_kmv_estimates",
 ]
 
 
@@ -212,6 +217,7 @@ def main() -> None:
         prepared_fulltext_stats,
         prepared_hll_day_registers,
         prepared_ivf_centroids,
+        prepared_kmv_week_samples,
         prepared_pq_index,
         prepared_shingle_index,
     )
@@ -221,6 +227,7 @@ def main() -> None:
     prepared_ivf_centroids(spark, SF_DIR).count()
     prepared_shingle_index(spark, SF_DIR).count()
     prepared_hll_day_registers(spark, SF_DIR).count()
+    prepared_kmv_week_samples(spark, SF_DIR).count()
     _pq_cb, _pq_codes = prepared_pq_index(spark, SF_DIR)
     _pq_cb.count(), _pq_codes.count()
     prepared_fulltext_stats(

@@ -122,6 +122,12 @@ HEADLINE = [
     # KMV twin (cross-batch state fold through the state store)
     "kmv_churn_served",
     "streaming_kmv_estimates",
+    # round-10 late additions: the manifest sink's time-travel change
+    # feed (two bucketed commits + two snapshot reads + the diff) and
+    # the ORC write→pruned-read roundtrip — both end-to-end I/O paths,
+    # so their cost is dominated by the sink/format machinery itself
+    "manifest_change_feed",
+    "orc_roundtrip_checksum",
 ]
 
 

@@ -1962,3 +1962,161 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "manifest_change_feed",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, n_chars AS payload
+      FROM documents WHERE doc_id % 2 = 0
+    ), batch2 AS (
+      SELECT doc_id, n_chars + 1000 AS payload
+      FROM documents WHERE doc_id % 3 = 0
+    ), v2 AS (
+      SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+             COALESCE(b.payload, a.payload) AS payload
+      FROM v1 a FULL OUTER JOIN batch2 b ON a.doc_id = b.doc_id
+    ), feed AS (
+      SELECT CASE WHEN o.doc_id IS NULL THEN 'insert'
+                  WHEN n.payload <> o.payload THEN 'update'
+                  ELSE 'unchanged' END AS change_type,
+             n.payload AS payload
+      FROM v2 n LEFT OUTER JOIN v1 o ON n.doc_id = o.doc_id
+    )
+    SELECT change_type,
+           count(*) AS n_keys,
+           CAST(sum(payload) AS BIGINT) AS payload_sum
+    FROM feed
+    GROUP BY change_type
+    ORDER BY change_type
+    """,
+    covers=("T3", "T4", "X-sink-change-feed"),
+)
+def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed read off the manifest-committed keyed sink
+    (streaming/sink.py) — the Delta CHANGE_DATA_FEED / Iceberg
+    changelog idea derived purely from retained snapshots: commit v1
+    (docs with even doc_id), commit v2 (an update/insert batch: every
+    doc_id % 3 == 0 with a bumped payload), then TIME-TRAVEL read both
+    versions and outer-join them into the per-key change feed
+    (insert / update / unchanged; the sink is upsert-only so deletes
+    cannot occur). This puts the round-9/10 flagship commit protocol —
+    versioned manifests, keep_versions retention, bucket-pruned merge
+    — under the cross-engine ORACLE gate, not just pytest: a commit
+    that lost rows, a time-travel read that resolved the wrong
+    manifest, or a bucket layout fork would all bend the per-type
+    counts/checksum. At 100 TB the same two snapshot reads are
+    manifest-pruned file listings, never a directory walk, and the
+    diff is one shuffle on the view key. Reference parity: the CDC
+    fan-out contract of postgres_to_es/daemon.py:276-334, re-expressed
+    as snapshot algebra."""
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.streaming.sink import (
+        read_bucketed_view,
+        upsert_keyed_parquet_bucketed,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    v1_batch = d.where(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.col("n_chars").alias("payload")
+    )
+    v2_batch = d.where(F.col("doc_id") % 3 == 0).select(
+        "doc_id", (F.col("n_chars") + F.lit(1000)).alias("payload")
+    )
+
+    tmp = tempfile.mkdtemp(prefix="change_feed_")
+    view = f"{tmp}/docs_view"
+    try:
+        upsert_keyed_parquet_bucketed(
+            spark, v1_batch, view, key="doc_id", n_buckets=8, keep_versions=3
+        )
+        upsert_keyed_parquet_bucketed(
+            spark, v2_batch, view, key="doc_id", n_buckets=8, keep_versions=3
+        )
+
+        old = read_bucketed_view(spark, view, version=1).select(
+            F.col("doc_id").alias("o_id"), F.col("payload").alias("o_payload")
+        )
+        new = read_bucketed_view(spark, view, version=2)
+        feed = new.join(old, new["doc_id"] == old["o_id"], "left_outer").select(
+            F.when(F.col("o_id").isNull(), F.lit("insert"))
+            .when(F.col("payload") != F.col("o_payload"), F.lit("update"))
+            .otherwise(F.lit("unchanged"))
+            .alias("change_type"),
+            "payload",
+        )
+        out = (
+            feed.groupBy("change_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("payload").cast("bigint").alias("payload_sum"),
+            )
+            .orderBy("change_type")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "orc_roundtrip_checksum",
+    oracle="""
+    SELECT l_linestatus AS bucket,
+           count(*)     AS n_rows,
+           count(DISTINCT l_orderkey) AS n_orders,
+           CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS price_cents
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_linestatus
+    ORDER BY bucket
+    """,
+    covers=("X-format-orc",),
+)
+def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a second columnar interchange format (format breadth
+    beyond parquet/CSV/JSONL — the reference's SQLite source has no
+    single canonical lake format, so the engine must not either):
+    lineitem lands as ORC partitioned by l_returnflag, is read back
+    through the ORC reader with a partition predicate, and the gated
+    per-linestatus counts + cents checksum prove the roundtrip bent
+    nothing (types, NULLs, partition-column reconstruction). The
+    read-back filter prunes to the single 'R' partition directory —
+    same partition-pruning contract as the parquet path
+    (partitioned_write_prune) — and ORC carries its own min/max
+    stripe stats so non-partition predicates push down JVM-side too.
+    Spark's ORC support is built-in (no external package), making
+    this the zero-dependency migration path for Hive-era ORC lakes
+    at 100 TB."""
+    import shutil
+    import tempfile
+
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    tmp = tempfile.mkdtemp(prefix="orc_rt_")
+    data = f"{tmp}/data"
+    try:
+        li.write.partitionBy("l_returnflag").mode("overwrite").orc(data)
+        back = spark.read.orc(data).where(F.col("l_returnflag") == "R")
+        out = (
+            back.groupBy(F.col("l_linestatus").alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.countDistinct("l_orderkey").alias("n_orders"),
+                F.sum(
+                    F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                .cast("bigint")
+                .alias("price_cents"),
+            )
+            .orderBy("bucket")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

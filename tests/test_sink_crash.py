@@ -629,3 +629,88 @@ def test_stale_pinned_version_read_raises_after_gc(spark, tmp_path):
     with pytest.raises(Exception) as ei:
         pinned.collect()
     assert "version 1" in str(ei.value) or "FileNotFound" in str(ei.value)
+
+
+def test_bucketed_sink_model_based_op_sequences(spark, tmp_path):
+    """Model-based property test of the manifest sink: hypothesis
+    drives random upsert sequences and the sink must agree, at every
+    retained version, with a plain dict model maintained alongside.
+
+    Each generated example is a sequence of 1-5 upsert batches (dicts,
+    so intra-batch keys are unique — the sink's merge contract).
+    Invariants checked after the sequence:
+    - the latest view equals the model exactly (count AND values);
+    - every retained version's time-travel read equals the model
+      snapshot taken right after that commit — and a version inside
+      the keep_versions window MUST be readable (a FileNotFound there
+      is over-eager GC);
+    - a version read that raises FileNotFoundError is only legal past
+      the retention window (under-retention is the data-loss side);
+    - an explicit vacuum(grace=0) changes NOTHING visible: latest and
+      newest-retained reads are bit-identical after the sweep.
+
+    This generalizes the hand-constructed crash-window tests above:
+    those pin specific torn states; this pins the sink's end-to-end
+    snapshot algebra over arbitrary commit sequences."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_sprint_2_5_spark.streaming import sink
+
+    KEEP = 3
+    keys = st.sampled_from(list("abcdefgh"))
+    batch = st.dictionaries(keys, st.integers(0, 99), min_size=1, max_size=4)
+    seq = st.lists(batch, min_size=1, max_size=5)
+    counter = iter(range(10**6))
+
+    @given(batches=seq)
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    def run(batches):
+        path = str(tmp_path / f"model_view_{next(counter)}")
+        model: dict[str, int] = {}
+        snaps: dict[int, dict[str, int]] = {}
+        for b in batches:
+            df = spark.createDataFrame(
+                sorted(b.items()), "id string, val int"
+            )
+            sink.upsert_keyed_parquet_bucketed(
+                spark, df, path, "id", n_buckets=4, keep_versions=KEEP
+            )
+            model.update(b)
+            snaps[len(snaps) + 1] = dict(model)
+        latest = len(snaps)
+
+        got = dict(_rows_of(sink.read_bucketed_view(spark, path)))
+        assert got == model
+
+        for v, snap in snaps.items():
+            try:
+                at_v = dict(
+                    _rows_of(sink.read_bucketed_view(spark, path, version=v))
+                )
+            except FileNotFoundError:
+                assert v <= latest - KEEP, (
+                    f"version {v} of {latest} GC'd inside keep_versions={KEEP}"
+                )
+                continue
+            assert at_v == snap, f"time-travel read of v{v} diverged"
+
+        sink.vacuum(path, keep_versions=KEEP, grace_seconds=0.0)
+        assert dict(_rows_of(sink.read_bucketed_view(spark, path))) == model
+        newest_retained = max(1, latest - KEEP + 1)
+        assert (
+            dict(
+                _rows_of(
+                    sink.read_bucketed_view(
+                        spark, path, version=newest_retained
+                    )
+                )
+            )
+            == snaps[newest_retained]
+        )
+
+    run()

@@ -128,6 +128,11 @@ HEADLINE = [
     # so their cost is dominated by the sink/format machinery itself
     "manifest_change_feed",
     "orc_roundtrip_checksum",
+    # round-10 second batch: interval-weighted temporal mean (single
+    # user_id shuffle shared by window + agg) and the pseudonym-join
+    # integrity proof (dim broadcast survives pseudonymization)
+    "time_weighted_value",
+    "pseudonym_referential_integrity",
 ]
 
 

@@ -2120,3 +2120,83 @@ def orc_roundtrip_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "time_weighted_value",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             epoch_us(ts) AS t0,
+             epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)) AS t1
+      FROM events
+    ), ivals AS (
+      SELECT user_id, cents, t1 - t0 AS dur_us
+      FROM stepped WHERE t1 IS NOT NULL
+    ), per_user AS (
+      SELECT user_id,
+             count(*) AS n_intervals,
+             CAST(sum(dur_us) AS BIGINT) AS span_us,
+             CAST(sum(cents * dur_us) AS BIGINT) AS wsum
+      FROM ivals
+      GROUP BY user_id
+      HAVING sum(dur_us) > 0
+    )
+    SELECT user_id, n_intervals, span_us,
+           CAST((wsum * 10) // span_us AS BIGINT) AS twap_milli
+    FROM per_user
+    ORDER BY twap_milli DESC, user_id
+    LIMIT 50
+    """,
+    covers=("X-temporal-twap",),
+)
+def time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value (TWAP) per user — the
+    interval-weighted temporal mean a metering / billing / market-data
+    pipeline needs, where a plain AVG over readings is wrong because
+    readings are irregularly spaced: each event's value HOLDS until
+    the user's next event (step interpolation), so the mean weights
+    each level by how long it persisted. Numerically: values are
+    fixed-pointed to cents BEFORE multiplication, durations are exact
+    epoch-microsecond BIGINTs (both endpoints truncated ns→us THEN
+    subtracted, mirroring epoch_us), and the final division is
+    integer `div` to milli-units — every aggregate an
+    order-independent BIGINT sum, no association-ordered double sums
+    anywhere. One shuffle on user_id (window + agg share the
+    partitioning; Catalyst plans a single Exchange); int64 headroom
+    proven: max cents (49k) x max span (~month in us, 2.6e12) x 10 ≈
+    1.3e18 < 2^63. The last event per user contributes no interval
+    (open-ended level, zero observed duration) — the standard TWAP
+    convention."""
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.unix_micros("ts").alias("t0"),
+        F.unix_micros(F.lead("ts").over(w)).alias("t1"),
+    )
+    ivals = stepped.where(F.col("t1").isNotNull()).select(
+        "user_id", "cents", (F.col("t1") - F.col("t0")).alias("dur_us")
+    )
+    per_user = (
+        ivals.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dur_us").cast("bigint").alias("span_us"),
+            F.sum(F.col("cents") * F.col("dur_us")).cast("bigint").alias("wsum"),
+        )
+        .where(F.col("span_us") > 0)
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_intervals",
+            "span_us",
+            F.expr("(wsum * 10) div span_us").cast("bigint").alias("twap_milli"),
+        )
+        .orderBy(F.desc("twap_milli"), F.asc("user_id"))
+        .limit(50)
+    )

@@ -1963,3 +1963,65 @@ def streaming_kmv_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "pseudonym_referential_integrity",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_orders,
+           count(DISTINCT c.c_custkey) AS n_customers,
+           CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY segment
+    """,
+    covers=("X-privacy-pseudonymization",),
+)
+def pseudonym_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-hash pseudonymization that PRESERVES referential
+    integrity — the standard privacy-pipeline transform before data
+    leaves a trust boundary: the natural key (c_custkey) is replaced
+    by md5(salt || key) in BOTH the dimension and every fact that
+    references it, so analysts can still join/count/distinct on the
+    pseudonym while the raw identifier never ships. The gate is the
+    strong form of the integrity proof: the Spark side joins orders
+    to customer ONLY on the pseudonym columns, while the ORACLE joins
+    on the RAW keys — bit-equal per-segment order counts, DISTINCT
+    customer counts, and revenue checksums mean the pseudonym mapping
+    is injective on this corpus (a collision would merge two
+    customers and bend n_customers/revenue) and total (a dropped
+    mapping would lose orders). Deterministic salt (not a PRNG) keeps
+    the transform replayable across retries — same property the
+    sampling/minhash family relies on. One shuffle on the pseudonym
+    (same cardinality as the raw key); at 100 TB the dimension side
+    still broadcasts, because pseudonymization changes key WIDTH, not
+    cardinality. Distinct from text_pii_scrub (regex redaction of
+    free text): this is structured-key de-identification."""
+    cust = load_table(spark, "customer", sf_dir).select(
+        F.md5(
+            F.concat(F.lit("pseudo-v1"), F.col("c_custkey").cast("string"))
+        ).alias("c_pseudonym"),
+        "c_mktsegment",
+    )
+    ords = load_table(spark, "orders", sf_dir).select(
+        F.md5(
+            F.concat(F.lit("pseudo-v1"), F.col("o_custkey").cast("string"))
+        ).alias("o_pseudonym"),
+        "o_totalprice",
+    )
+    return (
+        ords.join(cust, ords["o_pseudonym"] == cust["c_pseudonym"])
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("c_pseudonym").alias("n_customers"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("segment")
+    )

@@ -2025,3 +2025,86 @@ def pseudonym_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "manifest_forgotten_keys",
+    oracle="""
+    SELECT doc_id % 6 AS grp,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS payload_sum,
+           CAST(sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_forgotten
+    FROM documents
+    WHERE doc_id % 2 = 0 AND doc_id % 10 <> 0
+    GROUP BY doc_id % 6
+    ORDER BY grp
+    """,
+    covers=("X-privacy-erasure", "T3"),
+)
+def manifest_forgotten_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten erasure through the manifest sink under
+    the ORACLE gate: commit a keyed view (even doc_ids), then DELETE
+    every doc_id % 10 == 0 via streaming/sink.delete_keys_bucketed —
+    a bucket-pruned rewrite that commits through the same one-object
+    manifest CAS as upserts — and gate the surviving view against the
+    oracle's direct predicate. The n_forgotten column (count of
+    doomed keys still present, summed per group) is pinned to the
+    oracle's structural zero, so one un-deleted row fails the hash
+    gate loudly. keep_versions=1 makes the erasure PHYSICAL at the
+    delete commit itself (the superseded dirs are GC'd inline; the
+    orphan-free property is pytest-pinned in
+    tests/test_sink_crash.py::test_delete_physical_erasure_outside_retention).
+    At 100 TB an erasure batch touching 0.1% of keys rewrites ~0.1%
+    of buckets — cost proportional to the FORGOTTEN set, not the
+    corpus. Companion to pseudonym_referential_integrity: one query
+    de-identifies, this one erases."""
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.streaming.sink import (
+        delete_keys_bucketed,
+        read_bucketed_view,
+        upsert_keyed_parquet_bucketed,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    tmp = tempfile.mkdtemp(prefix="forgotten_")
+    view = f"{tmp}/docs_view"
+    try:
+        upsert_keyed_parquet_bucketed(
+            spark,
+            d.where(F.col("doc_id") % 2 == 0).select(
+                "doc_id", F.col("n_chars").alias("payload")
+            ),
+            view,
+            key="doc_id",
+            n_buckets=8,
+            keep_versions=1,
+        )
+        delete_keys_bucketed(
+            spark,
+            d.where(F.col("doc_id") % 10 == 0).select("doc_id"),
+            view,
+            key="doc_id",
+            keep_versions=1,
+        )
+        survivors = read_bucketed_view(spark, view)
+        out = (
+            survivors.groupBy((F.col("doc_id") % 6).alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("payload").cast("bigint").alias("payload_sum"),
+                F.sum(
+                    F.when(F.col("doc_id") % 10 == 0, F.lit(1)).otherwise(
+                        F.lit(0)
+                    )
+                )
+                .cast("bigint")
+                .alias("n_forgotten"),
+            )
+            .orderBy("grp")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -691,3 +691,105 @@ def read_bucketed_view(
     if _ReresolvingView is not None and isinstance(df, _ClassicDataFrame):
         return _ReresolvingView(df._jdf, spark, path, version)
     return df  # pragma: no cover - non-classic session
+
+
+def delete_keys_bucketed(
+    spark: SparkSession,
+    keys: DataFrame,
+    path: str,
+    key: str,
+    keep_versions: int = 2,
+    gc_grace_seconds: float = 0.0,
+) -> int:
+    """Keyed DELETE through the same manifest commit protocol as
+    :func:`upsert_keyed_parquet_bucketed` — the right-to-be-forgotten
+    / retention-purge verb the upsert-only sink lacked. ``keys`` is a
+    DataFrame holding the ``key`` column (extra columns ignored); the
+    matching rows are removed from the view in ONE bucket-pruned
+    rewrite: only the buckets the doomed keys hash into are read and
+    rewritten, everything else keeps its current immutable dir — at
+    the docstring's 100-TB sizing an erasure batch touching 0.1% of
+    keys rewrites ~0.1% of buckets.
+
+    Two deliberate asymmetries vs the upsert merge:
+    - a bucket whose every row is deleted DROPS OUT of the manifest
+      (the upsert path keeps a missing staged dir's old entry; here
+      the old entry is exactly what must die) — deleting every key
+      leaves ``buckets == {}`` and readers get the documented
+      no-committed-view FileNotFoundError;
+    - erasure becomes PHYSICAL when the superseded snapshots leave
+      the retention window: with ``keep_versions=1`` the commit's own
+      GC removes the replaced dirs immediately; with a longer window
+      the deleted rows remain time-travel-readable until
+      :func:`vacuum`/later commits age them out — the same
+      retention-vs-erasure trade Delta documents for GDPR workloads.
+
+    Commit shape is unchanged: stage → move invisible dirs → ONE
+    manifest CAS publish → incremental GC; concurrent writers re-merge
+    via the same optimistic loop. Returns the number of buckets
+    rewritten or dropped (0 when no doomed key maps to a live bucket).
+
+    Reference parity: postgres_to_es/daemon.py:358-381 upserts only —
+    deletion is beyond-reference surface required by any pipeline
+    subject to erasure requests."""
+    for _ in range(5):
+        man = load_manifest(path)
+        if man is None or not man["buckets"]:
+            return 0  # nothing committed — nothing to forget
+        if man["key"] != key:
+            raise ValueError(
+                f"bucketed view at {path!r} is keyed by {man['key']!r}, "
+                f"not {key!r}"
+            )
+        nb = int(man["n_buckets"])  # stamped count wins — no drift
+        kb_of = F.pmod(F.hash(F.col(key)), F.lit(nb))
+        doomed = keys.select(key).distinct().withColumn("_kb", kb_of).persist()
+        try:
+            buckets: dict[str, str] = dict(man["buckets"])
+            touched = sorted(
+                r["_kb"]
+                for r in doomed.select("_kb").distinct().collect()
+                if str(r["_kb"]) in buckets
+            )
+            if not touched:
+                return 0
+            existing = [os.path.join(path, buckets[str(kb)]) for kb in touched]
+            old = spark.read.parquet(*existing).withColumn("_kb", kb_of)
+            remaining = old.join(
+                F.broadcast(doomed.select(key)), key, "left_anti"
+            )
+            commit_id = uuid.uuid4().hex[:12]
+            stage = os.path.join(path, f"_stage-{commit_id}")
+            remaining.repartition(len(touched), F.col("_kb")).write.mode(
+                "overwrite"
+            ).partitionBy("_kb").parquet(stage)
+            for kb in touched:
+                src = os.path.join(stage, f"_kb={kb}")
+                rel = f"{_DATA_DIR}/kb={kb}/c-{commit_id}"
+                dst = os.path.join(path, rel)
+                if os.path.exists(src):
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    os.replace(src, dst)
+                    buckets[str(kb)] = rel
+                else:
+                    # every row of this bucket was deleted
+                    buckets.pop(str(kb), None)
+            shutil.rmtree(stage, ignore_errors=True)
+            doc = {
+                "version": int(man["version"]) + 1,
+                "key": key,
+                "n_buckets": nb,
+                "buckets": buckets,
+            }
+            pub_v = _publish_manifest(path, doc)  # THE commit point
+            if pub_v is None:
+                continue  # lost the CAS — re-merge against the winner
+            doc["version"] = pub_v
+            _gc_unreferenced(path, doc, keep_versions, gc_grace_seconds)
+            return len(touched)
+        finally:
+            doomed.unpersist()
+    raise RuntimeError(
+        f"bucketed delete at {path!r} lost the manifest publish race 5 "
+        "times — pathological writer contention"
+    )

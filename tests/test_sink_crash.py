@@ -714,3 +714,138 @@ def test_bucketed_sink_model_based_op_sequences(spark, tmp_path):
         )
 
     run()
+
+
+def _bdf(spark, rows):
+    return spark.createDataFrame(rows, "id string, val int")
+
+
+def _keys_df(spark, ids):
+    return spark.createDataFrame([(i,) for i in ids], "id string")
+
+
+def test_delete_keys_bucketed_basic(spark, tmp_path):
+    """DELETE removes exactly the doomed keys, bumps the version, and
+    (within keep_versions) leaves the pre-delete snapshot time-travel
+    readable; deleting keys that don't exist is a no-op that rewrites
+    nothing when no doomed key maps to a live bucket."""
+    from etl_sprint_2_5_spark.streaming import sink
+
+    path = str(tmp_path / "view")
+    sink.upsert_keyed_parquet_bucketed(
+        spark, _bdf(spark, [("a", 1), ("b", 2), ("c", 3), ("d", 4)]),
+        path, "id", n_buckets=4, keep_versions=3,
+    )
+    n = sink.delete_keys_bucketed(
+        spark, _keys_df(spark, ["b", "d"]), path, "id", keep_versions=3
+    )
+    assert n >= 1
+    assert _rows_of(sink.read_bucketed_view(spark, path)) == [
+        ("a", 1), ("c", 3)
+    ]
+    # pre-delete snapshot retained for time travel
+    assert _rows_of(sink.read_bucketed_view(spark, path, version=1)) == [
+        ("a", 1), ("b", 2), ("c", 3), ("d", 4)
+    ]
+    # deleting an absent key leaves the view untouched
+    before = _rows_of(sink.read_bucketed_view(spark, path))
+    sink.delete_keys_bucketed(spark, _keys_df(spark, ["zz"]), path, "id")
+    assert _rows_of(sink.read_bucketed_view(spark, path)) == before
+    # delete on a never-committed view is a 0-bucket no-op
+    assert (
+        sink.delete_keys_bucketed(
+            spark, _keys_df(spark, ["a"]), str(tmp_path / "nope"), "id"
+        )
+        == 0
+    )
+
+
+def test_delete_empties_bucket_and_whole_view(spark, tmp_path):
+    """A bucket whose every row is deleted DROPS OUT of the manifest
+    (the upsert path's keep-old-entry rule would resurrect the dead
+    rows); deleting every key leaves buckets == {} and the documented
+    no-committed-view FileNotFoundError on read."""
+    import pytest as _pytest
+
+    from etl_sprint_2_5_spark.streaming import sink
+
+    path = str(tmp_path / "view")
+    rows = [(f"k{i}", i) for i in range(12)]
+    sink.upsert_keyed_parquet_bucketed(
+        spark, _bdf(spark, rows), path, "id", n_buckets=3, keep_versions=1
+    )
+    man = sink.load_manifest(path)
+    # pick one live bucket and delete exactly its keys
+    kb_target = int(next(iter(man["buckets"])))
+    import pyspark.sql.functions as _F
+
+    full = sink.read_bucketed_view(spark, path)
+    mine = [
+        r["id"]
+        for r in full.withColumn(
+            "_kb", _F.pmod(_F.hash(_F.col("id")), _F.lit(3))
+        )
+        .where(_F.col("_kb") == kb_target)
+        .collect()
+    ]
+    assert mine
+    sink.delete_keys_bucketed(
+        spark, _keys_df(spark, mine), path, "id", keep_versions=1
+    )
+    man2 = sink.load_manifest(path)
+    assert str(kb_target) not in man2["buckets"]
+    survivors = _rows_of(sink.read_bucketed_view(spark, path))
+    assert survivors == sorted(
+        (k, v) for k, v in rows if k not in set(mine)
+    )
+    # erase everything that's left
+    sink.delete_keys_bucketed(
+        spark,
+        _keys_df(spark, [k for k, _ in rows]),
+        path,
+        "id",
+        keep_versions=1,
+    )
+    assert sink.load_manifest(path)["buckets"] == {}
+    with _pytest.raises(FileNotFoundError):
+        sink.read_bucketed_view(spark, path)
+
+
+def test_delete_physical_erasure_outside_retention(spark, tmp_path):
+    """With keep_versions=1 the delete commit's own GC removes the
+    superseded dirs: afterwards EVERY c-* dir on disk is referenced by
+    the sole retained manifest (orphan-free), so the forgotten rows
+    are physically gone, and the old version is unreadable."""
+    import glob as _glob
+
+    import pytest as _pytest
+
+    from etl_sprint_2_5_spark.streaming import sink
+
+    path = str(tmp_path / "view")
+    sink.upsert_keyed_parquet_bucketed(
+        spark, _bdf(spark, [(f"u{i}", i) for i in range(20)]),
+        path, "id", n_buckets=4, keep_versions=1,
+    )
+    sink.delete_keys_bucketed(
+        spark,
+        _keys_df(spark, [f"u{i}" for i in range(0, 20, 2)]),
+        path,
+        "id",
+        keep_versions=1,
+    )
+    man = sink.load_manifest(path)
+    referenced = {
+        os.path.normpath(os.path.join(path, rel))
+        for rel in man["buckets"].values()
+    }
+    on_disk = {
+        os.path.normpath(p)
+        for p in _glob.glob(os.path.join(path, "data", "kb=*", "c-*"))
+    }
+    assert on_disk == referenced  # orphan-free ⇒ erasure is physical
+    # survivors intact, forgotten keys gone from every retained byte
+    got = dict(_rows_of(sink.read_bucketed_view(spark, path)))
+    assert got == {f"u{i}": i for i in range(1, 20, 2)}
+    with _pytest.raises(FileNotFoundError):
+        sink.read_bucketed_view(spark, path, version=1)

@@ -2000,7 +2000,7 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (docs with even doc_id), commit v2 (an update/insert batch: every
     doc_id % 3 == 0 with a bumped payload), then TIME-TRAVEL read both
     versions and outer-join them into the per-key change feed
-    (insert / update / unchanged; the sink is upsert-only so deletes
+    (insert / update / unchanged; this feed runs upserts only so deletes
     cannot occur). This puts the round-9/10 flagship commit protocol —
     versioned manifests, keep_versions retention, bucket-pruned merge
     — under the cross-engine ORACLE gate, not just pytest: a commit

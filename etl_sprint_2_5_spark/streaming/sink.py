@@ -252,11 +252,27 @@ def _publish_manifest(path: str, doc: dict) -> int | None:
     GC. Version numbers are monotonic, not dense — nothing depends on
     density. Atomicity of the create is likewise NOT a correctness
     dependence for readers: a torn write at the final name fails the
-    checksum in load_manifest and the previous version still wins."""
+    checksum in load_manifest and the previous version still wins.
+
+    Publishing BELOW the current latest is likewise a lost race, not a
+    success: GC frees the FILE NAMES of superseded manifests, so a
+    writer that loaded version v, stalled while >= keep_versions newer
+    commits published and GC ran, would find the name v+1 free, win
+    the create — and have published a manifest no reader will ever
+    take (readers take the highest version). Its batch would be
+    silently invisible while the caller believed it committed. Two
+    guards close that hole: the requested version is checked against
+    the latest committed version BEFORE the probe loop, and re-checked
+    AFTER winning the create (the stall can happen between the two);
+    a below-latest publish is retracted and reported as a lost race so
+    the caller re-merges against the current manifest."""
     mdir = os.path.join(path, _MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     doc = dict(doc)
     v = int(doc["version"])
+    cur = load_manifest(path)
+    if cur is not None and int(cur["version"]) >= v:
+        return None  # stale base: newer commits already visible
     while True:
         final = os.path.join(mdir, f"manifest-{v:020d}.json")
         if not os.path.exists(final):
@@ -276,7 +292,31 @@ def _publish_manifest(path: str, doc: dict) -> int | None:
         os.remove(tmp)
     except OSError:
         pass
-    return v if won else None
+    if not won:
+        return None
+    latest = load_manifest(path)
+    if latest is not None and int(latest["version"]) > v:
+        # newer good manifests existed (or landed) while we linked —
+        # our file sits below latest and no reader will take it.
+        # Retract and re-merge. (A racer that published v+1 on TOP of
+        # our v in this window already incorporated our buckets, so
+        # retracting v loses nothing; the re-merge re-applies the
+        # batch idempotently.)
+        try:
+            os.remove(final)
+        except OSError:
+            pass
+        return None
+    return v
+
+
+def _manifest_refs(doc: dict) -> set[str]:
+    """Every data-dir rel path a manifest references: the per-bucket
+    BASE dirs plus (delta-mode views) every delta commit's dirs."""
+    refs = set(doc["buckets"].values())
+    for dc in doc.get("delta_commits", ()):
+        refs.update(dc["buckets"].values())
+    return refs
 
 
 def _gc_unreferenced(
@@ -308,12 +348,18 @@ def _gc_unreferenced(
     (crashed pre-publish commits, losing CAS attempts). Those are
     crash leftovers swept by the rare, explicit :func:`vacuum`.
 
-    ``grace_seconds`` is the reader grace window: superseded snapshots
-    are only swept once the OLDEST RETAINED manifest has existed at
-    least that long — so every swept dir has been unreferenced for
-    ≥ grace_seconds and a reader that resolved a manifest just before
-    this commit can finish its scan. (``keep_versions >= 2``, the
-    default, already gives one full commit cycle of grace on top.)
+    ``grace_seconds`` is the reader grace window, gated PER SUPERSEDED
+    MANIFEST: a dead version's dirs are sweepable once its SUCCESSOR
+    manifest (the commit that superseded it — the moment its snapshot
+    stopped being latest) has existed at least that long, so every
+    swept dir has been superseded for ≥ grace_seconds and a reader
+    that resolved it just before can finish its scan. A global
+    youngest-retained gate would be wrong in both common cadences:
+    with ``keep_versions=1`` the floor is the just-published manifest
+    (age ~0), disabling inline GC entirely; with commits faster than
+    the grace it would never fire and superseded dirs would accumulate
+    unboundedly. (``keep_versions >= 2``, the default, already gives
+    one full commit cycle of grace on top.)
 
     Runs only AFTER a successful publish, so a crash inside GC just
     leaves garbage for a later pass — readers are already on the new
@@ -333,32 +379,55 @@ def _gc_unreferenced(
     if not retained:
         return
     floor_v = min(retained)
-    if grace_seconds > 0:
-        fp = os.path.join(mdir, f"manifest-{floor_v:020d}.json")
+    good_asc = sorted(good)
+
+    def _successor_aged(v: int) -> bool:
+        # the dead version's grace clock starts when its SUCCESSOR
+        # published (that commit superseded it)
+        if grace_seconds <= 0:
+            return True
+        succ = next((g for g in good_asc if g > v), None)
+        if succ is None:  # pragma: no cover - dead implies a successor
+            return False
+        fp = os.path.join(mdir, f"manifest-{succ:020d}.json")
         try:
-            age = time.time() - os.path.getmtime(fp)
+            return (time.time() - os.path.getmtime(fp)) >= grace_seconds
         except OSError:
-            age = 0.0
-        if age < grace_seconds:
-            return  # snapshots too fresh — a later commit's GC sweeps
+            return False
+
     live: set[str] = set()
     dead_refs: set[str] = set()
     for v, doc in docs.items():
         if doc is None:
             continue
-        (live if v in retained else dead_refs).update(doc["buckets"].values())
+        if v in retained or not _successor_aged(v):
+            live.update(_manifest_refs(doc))  # retained or inside grace
+        else:
+            dead_refs.update(_manifest_refs(doc))
     for rel in dead_refs - live:
         shutil.rmtree(os.path.join(path, rel), ignore_errors=True)
     for v in docs:
-        if v < floor_v:
+        if v < floor_v and (docs[v] is None or _successor_aged(v)):
             try:
                 os.remove(os.path.join(mdir, f"manifest-{v:020d}.json"))
             except OSError:
                 pass
 
 
+#: Default :func:`vacuum` grace — deliberately conservative (like the
+#: retention check Delta's VACUUM enforces): under ``grace_seconds=0``
+#: every item is "aged", so a default-arg call would sweep a CONCURRENT
+#: writer's live ``_stage-*`` dirs and ``.tmp-*`` manifests and break
+#: its in-flight commit. Six hours comfortably exceeds any sane
+#: in-flight write; tests and operators who know the view is quiesced
+#: pass ``grace_seconds=0.0`` explicitly.
+VACUUM_DEFAULT_GRACE_SECONDS = 6 * 3600.0
+
+
 def vacuum(
-    path: str, keep_versions: int = 2, grace_seconds: float = 0.0
+    path: str,
+    keep_versions: int = 2,
+    grace_seconds: float = VACUUM_DEFAULT_GRACE_SECONDS,
 ) -> dict[str, int]:
     """Full-sweep maintenance GC — the rare, explicit complement to the
     per-commit incremental :func:`_gc_unreferenced`. This one DOES walk
@@ -367,9 +436,11 @@ def vacuum(
     leaves: crash orphans. Run it on a schedule (daily) or after a
     known crash, like ``VACUUM`` on a Delta table.
 
-    Removes, when older than ``grace_seconds`` (per-item mtime — set
-    the grace WELL above the longest in-flight write so a concurrent
-    writer's live stage dirs and tmp manifests are never swept):
+    Removes, when older than ``grace_seconds`` (per-item mtime; the
+    default is a conservative 6 h — see
+    :data:`VACUUM_DEFAULT_GRACE_SECONDS` — so a default-arg call never
+    sweeps a concurrent writer's live stage dirs or tmp manifests;
+    pass ``0.0`` explicitly only when the view is known quiesced):
     - ``_stage-*`` dirs (crashed mid-write),
     - ``.tmp-*`` manifest files (crashed mid-publish),
     - manifest files older than the ``keep_versions`` most recent good
@@ -417,7 +488,7 @@ def vacuum(
         return counts
     live: set[str] = set()
     for v in retained:
-        live.update(docs[v]["buckets"].values())
+        live.update(_manifest_refs(docs[v]))
     floor_v = min(retained)
     for v in docs:
         if v < floor_v:
@@ -587,13 +658,18 @@ def _commit_touched_buckets(
 def _is_vanished_file_error(exc: BaseException) -> bool:
     """True when an action failed because files resolved at read time
     vanished before/while the scan ran — a concurrent commit's GC swept
-    the snapshot the reader was holding."""
+    the snapshot the reader was holding. Matches only the file-scan
+    error markers (JVM FileNotFoundException and the Spark error
+    classes raised for vanished paths/files); a broad substring like
+    'does not exist' would also catch unrelated analysis/wrong-path
+    errors and silently re-resolve a NEWER snapshot, masking the real
+    error class."""
     s = str(exc)
     return (
         "FileNotFoundException" in s
         or "FILE_NOT_FOUND" in s
+        or "FILE_NOT_EXIST" in s  # FAILED_READ_FILE.FILE_NOT_EXIST
         or "PATH_NOT_FOUND" in s
-        or "does not exist" in s
     )
 
 

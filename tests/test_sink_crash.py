@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import os
 import shutil
+import time
+import uuid
 
 from etl_sprint_2_5_spark.streaming.sink import (
     read_view,
@@ -849,3 +851,207 @@ def test_delete_physical_erasure_outside_retention(spark, tmp_path):
     assert got == {f"u{i}": i for i in range(1, 20, 2)}
     with _pytest.raises(FileNotFoundError):
         sink.read_bucketed_view(spark, path, version=1)
+
+
+# Round-11 hardening: below-latest publish detection, per-successor
+# GC grace, conservative vacuum default, narrowed vanished-file
+# matcher, and the genuine two-process CAS race.
+
+
+def test_publish_below_latest_is_lost_race(tmp_path):
+    """The lost-update hole: GC frees superseded manifest FILE NAMES,
+    so a stale writer that loaded v1 and stalled while v2/v3 published
+    and GC ran finds the name v2 free. Its publish must be reported as
+    a LOST RACE (None) — not a 'success' at a version below latest
+    that no reader will ever take."""
+    from etl_sprint_2_5_spark.streaming import sink
+
+    path = str(tmp_path / "view")
+    for v in (1, 2, 3):
+        doc = {
+            "version": v,
+            "key": "id",
+            "n_buckets": 1,
+            "buckets": {"0": f"data/kb=0/c-{v}"},
+        }
+        assert sink._publish_manifest(path, doc) == v
+    mdir = os.path.join(path, sink._MANIFEST_DIR)
+    for v in (1, 2):  # what keep_versions=1 GC does: frees the names
+        os.remove(os.path.join(mdir, f"manifest-{v:020d}.json"))
+
+    stale = {
+        "version": 2,  # based on the long-gone v1
+        "key": "id",
+        "n_buckets": 1,
+        "buckets": {"0": "data/kb=0/c-stale"},
+    }
+    assert sink._publish_manifest(path, stale) is None
+    latest = sink.load_manifest(path)
+    assert int(latest["version"]) == 3
+    assert latest["buckets"]["0"] == "data/kb=0/c-3"
+    # and no stray below-latest manifest file was left behind
+    names = sorted(os.listdir(mdir))
+    assert names == ["manifest-00000000000000000003.json"]
+
+
+def test_gc_grace_gates_per_successor_not_globally(spark, tmp_path):
+    """With commits faster than the grace, a GLOBAL youngest-retained
+    gate would never sweep anything (unbounded accumulation). The
+    per-successor gate must sweep v1 once its successor v2 has aged
+    past the grace — while v2's own replaced dirs, superseded only by
+    the fresh v3, stay readable."""
+    F, sink = _bucketed_imports()
+
+    buck = f"{tmp_path}/buck"
+    sink.upsert_keyed_parquet_bucketed(
+        spark, _full_view(spark), buck, "id", 8, keep_versions=1
+    )  # v1
+    refs1 = sink._manifest_refs(sink.load_manifest(buck))
+
+    upd = spark.createDataFrame([(5, -1)], "id long, val long")
+    sink.upsert_keyed_parquet_bucketed(
+        spark, upd, buck, "id", 8, keep_versions=1, gc_grace_seconds=3600
+    )  # v2 — v1 superseded but successor (v2) fresh: nothing swept
+    refs2 = sink._manifest_refs(sink.load_manifest(buck))
+    assert all(os.path.exists(os.path.join(buck, r)) for r in refs1)
+
+    # age v2's manifest past the grace → v1 becomes sweepable; v2's
+    # dirs (superseded by the imminent fresh v3) must survive
+    mdir = os.path.join(buck, sink._MANIFEST_DIR)
+    v2fp = os.path.join(mdir, "manifest-00000000000000000002.json")
+    old = time.time() - 7200
+    os.utime(v2fp, (old, old))
+
+    upd3 = spark.createDataFrame([(5, -2)], "id long, val long")
+    sink.upsert_keyed_parquet_bucketed(
+        spark, upd3, buck, "id", 8, keep_versions=1, gc_grace_seconds=3600
+    )  # v3
+    refs3 = sink._manifest_refs(sink.load_manifest(buck))
+    dead1 = refs1 - refs2 - refs3  # v1's replaced dir(s)
+    dead2 = refs2 - refs3  # v2's replaced dir(s), inside grace
+    assert dead1 and dead2
+    assert not any(os.path.exists(os.path.join(buck, r)) for r in dead1)
+    assert all(os.path.exists(os.path.join(buck, r)) for r in dead2)
+
+
+def test_vacuum_default_grace_spares_inflight_writers(tmp_path):
+    """vacuum() with DEFAULT args must never sweep a concurrent
+    writer's fresh _stage-* dirs or .tmp-* manifests (the old 0.0
+    default made a default-arg call destructive); explicit grace 0 is
+    the quiesced-view opt-in."""
+    from etl_sprint_2_5_spark.streaming import sink
+
+    path = str(tmp_path / "view")
+    os.makedirs(os.path.join(path, "_stage-abc"))
+    mdir = os.path.join(path, sink._MANIFEST_DIR)
+    os.makedirs(mdir)
+    with open(os.path.join(mdir, ".tmp-xyz"), "w") as f:
+        f.write("{}")
+
+    counts = sink.vacuum(path)  # default grace: conservative
+    assert counts == {"stage": 0, "tmp": 0, "manifests": 0, "data_dirs": 0}
+    assert os.path.isdir(os.path.join(path, "_stage-abc"))
+
+    counts = sink.vacuum(path, grace_seconds=0.0)
+    assert counts["stage"] == 1 and counts["tmp"] == 1
+    assert not os.path.exists(os.path.join(path, "_stage-abc"))
+
+
+def test_vanished_file_matcher_is_narrow():
+    """Only file-scan markers may trigger the silent re-resolve retry
+    — a generic 'does not exist' would also catch analysis/wrong-path
+    errors and mask the real error class behind a NEWER snapshot."""
+    from etl_sprint_2_5_spark.streaming.sink import _is_vanished_file_error
+
+    assert _is_vanished_file_error(
+        Exception("java.io.FileNotFoundException: /x/part-0.parquet")
+    )
+    assert _is_vanished_file_error(
+        Exception("[FAILED_READ_FILE.FILE_NOT_EXIST] File /x does not exist")
+    )
+    assert _is_vanished_file_error(Exception("[PATH_NOT_FOUND] Path ..."))
+    assert not _is_vanished_file_error(
+        Exception("Table or view `t` does not exist")
+    )
+    assert not _is_vanished_file_error(Exception("column v does not exist"))
+
+
+def _cas_race_writer(path, who, rounds, barrier, losses):
+    """Forked-child writer: the REAL manifest protocol (load, merge,
+    publish via os.link CAS) with pyarrow doing the data I/O — no
+    Spark in the child, no serialization shims between the racers."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from etl_sprint_2_5_spark.streaming import sink
+
+    for i in range(rounds):
+        barrier.wait()  # release both writers into the same commit
+        while True:
+            man = sink.load_manifest(path)
+            rows: dict[str, int] = {}
+            if man and man["buckets"]:
+                t = pq.read_table(os.path.join(path, man["buckets"]["0"]))
+                rows = dict(
+                    zip(t.column("id").to_pylist(), t.column("v").to_pylist())
+                )
+            rows[who] = i  # the keyed upsert (re-merge each attempt)
+            commit = uuid.uuid4().hex[:12]
+            rel = f"data/kb=0/c-{commit}"
+            os.makedirs(os.path.join(path, rel), exist_ok=True)
+            ids = sorted(rows)
+            pq.write_table(
+                pa.table({"id": ids, "v": [rows[k] for k in ids]}),
+                os.path.join(path, rel, "part-0.parquet"),
+            )
+            doc = {
+                "version": (int(man["version"]) + 1) if man else 1,
+                "key": "id",
+                "n_buckets": 1,
+                "buckets": {"0": rel},
+            }
+            if sink._publish_manifest(path, doc) is not None:
+                break
+            with losses.get_lock():
+                losses.value += 1
+
+
+def test_two_process_cas_race(tmp_path):
+    """Two REAL processes race the manifest CAS over 20 barriered
+    rounds: every version must be won by exactly one writer, the
+    loser's re-merge must preserve BOTH row sets, and the final view
+    must hold each writer's last value. In-process interleavings can't
+    prove os.link create-exclusivity across processes — this does."""
+    import multiprocessing as mp
+
+    import pyarrow.parquet as pq
+
+    from etl_sprint_2_5_spark.streaming import sink
+
+    ctx = mp.get_context("fork")
+    path = str(tmp_path / "view")
+    ROUNDS = 20
+    barrier = ctx.Barrier(2)
+    losses = ctx.Value("i", 0)
+    procs = [
+        ctx.Process(
+            target=_cas_race_writer, args=(path, who, ROUNDS, barrier, losses)
+        )
+        for who in ("A", "B")
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0, f"writer died: exitcode={p.exitcode}"
+
+    man = sink.load_manifest(path)
+    # 2 writers x 20 rounds, every publish a distinct version, none
+    # lost, none below latest: exactly 2*ROUNDS commits
+    assert int(man["version"]) == 2 * ROUNDS
+    t = pq.read_table(os.path.join(path, man["buckets"]["0"]))
+    final = dict(zip(t.column("id").to_pylist(), t.column("v").to_pylist()))
+    assert final == {"A": ROUNDS - 1, "B": ROUNDS - 1}
+    # the barrier makes same-version collisions effectively certain
+    # across 20 rounds; zero losses would mean the race never happened
+    assert losses.value >= 1, "no CAS contention was exercised"

@@ -133,6 +133,17 @@ HEADLINE = [
     # integrity proof (dim broadcast survives pseudonymization)
     "time_weighted_value",
     "pseudonym_referential_integrity",
+    # round-11 additions: erasure cost on the bench record (verdict
+    # item — registered since r10 but previously unmeasured), the
+    # log-structured sink's merge-on-read path (base + 3 delta
+    # commits + tombstone merge), its compaction twin, the
+    # four-op change feed (deletes included), and additive schema
+    # evolution through the stamped manifest read
+    "manifest_forgotten_keys",
+    "manifest_delta_merge_read",
+    "manifest_delta_compact_equiv",
+    "manifest_change_feed_deletes",
+    "manifest_schema_evolution",
 ]
 
 

@@ -2062,6 +2062,258 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_change_feed_deletes",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, n_chars AS payload
+      FROM documents WHERE doc_id % 2 = 0
+    ), v3 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS payload
+      FROM documents
+      WHERE (doc_id % 2 = 0 OR doc_id % 3 = 0) AND doc_id % 5 <> 0
+    ), feed AS (
+      SELECT CASE WHEN o.doc_id IS NULL THEN 'insert'
+                  WHEN n.doc_id IS NULL THEN 'delete'
+                  WHEN n.payload <> o.payload THEN 'update'
+                  ELSE 'unchanged' END AS op,
+             COALESCE(n.payload, o.payload) AS payload
+      FROM v3 n FULL OUTER JOIN v1 o ON n.doc_id = o.doc_id
+    )
+    SELECT op,
+           count(*) AS n_keys,
+           CAST(sum(payload) AS BIGINT) AS payload_sum
+    FROM feed
+    GROUP BY op
+    ORDER BY op
+    """,
+    covers=("T3", "T4", "X-sink-change-feed"),
+)
+def manifest_change_feed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Delta-CDF analog over the manifest sink — all four
+    ops, including explicit ``op='delete'`` rows (manifest_change_feed
+    runs upserts only, so deletes could previously surface merely as
+    key disappearance). Three commits: v1 (even doc_ids), v2 (upsert
+    every doc_id % 3 with a bumped payload), v3 (DELETE every
+    doc_id % 5 through delete_keys_bucketed's bucket-pruned rewrite).
+    Time-travel reads of v1 and v3 FULL-outer-join into the feed:
+    insert (in v3 only), delete (in v1 only — the row ships its OLD
+    payload, what a downstream IVM needs to retract), update, and
+    unchanged. A downstream consumer replaying this feed — including
+    the delete retractions — reconstructs v3 from v1 exactly
+    (pytest-pinned in tests/test_ivm.py). At 100 TB both snapshot
+    reads are manifest-listed file sets and the diff is one shuffle
+    on the view key. Reference parity: the CDC delete fan-out of
+    postgres_to_es/daemon.py:276-334 (films dropped from the index),
+    re-expressed as snapshot algebra."""
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.streaming.sink import (
+        delete_keys_bucketed,
+        read_bucketed_view,
+        upsert_keyed_parquet_bucketed,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    tmp = tempfile.mkdtemp(prefix="cdf_del_")
+    view = f"{tmp}/docs_view"
+    try:
+        upsert_keyed_parquet_bucketed(
+            spark,
+            d.where(F.col("doc_id") % 2 == 0).select(
+                "doc_id", F.col("n_chars").alias("payload")
+            ),
+            view, key="doc_id", n_buckets=8, keep_versions=4,
+        )
+        upsert_keyed_parquet_bucketed(
+            spark,
+            d.where(F.col("doc_id") % 3 == 0).select(
+                "doc_id", (F.col("n_chars") + F.lit(1000)).alias("payload")
+            ),
+            view, key="doc_id", n_buckets=8, keep_versions=4,
+        )
+        delete_keys_bucketed(
+            spark,
+            d.where(F.col("doc_id") % 5 == 0).select("doc_id"),
+            view, key="doc_id", keep_versions=4,
+        )
+
+        old = read_bucketed_view(spark, view, version=1).select(
+            F.col("doc_id").alias("o_id"), F.col("payload").alias("o_payload")
+        )
+        new = read_bucketed_view(spark, view, version=3)
+        feed = new.join(
+            old, new["doc_id"] == old["o_id"], "full_outer"
+        ).select(
+            F.when(F.col("o_id").isNull(), F.lit("insert"))
+            .when(F.col("doc_id").isNull(), F.lit("delete"))
+            .when(F.col("payload") != F.col("o_payload"), F.lit("update"))
+            .otherwise(F.lit("unchanged"))
+            .alias("op"),
+            F.coalesce(F.col("payload"), F.col("o_payload")).alias("payload"),
+        )
+        out = (
+            feed.groupBy("op")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("payload").cast("bigint").alias("payload_sum"),
+            )
+            .orderBy("op")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_DELTA_MERGE_ORACLE = """
+    WITH merged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN n_chars + 2000
+                  WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS payload
+      FROM documents
+      WHERE (doc_id % 2 = 0 OR doc_id % 3 = 0 OR doc_id % 5 = 0)
+        AND doc_id % 7 <> 0
+    )
+    SELECT doc_id % 4 AS grp,
+           count(*) AS n_docs,
+           CAST(sum(payload) AS BIGINT) AS payload_sum,
+           {pending} AS n_pending_deltas
+    FROM merged
+    GROUP BY doc_id % 4
+    ORDER BY grp
+    """
+
+
+def _delta_log_view(spark: SparkSession, sf_dir: str, view: str) -> None:
+    """Shared builder: base commit + two upsert deltas + one tombstone
+    delta against the documents table (see the oracle CASE ladder)."""
+    from etl_sprint_2_5_spark.streaming.sink import (
+        delete_keys_delta,
+        upsert_keyed_parquet_bucketed,
+        upsert_keyed_parquet_delta,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    upsert_keyed_parquet_bucketed(
+        spark,
+        d.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", F.col("n_chars").alias("payload")
+        ),
+        view, key="doc_id", n_buckets=8, keep_versions=2,
+    )
+    upsert_keyed_parquet_delta(
+        spark,
+        d.where(F.col("doc_id") % 3 == 0).select(
+            "doc_id", (F.col("n_chars") + F.lit(1000)).alias("payload")
+        ),
+        view, key="doc_id", keep_versions=2,
+    )
+    upsert_keyed_parquet_delta(
+        spark,
+        d.where(F.col("doc_id") % 5 == 0).select(
+            "doc_id", (F.col("n_chars") + F.lit(2000)).alias("payload")
+        ),
+        view, key="doc_id", keep_versions=2,
+    )
+    delete_keys_delta(
+        spark,
+        d.where(F.col("doc_id") % 7 == 0).select("doc_id"),
+        view, key="doc_id", keep_versions=2,
+    )
+
+
+def _delta_rollup(spark, view, n_pending: int):  # noqa: ANN001
+    from etl_sprint_2_5_spark.streaming.sink import read_bucketed_view
+
+    merged = read_bucketed_view(spark, view)
+    out = (
+        merged.groupBy((F.col("doc_id") % 4).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("payload").cast("bigint").alias("payload_sum"),
+        )
+        .withColumn("n_pending_deltas", F.lit(n_pending).cast("bigint"))
+        .orderBy("grp")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "manifest_delta_merge_read",
+    oracle=_DELTA_MERGE_ORACLE.format(pending="CAST(3 AS BIGINT)"),
+    covers=("T3", "X-sink-delta-log"),
+)
+def manifest_delta_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read over the LOG-STRUCTURED sink path under the
+    oracle gate: one base commit plus three delta commits (two keyed
+    upserts, one tombstone delete — streaming/sink.py
+    upsert_keyed_parquet_delta / delete_keys_delta), then a single
+    read that resolves per key by commit sequence (newest wins,
+    tombstones drop). Each delta commit wrote O(batch) bytes — no
+    bucket was rewritten (pytest-pinned byte bound in
+    tests/test_sink_delta.py) — which is the property that makes
+    CDC-rate maintenance affordable at 100 TB where the rewrite path
+    pays ~1 GiB per touched bucket per cycle. The n_pending_deltas
+    column pins the manifest state itself: exactly 3 delta commits
+    outstanding at read time. The merge is ONE exchange on the view
+    key and 1+3 pruned scans. Companion: manifest_delta_compact_equiv
+    proves folding the log changes nothing."""
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.streaming.sink import load_manifest
+
+    tmp = tempfile.mkdtemp(prefix="delta_merge_")
+    view = f"{tmp}/docs_view"
+    try:
+        _delta_log_view(spark, sf_dir, view)
+        pending = len(load_manifest(view).get("delta_commits", ()))
+        return _delta_rollup(spark, view, pending)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "manifest_delta_compact_equiv",
+    oracle=_DELTA_MERGE_ORACLE.format(pending="CAST(0 AS BIGINT)"),
+    covers=("T3", "X-sink-delta-log"),
+)
+def manifest_delta_compact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compaction equivalence: the same base + 3-delta log as
+    manifest_delta_merge_read, but compact_bucketed_view folds the
+    deltas into new per-bucket bases (through the same manifest CAS)
+    BEFORE the read. The rollup must be bit-identical to the
+    merge-on-read oracle — compaction is pure reorganization — and
+    n_pending_deltas is pinned to the oracle's structural 0, so a
+    compactor that left (or dropped) a delta commit fails the hash
+    gate loudly. Only buckets appearing in some delta are rewritten;
+    tombstoned bytes leave the readable set here and leave DISK once
+    superseded snapshots age out of keep_versions (the
+    retention-vs-erasure trade, pytest-pinned in
+    tests/test_sink_delta.py::test_compact_physical_erasure_after_retention)."""
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.streaming.sink import (
+        compact_bucketed_view,
+        load_manifest,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="delta_compact_")
+    view = f"{tmp}/docs_view"
+    try:
+        _delta_log_view(spark, sf_dir, view)
+        compact_bucketed_view(spark, view, keep_versions=2)
+        pending = len(load_manifest(view).get("delta_commits", ()))
+        return _delta_rollup(spark, view, pending)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "orc_roundtrip_checksum",
     oracle="""
     SELECT l_linestatus AS bucket,

@@ -2108,3 +2108,90 @@ def manifest_forgotten_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "manifest_schema_evolution",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS payload,
+             CASE WHEN doc_id % 3 = 0 THEN lang ELSE NULL END AS lang
+      FROM documents
+      WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+    )
+    SELECT COALESCE(lang, '<pre-evolution>') AS lang_bucket,
+           count(*) AS n_docs,
+           CAST(sum(payload) AS BIGINT) AS payload_sum
+    FROM v
+    GROUP BY COALESCE(lang, '<pre-evolution>')
+    ORDER BY lang_bucket
+    """,
+    covers=("T3", "X-sink-schema-evolution"),
+)
+def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADDITIVE schema evolution through the manifest sink under the
+    oracle gate: commit a NARROW keyed view (doc_id, payload for even
+    doc_ids), then upsert a WIDENED batch (every doc_id % 3, payload
+    bumped, plus a NEW lang column). The manifest stamps the payload
+    schema ("fields"); the widening updates the stamp additively and
+    the read-back resolves BOTH generations under the stamped schema
+    — old-generation rows NULL-fill the widened column per file
+    (grouped here under '<pre-evolution>'), new rows carry real
+    values, and the per-lang counts/checksums gate that no row of
+    either generation was lost, duplicated, or mis-filled. Incompatible
+    changes (type change, dropped column) are REJECTED loudly —
+    pytest-pinned in tests/test_sink_schema.py. The stamped-schema
+    read is also the scale answer: Spark fills missing columns
+    against an explicit read schema per file, so mixed-generation
+    reads need no mergeSchema footer sweep over ~100k dirs at the
+    100-TB sizing. Reference parity: the reference's ES index
+    bootstrap fixes one mapping forever
+    (postgres_to_es/daemon.py index-creation payload); additive
+    evolution is the beyond-reference surface any long-lived lake
+    table needs."""
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.streaming.sink import (
+        read_bucketed_view,
+        upsert_keyed_parquet_bucketed,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    tmp = tempfile.mkdtemp(prefix="schema_evo_")
+    view = f"{tmp}/docs_view"
+    try:
+        upsert_keyed_parquet_bucketed(
+            spark,
+            d.where(F.col("doc_id") % 2 == 0).select(
+                "doc_id", F.col("n_chars").alias("payload")
+            ),
+            view, key="doc_id", n_buckets=8, keep_versions=2,
+        )
+        upsert_keyed_parquet_bucketed(
+            spark,
+            d.where(F.col("doc_id") % 3 == 0).select(
+                "doc_id",
+                (F.col("n_chars") + F.lit(1000)).alias("payload"),
+                "lang",
+            ),
+            view, key="doc_id", n_buckets=8, keep_versions=2,
+        )
+        both = read_bucketed_view(spark, view)
+        out = (
+            both.groupBy(
+                F.coalesce(F.col("lang"), F.lit("<pre-evolution>")).alias(
+                    "lang_bucket"
+                )
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("payload").cast("bigint").alias("payload_sum"),
+            )
+            .orderBy("lang_bucket")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -573,6 +573,7 @@ def upsert_keyed_parquet_bucketed(
                 )
             _require_no_pending_deltas(path, man, "upsert_keyed_parquet_bucketed")
             nb = int(man["n_buckets"])  # stamped count wins — no drift
+        fields = _widen_fields(path, man, batch.schema)  # fail fast
         kb_of = F.pmod(F.hash(F.col(key)), F.lit(nb))
         # persist: the batch plan (often a rebuild join+agg) feeds BOTH
         # the touched-bucket probe and the merge write — without the
@@ -588,7 +589,7 @@ def upsert_keyed_parquet_bucketed(
                 return 0
             n = _commit_touched_buckets(
                 spark, b, touched, path, key, kb_of, nb, man,
-                keep_versions, gc_grace_seconds,
+                keep_versions, gc_grace_seconds, fields,
             )
             if n is not None:
                 return n
@@ -611,6 +612,7 @@ def _commit_touched_buckets(
     man: dict | None,
     keep_versions: int = 2,
     gc_grace_seconds: float = 0.0,
+    fields: list | None = None,
 ) -> int | None:
     buckets: dict[str, str] = dict(man["buckets"]) if man else {}
     existing = [
@@ -620,10 +622,18 @@ def _commit_touched_buckets(
     ]
     if existing:
         # bucket id recomputed from the key (deterministic hash) so the
-        # pruned multi-dir read needs no partition-column inference
-        old = spark.read.parquet(*existing).withColumn("_kb", kb_of)
+        # pruned multi-dir read needs no partition-column inference.
+        # Old dirs are read under the PREVIOUSLY stamped schema (a
+        # widened batch would otherwise fail the union), and the union
+        # NULL-fills the widened columns for old rows.
+        reader = spark.read
+        if man and man.get("fields"):
+            reader = reader.schema(_stamped_ddl(man["fields"]))
+        old = reader.parquet(*existing).withColumn("_kb", kb_of)
         keys = b.select(key).distinct()
-        merged = old.join(F.broadcast(keys), key, "left_anti").unionByName(b)
+        merged = old.join(F.broadcast(keys), key, "left_anti").unionByName(
+            b, allowMissingColumns=True
+        )
     else:
         merged = b
     commit_id = uuid.uuid4().hex[:12]
@@ -653,6 +663,8 @@ def _commit_touched_buckets(
         "n_buckets": n_buckets,
         "buckets": buckets,
     }
+    if fields is not None:
+        doc["fields"] = fields
     pub_v = _publish_manifest(path, doc)  # THE commit point (CAS)
     if pub_v is None:
         return None  # lost to a concurrent writer — caller re-merges
@@ -783,7 +795,12 @@ def read_bucketed_view(
         dirs = sorted(
             os.path.join(path, rel) for rel in man["buckets"].values()
         )
-        df = spark.read.parquet(*dirs)
+        reader = spark.read
+        if man.get("fields"):
+            # explicit stamped schema: mixed-generation dirs NULL-fill
+            # widened columns per file, no mergeSchema footer sweep
+            reader = reader.schema(_stamped_ddl(man["fields"]))
+        df = reader.parquet(*dirs)
     if _ReresolvingView is not None and isinstance(df, _ClassicDataFrame):
         return _ReresolvingView(df._jdf, spark, path, version)
     return df  # pragma: no cover - non-classic session
@@ -838,6 +855,7 @@ def delete_keys_bucketed(
                 f"not {key!r}"
             )
         _require_no_pending_deltas(path, man, "delete_keys_bucketed")
+        _check_key_type(path, man, keys.select(key).schema)
         nb = int(man["n_buckets"])  # stamped count wins — no drift
         kb_of = F.pmod(F.hash(F.col(key)), F.lit(nb))
         doomed = keys.select(key).distinct().withColumn("_kb", kb_of).persist()
@@ -851,7 +869,10 @@ def delete_keys_bucketed(
             if not touched:
                 return 0
             existing = [os.path.join(path, buckets[str(kb)]) for kb in touched]
-            old = spark.read.parquet(*existing).withColumn("_kb", kb_of)
+            reader = spark.read
+            if man.get("fields"):
+                reader = reader.schema(_stamped_ddl(man["fields"]))
+            old = reader.parquet(*existing).withColumn("_kb", kb_of)
             remaining = old.join(
                 F.broadcast(doomed.select(key)), key, "left_anti"
             )
@@ -878,6 +899,8 @@ def delete_keys_bucketed(
                 "n_buckets": nb,
                 "buckets": buckets,
             }
+            if man.get("fields"):
+                doc["fields"] = man["fields"]  # deletes never evolve
             pub_v = _publish_manifest(path, doc)  # THE commit point
             if pub_v is None:
                 continue  # lost the CAS — re-merge against the winner
@@ -925,6 +948,89 @@ _DELETED_COL = "_deleted"
 _SEQ_COL = "_delta_seq"
 
 
+# --------------------------------------------------------------------
+# Schema evolution
+#
+# The manifest stamps the view's payload schema ("fields": ordered
+# [name, ddl-type] pairs). Every upsert validates its batch against
+# the stamp: NEW columns widen the stamp additively (old dirs simply
+# lack them — readers fill NULLs), while a type change or a missing
+# stamped column is rejected loudly (a silent accept would fork the
+# layout into per-generation schemas a reader can't reconcile).
+# Readers then scan with the STAMPED schema explicitly — which is
+# also the 100-TB answer to mixed-generation dirs: Spark fills
+# missing columns per file against an explicit read schema, so no
+# mergeSchema footer sweep over ~100k files is ever needed.
+# Pre-evolution manifests (no "fields") keep the old plain-read path.
+# --------------------------------------------------------------------
+
+
+def _fields_of(schema) -> list[list[str]]:  # noqa: ANN001 - StructType
+    return [
+        [f.name, f.dataType.simpleString()]
+        for f in schema.fields
+        if f.name not in (_DELETED_COL, "_kb")
+    ]
+
+
+def _widen_fields(
+    path: str, man: dict | None, batch_schema  # noqa: ANN001
+) -> list[list[str]]:
+    """Validate a batch against the stamped schema and return the
+    (possibly widened) stamp to publish. Additive-only: new columns
+    append; a type change or a missing stamped column raises."""
+    bf = _fields_of(batch_schema)
+    stamped = man.get("fields") if man else None
+    if stamped is None:
+        return bf  # first stamp (or pre-evolution view): batch wins
+    st = {n: t for n, t in stamped}
+    batch_names = {n for n, _ in bf}
+    changed = [
+        (n, st[n], t) for n, t in bf if n in st and st[n] != t
+    ]
+    if changed:
+        n, old_t, new_t = changed[0]
+        raise ValueError(
+            f"schema evolution at {path!r} rejected: column {n!r} is "
+            f"stamped {old_t!r} but the batch carries {new_t!r} — type "
+            "changes are not additive (rewrite the view to migrate)"
+        )
+    missing = [n for n, _ in stamped if n not in batch_names]
+    if missing:
+        raise ValueError(
+            f"schema evolution at {path!r} rejected: batch is missing "
+            f"stamped column(s) {missing} — widening is additive-only; "
+            "supply every existing column"
+        )
+    return [list(p) for p in stamped] + [
+        [n, t] for n, t in bf if n not in st
+    ]
+
+
+def _check_key_type(path: str, man: dict | None, keys_schema) -> None:  # noqa: ANN001
+    """Tombstone batches carry only the key column — validate just its
+    type against the stamp (a key-type change alters the murmur3
+    bucket layout, the one thing that must never drift)."""
+    stamped = man.get("fields") if man else None
+    if not stamped:
+        return
+    st = {n: t for n, t in stamped}
+    for f in keys_schema.fields:
+        if f.name in st and st[f.name] != f.dataType.simpleString():
+            raise ValueError(
+                f"schema evolution at {path!r} rejected: key column "
+                f"{f.name!r} is stamped {st[f.name]!r} but the delete "
+                f"batch carries {f.dataType.simpleString()!r}"
+            )
+
+
+def _stamped_ddl(fields: list, with_deleted: bool = False) -> str:
+    cols = [f"`{n}` {t}" for n, t in fields]
+    if with_deleted:
+        cols.append(f"`{_DELETED_COL}` boolean")
+    return ", ".join(cols)
+
+
 def _require_no_pending_deltas(path: str, man: dict, fn: str) -> None:
     if man.get("delta_commits"):
         raise ValueError(
@@ -952,6 +1058,12 @@ def _merged_delta_read(
     from functools import reduce
 
     key = man["key"]
+    # with a stamped schema every generation is read under ONE explicit
+    # schema (missing columns NULL-fill per file — no mergeSchema
+    # footer sweep); pre-evolution manifests keep the inferred read
+    reader = spark.read
+    if man.get("fields"):
+        reader = reader.schema(_stamped_ddl(man["fields"], with_deleted=True))
     parts: list[DataFrame] = []
     base = [
         os.path.join(path, rel)
@@ -960,9 +1072,7 @@ def _merged_delta_read(
     ]
     if base:
         parts.append(
-            spark.read.parquet(*sorted(base)).withColumn(
-                _SEQ_COL, F.lit(0)
-            )
+            reader.parquet(*sorted(base)).withColumn(_SEQ_COL, F.lit(0))
         )
     for i, dc in enumerate(man.get("delta_commits", ()), start=1):
         dirs = [
@@ -972,9 +1082,7 @@ def _merged_delta_read(
         ]
         if dirs:
             parts.append(
-                spark.read.parquet(*sorted(dirs)).withColumn(
-                    _SEQ_COL, F.lit(i)
-                )
+                reader.parquet(*sorted(dirs)).withColumn(_SEQ_COL, F.lit(i))
             )
     if not parts:  # pragma: no cover - callers pre-check emptiness
         raise FileNotFoundError(f"no data dirs to merge at {path!r}")
@@ -1021,6 +1129,10 @@ def _append_delta(
                     f"{man['key']!r}, not {key!r}"
                 )
             nb = int(man["n_buckets"])  # stamped count wins — no drift
+        if tombstone:  # keys-only batch: validate just the key's type
+            _check_key_type(path, man, rows.schema)
+        else:
+            _widen_fields(path, man, rows.schema)  # fail fast
         kb_of = F.pmod(F.hash(F.col(key)), F.lit(nb))
         b = (
             rows.withColumn(_DELETED_COL, F.lit(tombstone))
@@ -1063,6 +1175,10 @@ def _append_delta(
                     )
                 if man2 is not None and int(man2["n_buckets"]) != nb:
                     break  # layout stamp changed — restage (outer loop)
+                if tombstone:
+                    fields = man2.get("fields") if man2 else None
+                else:  # re-validate vs the manifest we now publish on
+                    fields = _widen_fields(path, man2, rows.schema)
                 doc = {
                     "version": (int(man2["version"]) + 1) if man2 else 1,
                     "key": key,
@@ -1073,6 +1189,8 @@ def _append_delta(
                     )
                     + [entry],
                 }
+                if fields is not None:
+                    doc["fields"] = fields
                 pub_v = _publish_manifest(path, doc)  # THE commit point
                 if pub_v is not None:
                     doc["version"] = pub_v
@@ -1213,6 +1331,8 @@ def compact_bucketed_view(
             "n_buckets": nb,
             "buckets": buckets,
         }
+        if man.get("fields"):
+            doc["fields"] = man["fields"]  # compaction never evolves
         pub_v = _publish_manifest(path, doc)  # THE commit point
         if pub_v is None:
             continue  # a delta landed meanwhile — refold against it

@@ -360,3 +360,82 @@ def test_merge_agg_state_negative_raises_with_null_key_identity(spark):
     )
     with pytest.raises(Exception, match=r"went negative.*a/NULL"):
         bad.collect()
+
+
+def test_change_feed_replay_with_deletes_equals_from_scratch(spark, tmp_path):
+    """A downstream IVM consumer must be able to REPLAY the manifest
+    change feed — including delete retractions — into a maintained
+    view and land exactly on the from-scratch result. Three commits
+    on the source view (base, upsert, keyed delete), feed = full
+    outer diff of v1 vs v3 classified insert/update/delete/unchanged;
+    applying the feed's upserts and deletes to a second view seeded
+    from v1 must equal reading v3 directly."""
+    from etl_sprint_2_5_spark.streaming import sink
+
+    src = str(tmp_path / "src")
+    dst = str(tmp_path / "dst")
+
+    def _b(rows):
+        return spark.createDataFrame(rows, "id long, val long")
+
+    v1 = [(i, i * 10) for i in range(30)]
+    sink.upsert_keyed_parquet_bucketed(
+        spark, _b(v1), src, "id", 4, keep_versions=4
+    )
+    sink.upsert_keyed_parquet_bucketed(  # v2: update %3, insert 100..104
+        spark,
+        _b([(i, i * 10 + 1) for i in range(0, 30, 3)]
+           + [(i, i) for i in range(100, 105)]),
+        src, "id", 4, keep_versions=4,
+    )
+    sink.delete_keys_bucketed(  # v3: delete %5 (some updated, some not)
+        spark,
+        spark.createDataFrame([(i,) for i in range(0, 30, 5)], "id long"),
+        src, "id", keep_versions=4,
+    )
+
+    old = sink.read_bucketed_view(spark, src, version=1).select(
+        F.col("id").alias("o_id"), F.col("val").alias("o_val")
+    )
+    new = sink.read_bucketed_view(spark, src, version=3)
+    feed = new.join(old, new["id"] == old["o_id"], "full_outer").select(
+        F.when(F.col("o_id").isNull(), F.lit("insert"))
+        .when(F.col("id").isNull(), F.lit("delete"))
+        .when(F.col("val") != F.col("o_val"), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+        .alias("op"),
+        F.coalesce(F.col("id"), F.col("o_id")).alias("id"),
+        F.col("val"),
+    ).persist()
+    try:
+        ops = {r.op for r in feed.select("op").distinct().collect()}
+        assert ops == {"insert", "update", "delete", "unchanged"}
+
+        # maintained view: seed from v1, then replay the feed
+        sink.upsert_keyed_parquet_bucketed(
+            spark, _b(v1), dst, "id", 4, keep_versions=1
+        )
+        sink.upsert_keyed_parquet_bucketed(
+            spark,
+            feed.where(F.col("op").isin("insert", "update")).select(
+                "id", "val"
+            ),
+            dst, "id", 4, keep_versions=1,
+        )
+        sink.delete_keys_bucketed(
+            spark,
+            feed.where(F.col("op") == "delete").select("id"),
+            dst, "id", keep_versions=1,
+        )
+
+        replayed = {
+            (r.id, r.val)
+            for r in sink.read_bucketed_view(spark, dst).collect()
+        }
+        scratch = {
+            (r.id, r.val)
+            for r in sink.read_bucketed_view(spark, src, version=3).collect()
+        }
+        assert replayed == scratch
+    finally:
+        feed.unpersist()

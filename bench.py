@@ -143,6 +143,7 @@ HEADLINE = [
     "manifest_delta_merge_read",
     "manifest_delta_compact_equiv",
     "manifest_change_feed_deletes",
+    "manifest_change_feed_pruned",
     "manifest_schema_evolution",
 ]
 

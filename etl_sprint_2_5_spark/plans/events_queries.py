@@ -2061,6 +2061,37 @@ def manifest_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _cdf_three_commits(spark: SparkSession, sf_dir: str, view: str) -> None:
+    """Shared builder for the change-feed gates: v1 = even doc_ids,
+    v2 = upsert every doc_id % 3 (payload + 1000), v3 = DELETE every
+    doc_id % 5 (bucket-pruned rewrite)."""
+    from etl_sprint_2_5_spark.streaming.sink import (
+        delete_keys_bucketed,
+        upsert_keyed_parquet_bucketed,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    upsert_keyed_parquet_bucketed(
+        spark,
+        d.where(F.col("doc_id") % 2 == 0).select(
+            "doc_id", F.col("n_chars").alias("payload")
+        ),
+        view, key="doc_id", n_buckets=8, keep_versions=4,
+    )
+    upsert_keyed_parquet_bucketed(
+        spark,
+        d.where(F.col("doc_id") % 3 == 0).select(
+            "doc_id", (F.col("n_chars") + F.lit(1000)).alias("payload")
+        ),
+        view, key="doc_id", n_buckets=8, keep_versions=4,
+    )
+    delete_keys_bucketed(
+        spark,
+        d.where(F.col("doc_id") % 5 == 0).select("doc_id"),
+        view, key="doc_id", keep_versions=4,
+    )
+
+
 @query(
     "manifest_change_feed_deletes",
     oracle="""
@@ -2110,35 +2141,12 @@ def manifest_change_feed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from etl_sprint_2_5_spark.streaming.sink import (
-        delete_keys_bucketed,
-        read_bucketed_view,
-        upsert_keyed_parquet_bucketed,
-    )
+    from etl_sprint_2_5_spark.streaming.sink import read_bucketed_view
 
-    d = load_table(spark, "documents", sf_dir)
     tmp = tempfile.mkdtemp(prefix="cdf_del_")
     view = f"{tmp}/docs_view"
     try:
-        upsert_keyed_parquet_bucketed(
-            spark,
-            d.where(F.col("doc_id") % 2 == 0).select(
-                "doc_id", F.col("n_chars").alias("payload")
-            ),
-            view, key="doc_id", n_buckets=8, keep_versions=4,
-        )
-        upsert_keyed_parquet_bucketed(
-            spark,
-            d.where(F.col("doc_id") % 3 == 0).select(
-                "doc_id", (F.col("n_chars") + F.lit(1000)).alias("payload")
-            ),
-            view, key="doc_id", n_buckets=8, keep_versions=4,
-        )
-        delete_keys_bucketed(
-            spark,
-            d.where(F.col("doc_id") % 5 == 0).select("doc_id"),
-            view, key="doc_id", keep_versions=4,
-        )
+        _cdf_three_commits(spark, sf_dir, view)
 
         old = read_bucketed_view(spark, view, version=1).select(
             F.col("doc_id").alias("o_id"), F.col("payload").alias("o_payload")
@@ -2156,6 +2164,92 @@ def manifest_change_feed_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = (
             feed.groupBy("op")
+            .agg(
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum("payload").cast("bigint").alias("payload_sum"),
+            )
+            .orderBy("op")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "manifest_change_feed_pruned",
+    oracle="""
+    WITH v1 AS (
+      SELECT doc_id, n_chars AS payload
+      FROM documents WHERE doc_id % 2 = 0
+    ), v3 AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS payload
+      FROM documents
+      WHERE (doc_id % 2 = 0 OR doc_id % 3 = 0) AND doc_id % 5 <> 0
+    ), feed AS (
+      SELECT CASE WHEN o.doc_id IS NULL THEN 'insert'
+                  WHEN n.doc_id IS NULL THEN 'delete'
+                  WHEN n.payload <> o.payload THEN 'update'
+                  ELSE 'unchanged' END AS op,
+             COALESCE(n.payload, o.payload) AS payload
+      FROM v3 n FULL OUTER JOIN v1 o ON n.doc_id = o.doc_id
+    )
+    SELECT op,
+           count(*) AS n_keys,
+           CAST(sum(payload) AS BIGINT) AS payload_sum
+    FROM feed
+    WHERE op <> 'unchanged'
+    GROUP BY op
+    ORDER BY op
+    """,
+    covers=("T4", "X-sink-change-feed"),
+)
+def manifest_change_feed_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed the way a 100-TB consumer actually wants it:
+    BUCKET-PRUNED and without the unchanged rows. Data dirs are
+    immutable and each commit re-points exactly the buckets it
+    touched, so two manifests prove — with zero data reads — which
+    buckets CAN contain changes (streaming/sink.changed_buckets);
+    snapshot_diff_views restricts BOTH snapshot scans to that subset
+    before the outer-join diff, making feed cost proportional to the
+    CHANGED buckets, not the view (a maintenance cycle touching 0.1%
+    of a ~100k-bucket view diffs ~0.1% of it — the same file skipping
+    a Delta CDF read gets from its commit log). Rows in untouched
+    buckets are provably unchanged, so the pruned feed is COMPLETE
+    for insert/update/delete — gated here against the oracle's
+    UNPRUNED full-corpus reconstruction (same three commits as
+    manifest_change_feed_deletes), which is exactly the completeness
+    claim: any key the pruning wrongly skipped would be a missing
+    feed row and a hash mismatch. The exclusion of untouched buckets
+    from the physical scan is pytest-pinned via inputFiles() in
+    tests/test_sink_delta.py."""
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.streaming.sink import snapshot_diff_views
+
+    tmp = tempfile.mkdtemp(prefix="cdf_pruned_")
+    view = f"{tmp}/docs_view"
+    try:
+        _cdf_three_commits(spark, sf_dir, view)
+        old_rows, new_rows, _ = snapshot_diff_views(spark, view, 1, 3)
+        old = old_rows.select(
+            F.col("doc_id").alias("o_id"), F.col("payload").alias("o_payload")
+        )
+        feed = new_rows.join(
+            old, new_rows["doc_id"] == old["o_id"], "full_outer"
+        ).select(
+            F.when(F.col("o_id").isNull(), F.lit("insert"))
+            .when(F.col("doc_id").isNull(), F.lit("delete"))
+            .when(F.col("payload") != F.col("o_payload"), F.lit("update"))
+            .otherwise(F.lit("unchanged"))
+            .alias("op"),
+            F.coalesce(F.col("payload"), F.col("o_payload")).alias("payload"),
+        )
+        out = (
+            feed.where(F.col("op") != "unchanged")
+            .groupBy("op")
             .agg(
                 F.count(F.lit(1)).alias("n_keys"),
                 F.sum("payload").cast("bigint").alias("payload_sum"),

@@ -806,6 +806,91 @@ def read_bucketed_view(
     return df  # pragma: no cover - non-classic session
 
 
+def changed_buckets(man_old: dict, man_new: dict) -> set[str]:
+    """Bucket ids whose referenced dirs differ between two manifests.
+
+    Data dirs are immutable and a commit re-points exactly the buckets
+    it touched, so a bucket whose base dir AND delta-dir list are
+    identical across two versions CANNOT contain a row change — its
+    manifest entries are proof, no data read needed. This is the
+    file-level skipping a Delta CDF read does with its commit log:
+    at the 100-TB / ~100k-bucket sizing, diffing two snapshots that a
+    maintenance cycle separated touches the handful of rewritten
+    buckets, not the corpus."""
+
+    def per_bucket(man: dict) -> dict[str, list[str]]:
+        per: dict[str, list[str]] = {
+            kb: [rel] for kb, rel in man["buckets"].items()
+        }
+        for dc in man.get("delta_commits", ()):
+            for kb, rel in dc["buckets"].items():
+                per.setdefault(kb, []).append(rel)
+        return per
+
+    a, b = per_bucket(man_old), per_bucket(man_new)
+    return {kb for kb in set(a) | set(b) if a.get(kb) != b.get(kb)}
+
+
+def _snapshot_read(
+    spark: SparkSession,
+    path: str,
+    man: dict,
+    only_buckets: set[str] | None = None,
+) -> DataFrame:
+    """One snapshot's rows, optionally restricted to a bucket subset
+    (delta-mode manifests merge on read; plain manifests scan their
+    base dirs under the stamped schema)."""
+    if man.get("delta_commits"):
+        return _merged_delta_read(spark, path, man, only_buckets)
+    dirs = sorted(
+        os.path.join(path, rel)
+        for kb, rel in man["buckets"].items()
+        if only_buckets is None or kb in only_buckets
+    )
+    if not dirs:
+        # a one-sided subset (e.g. the OLD snapshot of buckets that
+        # only exist in the new version — pure inserts): empty rows,
+        # correct schema, zero scans
+        if man.get("fields"):
+            return spark.createDataFrame([], _stamped_ddl(man["fields"]))
+        all_dirs = sorted(
+            os.path.join(path, rel) for rel in man["buckets"].values()
+        )
+        return spark.read.parquet(*all_dirs).limit(0)
+    reader = spark.read
+    if man.get("fields"):
+        reader = reader.schema(_stamped_ddl(man["fields"]))
+    return reader.parquet(*dirs)
+
+
+def snapshot_diff_views(
+    spark: SparkSession, path: str, v_old: int, v_new: int
+) -> tuple[DataFrame, DataFrame, int]:
+    """The pruned inputs for a change-feed read between two retained
+    versions: ``(old_rows, new_rows, n_changed_buckets)`` with BOTH
+    sides restricted to the buckets whose manifest entries differ.
+    Rows in untouched buckets are provably unchanged (immutable dirs),
+    so a feed built from these inputs is complete for
+    insert/update/delete — and its scan + shuffle cost is proportional
+    to the CHANGED buckets, not the view. Raises FileNotFoundError if
+    either version is outside the retention window."""
+    man_old = load_manifest(path, version=v_old)
+    man_new = load_manifest(path, version=v_new)
+    if man_old is None or man_new is None:
+        missing = v_old if man_old is None else v_new
+        raise FileNotFoundError(
+            f"bucketed keyed view at {path!r} has no committed manifest "
+            f"at version {missing} — version GC'd or never published"
+        )
+    chg = changed_buckets(man_old, man_new)
+    if not chg:  # identical snapshots — empty diff, zero scans
+        empty = _snapshot_read(spark, path, man_new).limit(0)
+        return empty, empty, 0
+    old_df = _snapshot_read(spark, path, man_old, only_buckets=chg)
+    new_df = _snapshot_read(spark, path, man_new, only_buckets=chg)
+    return old_df, new_df, len(chg)
+
+
 def delete_keys_bucketed(
     spark: SparkSession,
     keys: DataFrame,

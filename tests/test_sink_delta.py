@@ -345,3 +345,66 @@ def test_delta_manifest_checksum_and_torn_fallback(spark, tmp_path):
         f.write(json.dumps({"version": 3, "buckets": {}})[: 20])
     got = dict(_rows_of(sink.read_bucketed_view(spark, path)))
     assert got[5] == -1 and len(got) == 50
+
+
+def test_snapshot_diff_prunes_untouched_buckets(spark, tmp_path):
+    """changed_buckets/snapshot_diff_views: immutable dirs mean two
+    manifests prove which buckets can contain changes — the diff scan
+    must exclude every untouched bucket's files, handle one-sided
+    (insert-only new bucket) subsets, and return a zero-scan empty
+    diff for identical versions."""
+    F, sink = _imports()
+    path = str(tmp_path / "view")
+    _seed_base(spark, sink, path, n=200, n_buckets=8)  # v1
+    man1 = sink.load_manifest(path)
+
+    sink.upsert_keyed_parquet_bucketed(
+        spark, _bdf(spark, [(5, -1)]), path, "id", 8, keep_versions=3
+    )  # v2: exactly one bucket re-pointed
+    man2 = sink.load_manifest(path)
+
+    chg = sink.changed_buckets(man1, man2)
+    assert len(chg) == 1
+    old_df, new_df, n = sink.snapshot_diff_views(spark, path, 1, 2)
+    assert n == 1
+    scanned = set(old_df.inputFiles()) | set(new_df.inputFiles())
+    untouched = {
+        os.path.join(path, rel)
+        for kb, rel in man1["buckets"].items()
+        if kb not in chg
+    }
+    for f in scanned:
+        assert not any(f.replace("file:", "").startswith(d) for d in untouched), (
+            f"diff scanned untouched bucket file {f}"
+        )
+    # the pruned diff still sees the one change
+    old_k = {(r.id, r.val) for r in old_df.collect()}
+    new_k = {(r.id, r.val) for r in new_df.collect()}
+    assert (5, 50) in old_k and (5, -1) in new_k
+    assert {k for k, _ in old_k} == {k for k, _ in new_k}  # same bucket
+
+    # identical versions: empty diff, zero changed buckets
+    o2, n2, z = sink.snapshot_diff_views(spark, path, 2, 2)
+    assert z == 0 and o2.count() == 0 and n2.count() == 0
+
+    # one-sided subset: a brand-new bucket exists only in the new
+    # version; the old side must come back empty with the right schema
+    tiny = str(tmp_path / "tiny")
+    sink.upsert_keyed_parquet_bucketed(
+        spark, _bdf(spark, [(0, 0)]), tiny, "id", 8, keep_versions=3
+    )
+    kb0 = next(iter(sink.load_manifest(tiny)["buckets"]))
+    new_key = next(
+        i for i in range(1, 64)
+        if spark.createDataFrame([(i,)], "id long")
+        .select(F.pmod(F.hash("id"), F.lit(8)).alias("kb"))
+        .first()
+        .kb != int(kb0)
+    )
+    sink.upsert_keyed_parquet_delta(
+        spark, _bdf(spark, [(new_key, 1)]), tiny, "id", keep_versions=3
+    )
+    o3, n3, z3 = sink.snapshot_diff_views(spark, tiny, 1, 2)
+    assert z3 == 1
+    assert o3.count() == 0 and o3.columns == ["id", "val"]
+    assert {(r.id, r.val) for r in n3.collect()} == {(new_key, 1)}

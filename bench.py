@@ -145,6 +145,10 @@ HEADLINE = [
     "manifest_change_feed_deletes",
     "manifest_change_feed_pruned",
     "manifest_schema_evolution",
+    # round-11 flagship: the IVM loop through the log-structured sink
+    # (delta appends per cycle, compaction every 3rd upsert, final
+    # read crosses mixed base+delta state)
+    "ivm_maintained_docs_delta",
 ]
 
 

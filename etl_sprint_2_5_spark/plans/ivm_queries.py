@@ -153,6 +153,57 @@ def _rebuild_docs(load, ids: DataFrame) -> DataFrame:  # noqa: ANN001
     )
 
 
+def _docs_pipelines(
+    gold: str, nb: int, sizes: dict, sink_mode: str = "rewrite",
+    compact_every: int = 0,
+):
+    """The three maintenance pipelines (fact, dimension-via-bridge,
+    child-fact fan-out) shared by the rewrite-sink gate and its
+    log-structured delta twin."""
+    from etl_sprint_2_5_spark.streaming.ivm import FanOut, Pipeline
+
+    common = dict(
+        rebuild=_rebuild_docs, sink_path=gold, doc_key="o_orderkey",
+        n_buckets=nb, sink_mode=sink_mode, compact_every=compact_every,
+    )
+    return [
+        Pipeline(
+            name="orders",
+            source="orders",
+            cursor_field="updated_at",
+            id_field="o_orderkey",
+            fanout=FanOut(id_field="o_orderkey"),
+            batch_size=sizes["orders"],
+            **common,
+        ),
+        Pipeline(
+            name="customer",
+            source="customer",
+            cursor_field="updated_at",
+            id_field="c_custkey",
+            # dimension change → affected facts via the bridge
+            # (get_table_ids_by_join, daemon.py:139-152)
+            fanout=FanOut(
+                id_field="c_custkey",
+                bridge="orders",
+                join_field="o_custkey",
+                select_field="o_orderkey",
+            ),
+            batch_size=sizes["customer"],
+            **common,
+        ),
+        Pipeline(
+            name="lineitem",
+            source="lineitem",
+            cursor_field="updated_at",
+            id_field="li_id",
+            fanout=FanOut(id_field="l_orderkey"),
+            batch_size=sizes["lineitem"],
+            **common,
+        ),
+    ]
+
+
 @query(
     "ivm_maintained_docs",
     oracle="""
@@ -204,7 +255,7 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one Spark job per cycle, so upsert cost tracks the CHANGE, not
     the view. The flat whole-view-rewrite sink remains available
     (Pipeline.n_buckets=0) but is not what the gate proves anymore."""
-    from etl_sprint_2_5_spark.streaming.ivm import FanOut, Pipeline, run_to_completion
+    from etl_sprint_2_5_spark.streaming.ivm import run_to_completion
     from etl_sprint_2_5_spark.streaming.state import OffsetStore
 
     tmp = tempfile.mkdtemp(prefix="ivm_gate_")
@@ -225,51 +276,7 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         name: max(1, load(name).count() // 2 + 1)
         for name in ("orders", "customer", "lineitem")
     }
-    pipelines = [
-        Pipeline(
-            name="orders",
-            source="orders",
-            cursor_field="updated_at",
-            id_field="o_orderkey",
-            fanout=FanOut(id_field="o_orderkey"),
-            rebuild=_rebuild_docs,
-            sink_path=gold,
-            doc_key="o_orderkey",
-            n_buckets=nb,
-            batch_size=sizes["orders"],
-        ),
-        Pipeline(
-            name="customer",
-            source="customer",
-            cursor_field="updated_at",
-            id_field="c_custkey",
-            # dimension change → affected facts via the bridge
-            # (get_table_ids_by_join, daemon.py:139-152)
-            fanout=FanOut(
-                id_field="c_custkey",
-                bridge="orders",
-                join_field="o_custkey",
-                select_field="o_orderkey",
-            ),
-            rebuild=_rebuild_docs,
-            sink_path=gold,
-            doc_key="o_orderkey",
-            n_buckets=nb,
-            batch_size=sizes["customer"],
-        ),
-        Pipeline(
-            name="lineitem",
-            source="lineitem",
-            cursor_field="updated_at",
-            id_field="li_id",
-            fanout=FanOut(id_field="l_orderkey"),
-            rebuild=_rebuild_docs,
-            sink_path=gold,
-            doc_key="o_orderkey",
-            n_buckets=nb,
-            batch_size=sizes["lineitem"],
-        ),
-    ]
+    pipelines = _docs_pipelines(gold, nb, sizes)
     offsets = OffsetStore(f"{tmp}/offsets.json", id_default=0)
 
     run_to_completion(spark, pipelines, load, offsets)  # phase A: backfill
@@ -430,6 +437,65 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
 from etl_sprint_2_5_spark.plans.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["streaming_ivm_maintained_docs"].oracle = _REG["ivm_maintained_docs"].oracle
+
+
+@query(
+    "ivm_maintained_docs_delta",
+    oracle=None,  # set below — identical to ivm_maintained_docs' oracle
+    covers=("T2", "T3", "T7", "T8", "X-ivm-live", "X-sink-delta-log"),
+)
+def ivm_maintained_docs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME two-phase maintenance scenario as ivm_maintained_docs,
+    hash-gated by the SAME from-scratch oracle — but every cycle's
+    upsert goes through the LOG-STRUCTURED sink
+    (streaming/sink.upsert_keyed_parquet_delta): each cycle appends a
+    delta commit costing O(affected docs) bytes instead of rewriting
+    its touched buckets whole, and every third upsert folds the log
+    back into bases through compact_bucketed_view's CAS commit
+    (Pipeline.sink_mode='delta', compact_every=3). The cadence is
+    chosen so the final read crosses a MIXED state — compacted bases
+    plus outstanding deltas — making the gate prove the full
+    merge-on-read path under real multi-pipeline maintenance, not a
+    staged toy. This is the sink mode a high-churn CDC cadence wants
+    at 100 TB: a cycle touching one doc per bucket pays doc-size, not
+    bucket-size (~1 GiB), I/O per commit, with read amplification
+    bounded by the compaction cadence. phase_b_rows gates the cursor
+    discipline exactly as in the rewrite twin."""
+    from etl_sprint_2_5_spark.streaming.ivm import run_to_completion
+    from etl_sprint_2_5_spark.streaming.state import OffsetStore
+
+    tmp = tempfile.mkdtemp(prefix="ivm_delta_gate_")
+    base, gold = f"{tmp}/base", f"{tmp}/gold/docs"
+    _stage_base(spark, sf_dir, base)
+    nb = buckets_for(dir_bytes(base))
+
+    def load(name: str) -> DataFrame:
+        return spark.read.parquet(f"{base}/{name}")
+
+    sizes = {
+        name: max(1, load(name).count() // 2 + 1)
+        for name in ("orders", "customer", "lineitem")
+    }
+    pipelines = _docs_pipelines(
+        gold, nb, sizes, sink_mode="delta", compact_every=3
+    )
+    offsets = OffsetStore(f"{tmp}/offsets.json", id_default=0)
+
+    run_to_completion(spark, pipelines, load, offsets)  # phase A: backfill
+    _mutate(spark, sf_dir, base)  # the CDC writes
+    consumed_b = run_to_completion(spark, pipelines, load, offsets)  # phase B
+
+    docs = (
+        read_bucketed_view(spark, gold)
+        .withColumn("phase_b_rows", F.lit(consumed_b).cast("bigint"))
+        .orderBy("o_orderkey")
+    )
+    out = spark.createDataFrame(docs.collect(), docs.schema)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+_REG["ivm_maintained_docs_delta"].oracle = _REG["ivm_maintained_docs"].oracle
 
 
 @query(

@@ -93,9 +93,35 @@ class Pipeline:
     # proportional to the buckets the CHANGE lands in, not the view —
     # the flat whole-view rewrite is untenable at 100 TB. 0 = flat.
     n_buckets: int = 0
+    # 'rewrite' (default) pays O(touched buckets) per cycle; 'delta'
+    # appends log-structured delta commits instead — O(batch) bytes
+    # per cycle, merge-on-read — and folds the log back into bases
+    # every ``compact_every`` upserts (0 = never inline; run
+    # compact_bucketed_view on a maintenance schedule). The delta mode
+    # is what a high-churn CDC cadence wants at 100 TB: a cycle that
+    # touches one doc per bucket pays doc-size, not bucket-size, I/O.
+    sink_mode: str = "rewrite"
+    compact_every: int = 0
+    _delta_upserts: int = 0
 
     def upsert(self, spark: SparkSession, docs: DataFrame) -> None:
-        if self.n_buckets > 0:
+        if self.sink_mode == "delta":
+            from etl_sprint_2_5_spark.streaming.sink import (
+                compact_bucketed_view,
+                upsert_keyed_parquet_delta,
+            )
+
+            upsert_keyed_parquet_delta(
+                spark, docs, self.sink_path, self.doc_key,
+                self.n_buckets or 16,
+            )
+            self._delta_upserts += 1
+            if (
+                self.compact_every > 0
+                and self._delta_upserts % self.compact_every == 0
+            ):
+                compact_bucketed_view(spark, self.sink_path)
+        elif self.n_buckets > 0:
             upsert_keyed_parquet_bucketed(
                 spark, docs, self.sink_path, self.doc_key, self.n_buckets
             )
@@ -108,7 +134,7 @@ class Pipeline:
             read_view,
         )
 
-        if self.n_buckets > 0:
+        if self.n_buckets > 0 or self.sink_mode == "delta":
             return read_bucketed_view(spark, self.sink_path)
         return read_view(spark, self.sink_path)
 

@@ -556,6 +556,9 @@ def upsert_keyed_parquet_bucketed(
     and a crash before the publish leaves the offset uncommitted →
     redelivery re-runs the same idempotent merge. Returns the number
     of buckets touched."""
+    for col in _RESERVED_COLS:
+        if col in batch.columns:
+            raise ValueError(f"batch column {col!r} is reserved by the sink")
     # optimistic-concurrency loop: each attempt merges against the
     # manifest it read and publishes version+1 via compare-and-swap;
     # losing the CAS to a concurrent writer means re-merging against
@@ -573,7 +576,7 @@ def upsert_keyed_parquet_bucketed(
                 )
             _require_no_pending_deltas(path, man, "upsert_keyed_parquet_bucketed")
             nb = int(man["n_buckets"])  # stamped count wins — no drift
-        fields = _widen_fields(path, man, batch.schema)  # fail fast
+        fields = _widen_fields(spark, path, man, batch.schema)  # fail fast
         kb_of = F.pmod(F.hash(F.col(key)), F.lit(nb))
         # persist: the batch plan (often a rebuild join+agg) feeds BOTH
         # the touched-bucket probe and the merge write — without the
@@ -775,12 +778,15 @@ def read_bucketed_view(
     GC'd the snapshot this reader resolved (see _ReresolvingView).
 
     Delta-mode views (manifests carrying ``delta_commits`` — see
-    :func:`upsert_keyed_parquet_delta`) are MERGED ON READ: the base
-    dirs scan at sequence 0, each delta commit at its manifest
-    position, and per key the rows of the highest sequence win
-    (tombstoned keys drop out). The merge is ONE exchange on the view
-    key — the same shuffle a MERGE would pay — and the scan count is
-    1 + #delta_commits, bounded by the compaction cadence
+    :func:`upsert_keyed_parquet_delta`) are MERGED ON READ, and the
+    merge is BUCKET-PRUNED: only buckets some pending delta touched
+    enter the sequence-resolve window (base at sequence 0, each delta
+    commit at its manifest position, highest sequence wins per key,
+    tombstones drop); every untouched bucket's base dir is provably
+    current and scans directly with no window and no exchange. The
+    merge's one exchange on the view key therefore shuffles only the
+    delta-touched buckets' rows — O(touched), not O(view) — and the
+    pending-commit count is bounded by the compaction cadence
     (:func:`compact_bucketed_view`)."""
     man = load_manifest(path, version=version)
     if man is None or (not man["buckets"] and not man.get("delta_commits")):
@@ -790,7 +796,35 @@ def read_bucketed_view(
             + " — nothing upserted, version GC'd, or the path is wrong"
         )
     if man.get("delta_commits"):
-        df = _merged_delta_read(spark, path, man)
+        # BUCKET-PRUNED merge-on-read: only buckets some pending delta
+        # commit touched need the sequence-resolve window (and its
+        # exchange on the view key); every other bucket's base dir is
+        # provably the newest state (immutable dirs, deltas re-point
+        # exactly the buckets they touch), so those scan DIRECTLY and
+        # union in below the window. At the 100-TB sizing a CDC cycle
+        # touches ~0.1% of ~100k buckets — the merge shuffles ~0.1% of
+        # the view instead of all of it, the same file-level skipping
+        # a Delta merge-on-read gets from its commit log.
+        touched = {
+            kb
+            for dc in man["delta_commits"]
+            for kb in dc["buckets"]
+        }
+        merged = _merged_delta_read(spark, path, man, only_buckets=touched)
+        untouched = sorted(
+            os.path.join(path, rel)
+            for kb, rel in man["buckets"].items()
+            if kb not in touched
+        )
+        if untouched:
+            reader = spark.read
+            if man.get("fields"):
+                reader = reader.schema(_stamped_ddl(man["fields"]))
+            df = reader.parquet(*untouched).unionByName(
+                merged, allowMissingColumns=True
+            )
+        else:
+            df = merged
     else:
         dirs = sorted(
             os.path.join(path, rel) for rel in man["buckets"].values()
@@ -856,6 +890,17 @@ def _snapshot_read(
         all_dirs = sorted(
             os.path.join(path, rel) for rel in man["buckets"].values()
         )
+        if not all_dirs:
+            # legacy (no stamped fields) manifest whose bucket map is
+            # ALSO empty — a fully-deleted pre-evolution view. There is
+            # no path to derive a schema from; a bare zero-path
+            # spark.read.parquet() would raise an opaque analysis
+            # error, so fail loudly with the actual cause instead.
+            raise FileNotFoundError(
+                f"bucketed view at {path!r}: manifest has no stamped "
+                "schema and no data dirs (fully-deleted pre-evolution "
+                "view) — cannot construct an empty typed snapshot"
+            )
         return spark.read.parquet(*all_dirs).limit(0)
     reader = spark.read
     if man.get("fields"):
@@ -1031,6 +1076,13 @@ def delete_keys_bucketed(
 
 _DELETED_COL = "_deleted"
 _SEQ_COL = "_delta_seq"
+#: Every column name the sink itself materializes at some point in the
+#: write/merge pipeline. A user batch carrying any of these would be
+#: silently overwritten (withColumn) and dropped on merged reads, so
+#: writers reject them up front — including the two merge-side names
+#: (_delta_seq, _max_seq) that only exist transiently inside
+#: _merged_delta_read but would still shadow a stamped user column.
+_RESERVED_COLS = (_DELETED_COL, "_kb", _SEQ_COL, "_max_seq")
 
 
 # --------------------------------------------------------------------
@@ -1054,12 +1106,46 @@ def _fields_of(schema) -> list[list[str]]:  # noqa: ANN001 - StructType
     return [
         [f.name, f.dataType.simpleString()]
         for f in schema.fields
-        if f.name not in (_DELETED_COL, "_kb")
+        if f.name not in _RESERVED_COLS
+    ]
+
+
+def _legacy_stamp(
+    spark: SparkSession, path: str, man: dict, bf: list[list[str]]
+) -> list[list[str]]:
+    """First stamp on a PRE-EVOLUTION view that already has data dirs:
+    the stamp must be the union of what exists on disk and what the
+    batch carries, not the batch schema verbatim — a batch narrower
+    than the existing dirs would otherwise stamp a schema that makes
+    the extra on-disk columns invisible under every later
+    stamped-schema read (data silently hidden, never rejected). This
+    is a ONE-TIME upgrade sweep: mergeSchema over the legacy dirs'
+    footers happens only on the commit that introduces the stamp;
+    every later commit validates against the stamp with zero reads."""
+    dirs = [os.path.join(path, rel) for rel in man["buckets"].values()]
+    for dc in man.get("delta_commits", ()):
+        dirs += [os.path.join(path, rel) for rel in dc["buckets"].values()]
+    if not dirs:
+        return bf  # fully-deleted legacy view: nothing to preserve
+    existing = _fields_of(
+        spark.read.option("mergeSchema", "true").parquet(*sorted(dirs)).schema
+    )
+    ex = {n: t for n, t in existing}
+    for n, t in bf:
+        if n in ex and ex[n] != t:
+            raise ValueError(
+                f"schema evolution at {path!r} rejected: existing dirs "
+                f"carry column {n!r} as {ex[n]!r} but the batch carries "
+                f"{t!r} — type changes are not additive (rewrite the "
+                "view to migrate)"
+            )
+    return [list(p) for p in existing] + [
+        [n, t] for n, t in bf if n not in ex
     ]
 
 
 def _widen_fields(
-    path: str, man: dict | None, batch_schema  # noqa: ANN001
+    spark: SparkSession, path: str, man: dict | None, batch_schema  # noqa: ANN001
 ) -> list[list[str]]:
     """Validate a batch against the stamped schema and return the
     (possibly widened) stamp to publish. Additive-only: new columns
@@ -1067,7 +1153,11 @@ def _widen_fields(
     bf = _fields_of(batch_schema)
     stamped = man.get("fields") if man else None
     if stamped is None:
-        return bf  # first stamp (or pre-evolution view): batch wins
+        if man is not None:
+            # upgrading a legacy (pre-evolution) view: union with what
+            # the existing dirs carry so no on-disk column goes dark
+            return _legacy_stamp(spark, path, man, bf)
+        return bf  # first commit of a fresh view: batch wins
     st = {n: t for n, t in stamped}
     batch_names = {n for n, _ in bf}
     changed = [
@@ -1190,6 +1280,40 @@ def _merged_delta_read(
     return out
 
 
+#: Unconditional nag threshold for the pending-delta-commit count:
+#: nothing in the protocol bounds ``delta_commits`` growth if a caller
+#: never compacts, and every read pays 1 + #pending scans plus a wider
+#: merge window — a silent read-amplification leak. Past this depth
+#: every further delta write emits a RuntimeWarning; callers with a
+#: hard budget pass ``max_pending_deltas`` to the writers instead,
+#: which raises (the loud-cap precedent of the basket limit).
+DELTA_LOG_WARN_PENDING = 64
+
+
+def _check_pending_depth(
+    path: str, man: dict | None, max_pending_deltas: int | None
+) -> None:
+    pending = len(man.get("delta_commits", ())) if man else 0
+    if max_pending_deltas is not None and pending >= max_pending_deltas:
+        raise ValueError(
+            f"delta log at {path!r} has {pending} pending commit(s) — at "
+            f"or past this writer's max_pending_deltas={max_pending_deltas}. "
+            "Run compact_bucketed_view() to fold the log (or raise the "
+            "cap); every read is paying 1 + pending scans until then."
+        )
+    if pending >= DELTA_LOG_WARN_PENDING:
+        import warnings
+
+        warnings.warn(
+            f"delta log at {path!r} has {pending} pending commit(s) "
+            f"(warn threshold {DELTA_LOG_WARN_PENDING}); reads pay "
+            "1 + pending scans — schedule compact_bucketed_view(), or "
+            "set max_pending_deltas on the writers to fail loudly",
+            RuntimeWarning,
+            stacklevel=4,
+        )
+
+
 def _append_delta(
     spark: SparkSession,
     rows: DataFrame,
@@ -1199,13 +1323,15 @@ def _append_delta(
     keep_versions: int,
     gc_grace_seconds: float,
     tombstone: bool,
+    max_pending_deltas: int | None = None,
 ) -> int:
-    for col in (_DELETED_COL, "_kb"):
+    for col in _RESERVED_COLS:
         if col in rows.columns:
             raise ValueError(f"batch column {col!r} is reserved by the sink")
     for _ in range(5):  # outer: restage only if the stamped bucket
         #                  count changed under us (first-commit race)
         man = load_manifest(path)
+        _check_pending_depth(path, man, max_pending_deltas)
         nb = n_buckets
         if man is not None:
             if man["key"] != key:
@@ -1217,7 +1343,7 @@ def _append_delta(
         if tombstone:  # keys-only batch: validate just the key's type
             _check_key_type(path, man, rows.schema)
         else:
-            _widen_fields(path, man, rows.schema)  # fail fast
+            _widen_fields(spark, path, man, rows.schema)  # fail fast
         kb_of = F.pmod(F.hash(F.col(key)), F.lit(nb))
         b = (
             rows.withColumn(_DELETED_COL, F.lit(tombstone))
@@ -1258,12 +1384,24 @@ def _append_delta(
                         f"bucketed view at {path!r} is keyed by "
                         f"{man2['key']!r}, not {key!r}"
                     )
+                if man2 is not None and any(
+                    dc.get("id") == commit_id
+                    for dc in man2.get("delta_commits", ())
+                ):
+                    # our publish was retracted AFTER a racer read it
+                    # and built v+1 on top — the racer's manifest
+                    # already carries this entry, so the commit is
+                    # live; re-appending would duplicate it in the log
+                    # (rows would stay correct — identical dirs, max
+                    # seq wins — but reads would scan the dirs twice
+                    # and changed_buckets would report phantom churn)
+                    return len(touched)
                 if man2 is not None and int(man2["n_buckets"]) != nb:
                     break  # layout stamp changed — restage (outer loop)
                 if tombstone:
                     fields = man2.get("fields") if man2 else None
                 else:  # re-validate vs the manifest we now publish on
-                    fields = _widen_fields(path, man2, rows.schema)
+                    fields = _widen_fields(spark, path, man2, rows.schema)
                 doc = {
                     "version": (int(man2["version"]) + 1) if man2 else 1,
                     "key": key,
@@ -1306,6 +1444,7 @@ def upsert_keyed_parquet_delta(
     n_buckets: int = 16,
     keep_versions: int = 2,
     gc_grace_seconds: float = 0.0,
+    max_pending_deltas: int | None = None,
 ) -> int:
     """Log-structured keyed upsert: append the batch as a DELTA commit
     instead of rewriting touched buckets. Write cost is O(batch) —
@@ -1316,7 +1455,13 @@ def upsert_keyed_parquet_delta(
     and resolve per key by commit sequence, so run
     :func:`compact_bucketed_view` when ``delta_commits`` grows past
     the read-amplification budget (Delta/Iceberg merge-on-read with
-    periodic OPTIMIZE — same algebra, plain parquet). Returns the
+    periodic OPTIMIZE — same algebra, plain parquet). Nothing in the
+    protocol bounds log growth, so ``max_pending_deltas`` makes the
+    budget LOUD: a write against a log at/past the cap raises instead
+    of silently deepening every reader's scan fan; without a cap a
+    RuntimeWarning fires past :data:`DELTA_LOG_WARN_PENDING`. (The
+    streaming IVM wrapper's ``compact_every`` is the auto-compaction
+    face of the same budget — streaming/ivm.py.) Returns the
     number of buckets the batch landed in.
 
     Semantics match the rewrite path exactly: per key the newest
@@ -1331,6 +1476,7 @@ def upsert_keyed_parquet_delta(
     return _append_delta(
         spark, batch, path, key, n_buckets, keep_versions,
         gc_grace_seconds, tombstone=False,
+        max_pending_deltas=max_pending_deltas,
     )
 
 
@@ -1341,6 +1487,7 @@ def delete_keys_delta(
     key: str,
     keep_versions: int = 2,
     gc_grace_seconds: float = 0.0,
+    max_pending_deltas: int | None = None,
 ) -> int:
     """Keyed DELETE as a tombstone delta commit: writes only the
     doomed keys (with ``_deleted = true``), cost O(keys) instead of
@@ -1357,6 +1504,7 @@ def delete_keys_delta(
     return _append_delta(
         spark, keys.select(key).distinct(), path, key, 16, keep_versions,
         gc_grace_seconds, tombstone=True,
+        max_pending_deltas=max_pending_deltas,
     )
 
 

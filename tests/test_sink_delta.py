@@ -408,3 +408,190 @@ def test_snapshot_diff_prunes_untouched_buckets(spark, tmp_path):
     assert z3 == 1
     assert o3.count() == 0 and o3.columns == ["id", "val"]
     assert {(r.id, r.val) for r in n3.collect()} == {(new_key, 1)}
+
+
+def test_read_prunes_untouched_buckets_from_merge(spark, tmp_path):
+    """Bucket-pruned merge-on-read: a read under a pending delta log
+    must restrict the sequence-resolve window (and its exchange on the
+    view key) to the buckets some delta touched — every other bucket's
+    base dir is provably current and scans directly. Pinned at the
+    physical layer: the frame that feeds the merge window references
+    ONLY touched-bucket files (inputFiles), the plan has exactly one
+    Window, and the result still matches the full model."""
+    F, sink = _imports()
+    path = str(tmp_path / "view")
+    model = _seed_base(spark, sink, path, n=200, n_buckets=8)  # v1
+
+    sink.upsert_keyed_parquet_delta(
+        spark, _bdf(spark, [(5, -1)]), path, "id", keep_versions=3
+    )  # one key -> one touched bucket
+    model[5] = -1
+
+    man = sink.load_manifest(path)
+    assert len(man["delta_commits"]) == 1
+    touched = set(man["delta_commits"][0]["buckets"])
+    assert len(touched) == 1 and len(man["buckets"]) == 8
+
+    captured = {}
+    orig = sink._merged_delta_read
+
+    def spy(spark_, path_, man_, only_buckets=None):
+        captured["only_buckets"] = only_buckets
+        captured["df"] = orig(spark_, path_, man_, only_buckets)
+        return captured["df"]
+
+    try:
+        sink._merged_delta_read = spy
+        df = sink.read_bucketed_view(spark, path)
+        got = dict(_rows_of(df))
+    finally:
+        sink._merged_delta_read = orig
+
+    assert got == model
+    # the merge was restricted to exactly the delta-touched buckets
+    assert captured["only_buckets"] == touched
+    # ...and physically scans only their files
+    tkb = next(iter(touched))
+    for f in captured["df"].inputFiles():
+        assert f"/kb={tkb}/" in f, f"merge branch scanned {f}"
+    # the full read still covers every base dir (untouched ones scan
+    # directly, below the window)
+    scanned = set(df.inputFiles())
+    for kb, rel in man["buckets"].items():
+        assert any(os.path.join(path, rel) in s for s in scanned), (
+            f"bucket {kb} missing from the pruned read"
+        )
+    # exactly one sequence-resolve window in the plan — the untouched
+    # branch unions in without one
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window") == 1
+
+
+def test_max_pending_deltas_cap_and_warn(spark, tmp_path):
+    """Nothing in the protocol bounds delta-log growth, so the budget
+    must be loud: writers with max_pending_deltas raise at the cap
+    (compact first), and past DELTA_LOG_WARN_PENDING an uncapped write
+    warns instead of silently deepening every reader's scan fan."""
+    import warnings as _w
+
+    F, sink = _imports()
+    path = str(tmp_path / "view")
+    _seed_base(spark, sink, path, n=50, n_buckets=4)
+    sink.upsert_keyed_parquet_delta(
+        spark, _bdf(spark, [(1, -1)]), path, "id", keep_versions=3
+    )
+    sink.upsert_keyed_parquet_delta(
+        spark, _bdf(spark, [(2, -2)]), path, "id", keep_versions=3
+    )  # 2 pending
+
+    with pytest.raises(ValueError, match="max_pending_deltas=2"):
+        sink.upsert_keyed_parquet_delta(
+            spark, _bdf(spark, [(3, -3)]), path, "id",
+            keep_versions=3, max_pending_deltas=2,
+        )
+    with pytest.raises(ValueError, match="compact_bucketed_view"):
+        sink.delete_keys_delta(
+            spark, _bdf(spark, [(3, 0)]).select("id"), path, "id",
+            keep_versions=3, max_pending_deltas=2,
+        )
+    # under the cap: accepted
+    assert sink.upsert_keyed_parquet_delta(
+        spark, _bdf(spark, [(3, -3)]), path, "id",
+        keep_versions=3, max_pending_deltas=5,
+    ) == 1  # 3 pending now
+
+    old = sink.DELTA_LOG_WARN_PENDING
+    try:
+        sink.DELTA_LOG_WARN_PENDING = 3
+        with pytest.warns(RuntimeWarning, match="pending commit"):
+            sink.upsert_keyed_parquet_delta(
+                spark, _bdf(spark, [(4, -4)]), path, "id", keep_versions=3
+            )
+    finally:
+        sink.DELTA_LOG_WARN_PENDING = old
+    # compaction resets the budget: capped writes pass again
+    sink.compact_bucketed_view(spark, path, keep_versions=3)
+    with _w.catch_warnings():
+        _w.simplefilter("error")  # any warning -> test failure
+        assert sink.upsert_keyed_parquet_delta(
+            spark, _bdf(spark, [(5, -5)]), path, "id",
+            keep_versions=3, max_pending_deltas=2,
+        ) == 1
+
+
+def test_merge_side_column_names_reserved(spark, tmp_path):
+    """_merged_delta_read claims _delta_seq/_max_seq transiently via
+    withColumn/drop, so a user batch carrying either name would be
+    stamped into 'fields' yet silently overwritten and dropped on
+    every merged read. Writers must reject ALL sink-materialized
+    names up front, in both write modes."""
+    F, sink = _imports()
+    for col in ("_delta_seq", "_max_seq", "_deleted", "_kb"):
+        bad = spark.createDataFrame(
+            [(1, 10, 0)], f"id long, val long, `{col}` long"
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            sink.upsert_keyed_parquet_delta(
+                spark, bad, str(tmp_path / "v1"), "id"
+            )
+        with pytest.raises(ValueError, match="reserved"):
+            sink.upsert_keyed_parquet_bucketed(
+                spark, bad, str(tmp_path / "v2"), "id", 4
+            )
+
+
+def test_lost_cas_does_not_duplicate_delta_entry(spark, tmp_path):
+    """The retract-after-copy window: our delta publish wins v, a racer
+    reads v (our entry included) and publishes v+1 on top, our publish
+    detects latest>v and retracts -> returns None. The retry loop must
+    recognize its commit id already riding in the racer's manifest and
+    STOP — a blind re-append would duplicate the entry (rows stay
+    correct, but reads scan the dirs twice and changed_buckets reports
+    phantom churn)."""
+    F, sink = _imports()
+    path = str(tmp_path / "view")
+    model = _seed_base(spark, sink, path, n=50, n_buckets=4)
+
+    orig = sink._publish_manifest
+    state = {"fired": False}
+
+    def lose_once(path_, doc):
+        if state["fired"] or not doc.get("delta_commits"):
+            return orig(path_, doc)
+        state["fired"] = True
+        v = orig(path_, doc)  # our publish lands...
+        assert v is not None
+        racer = {
+            "version": v + 1,
+            "key": doc["key"],
+            "n_buckets": doc["n_buckets"],
+            "buckets": dict(doc["buckets"]),
+            "delta_commits": list(doc["delta_commits"]),  # incl. ours
+        }
+        if doc.get("fields"):
+            racer["fields"] = doc["fields"]
+        assert orig(path_, racer) is not None  # ...racer builds on it
+        # retraction: our v sits below latest, no reader takes it
+        os.remove(
+            os.path.join(
+                path_, sink._MANIFEST_DIR, f"manifest-{v:020d}.json"
+            )
+        )
+        return None
+
+    try:
+        sink._publish_manifest = lose_once
+        n = sink.upsert_keyed_parquet_delta(
+            spark, _bdf(spark, [(7, -7)]), path, "id", keep_versions=3
+        )
+    finally:
+        sink._publish_manifest = orig
+    model[7] = -7
+
+    assert state["fired"] and n == 1
+    man = sink.load_manifest(path)
+    ids = [dc["id"] for dc in man["delta_commits"]]
+    assert len(ids) == 1 and len(set(ids)) == 1, (
+        f"duplicated delta entry after lost CAS: {ids}"
+    )
+    assert dict(_rows_of(sink.read_bucketed_view(spark, path))) == model

@@ -1055,3 +1055,78 @@ def test_two_process_cas_race(tmp_path):
     # the barrier makes same-version collisions effectively certain
     # across 20 rounds; zero losses would mean the race never happened
     assert losses.value >= 1, "no CAS contention was exercised"
+
+
+def test_two_process_delta_append_vs_compact(spark, tmp_path):
+    """Two REAL processes race the delta path's cheap half of
+    optimistic concurrency: one appends delta commits (each a brand-new
+    key) while the other compacts the log, publishes aligned by a
+    barrier placed immediately before each side's first CAS attempt so
+    same-version collisions actually happen. Must hold: no delta
+    commit is ever lost (every appended key survives into the final
+    merged read, whether its commit is still pending or was folded),
+    no key duplicates (a blind re-append after a lost CAS would leave
+    a key twice in the log), and at least one real CAS loss occurred
+    (otherwise the race was never exercised). The in-process suite
+    covers these interleavings with monkeypatches; this covers them
+    with os.link create-exclusivity across process boundaries, each
+    child driving the REAL sink functions under its own SparkSession
+    (tests/_delta_race_child.py)."""
+    import multiprocessing as mp
+
+    from etl_sprint_2_5_spark.streaming import sink
+    from tests import _delta_race_child as child
+
+    path = str(tmp_path / "view")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(40)], "id long, val long"
+    )
+    sink.upsert_keyed_parquet_bucketed(
+        spark, base, path, "id", 4, keep_versions=4
+    )
+    model = {i: i * 10 for i in range(40)}
+
+    ROUNDS = 6
+    ctx = mp.get_context("spawn")  # clean children: no inherited JVM
+    start_barrier = ctx.Barrier(2)
+    pub_barrier = ctx.Barrier(2)
+    losses = ctx.Value("i", 0)
+    n_compacted = ctx.Value("i", 0)
+    pa = ctx.Process(
+        target=child.append_worker,
+        args=(path, str(tmp_path), ROUNDS, start_barrier, pub_barrier,
+              losses),
+    )
+    pc = ctx.Process(
+        target=child.compact_worker,
+        args=(path, str(tmp_path), ROUNDS, start_barrier, pub_barrier,
+              losses, n_compacted),
+    )
+    pa.start()
+    pc.start()
+    for p, who in ((pa, "appender"), (pc, "compactor")):
+        p.join(timeout=420)
+        if p.is_alive():
+            p.terminate()
+            p.join(10)
+            pytest.fail(f"{who} hung")
+        assert p.exitcode == 0, f"{who} died: exitcode={p.exitcode}"
+
+    for i in range(ROUNDS):
+        model[1000 + i] = -i
+    got = {}
+    dup = []
+    for r in sink.read_bucketed_view(spark, path).collect():
+        if r.id in got:
+            dup.append(r.id)
+        got[r.id] = r.val
+    assert not dup, f"duplicated keys after the race: {dup}"
+    assert got == model, (
+        "delta commit lost or corrupted across the append/compact race: "
+        f"missing={sorted(set(model) - set(got))} "
+        f"wrong={[k for k in got if got.get(k) != model.get(k)]}"
+    )
+    # the race must have actually happened: the publish barrier makes
+    # same-version CAS collisions near-certain across 6 aligned rounds
+    assert losses.value >= 1, "no CAS contention was exercised"
+    assert n_compacted.value >= 1, "compactor never folded anything"

@@ -2408,6 +2408,99 @@ def manifest_delta_compact_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_pruned_merge_read",
+    oracle="""
+    WITH merged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id <= 5 THEN n_chars + 5000
+                  ELSE n_chars END AS payload
+      FROM documents
+      WHERE doc_id NOT IN (6, 7)
+    )
+    SELECT doc_id % 4 AS grp,
+           count(*) AS n_docs,
+           CAST(sum(payload) AS BIGINT) AS payload_sum,
+           TRUE AS merge_pruned
+    FROM merged
+    GROUP BY doc_id % 4
+    ORDER BY grp
+    """,
+    covers=("T3", "X-sink-delta-log"),
+)
+def manifest_pruned_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKET-PRUNED merge-on-read under the oracle gate: the whole
+    documents table lands as the base commit over 64 buckets, then a
+    delta upsert touches only doc_id <= 5 and a tombstone delta drops
+    doc_ids 6-7 — a handful of keys, so the pending log touches a few
+    buckets while most of the view's buckets carry no delta.
+    read_bucketed_view (streaming/sink.py) must resolve this WITHOUT
+    windowing the whole view on the key: only delta-touched buckets
+    enter the sequence-resolve merge (one exchange over O(touched
+    buckets) rows); every untouched bucket's base dir is provably
+    current (immutable dirs — deltas re-point exactly the buckets they
+    touch) and scans directly below the window. At the 100-TB sizing
+    (a CDC cycle touching ~0.1% of ~100k buckets) this is the
+    difference between shuffling ~0.1% of the view per read and
+    shuffling all of it. The merge_pruned column pins the structural
+    claim from the manifest algebra — the delta-touched set is a
+    strict subset of the populated buckets, so direct-scan pruning was
+    actually in play (the physical exclusion is pytest-pinned via
+    inputFiles in tests/test_sink_delta.py); the grouped counts and
+    payload checksum gate that pruning changed no row. Companion:
+    manifest_delta_merge_read (unpruned semantics), compact_equiv."""
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.streaming.sink import (
+        delete_keys_delta,
+        load_manifest,
+        read_bucketed_view,
+        upsert_keyed_parquet_bucketed,
+        upsert_keyed_parquet_delta,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    tmp = tempfile.mkdtemp(prefix="pruned_merge_")
+    view = f"{tmp}/docs_view"
+    try:
+        upsert_keyed_parquet_bucketed(
+            spark,
+            d.select("doc_id", F.col("n_chars").alias("payload")),
+            view, key="doc_id", n_buckets=64, keep_versions=2,
+        )
+        upsert_keyed_parquet_delta(
+            spark,
+            d.where(F.col("doc_id") <= 5).select(
+                "doc_id", (F.col("n_chars") + F.lit(5000)).alias("payload")
+            ),
+            view, key="doc_id", keep_versions=2,
+        )
+        delete_keys_delta(
+            spark,
+            d.where(F.col("doc_id").isin(6, 7)).select("doc_id"),
+            view, key="doc_id", keep_versions=2,
+        )
+        man = load_manifest(view)
+        touched = {
+            kb for dc in man["delta_commits"] for kb in dc["buckets"]
+        }
+        pruned = bool(touched) and bool(set(man["buckets"]) - touched)
+        merged = read_bucketed_view(spark, view)
+        out = (
+            merged.groupBy((F.col("doc_id") % 4).alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("payload").cast("bigint").alias("payload_sum"),
+            )
+            .withColumn("merge_pruned", F.lit(pruned))
+            .orderBy("grp")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "orc_roundtrip_checksum",
     oracle="""
     SELECT l_linestatus AS bucket,

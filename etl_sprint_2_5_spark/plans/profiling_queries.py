@@ -2195,3 +2195,99 @@ def manifest_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "manifest_legacy_upgrade",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN n_chars + 1000
+                  ELSE n_chars END AS payload,
+             CASE WHEN doc_id % 3 = 0 THEN NULL ELSE lang END AS lang
+      FROM documents
+      WHERE doc_id % 2 = 0 OR doc_id % 3 = 0
+    )
+    SELECT COALESCE(lang, '<narrow-generation>') AS lang_bucket,
+           count(*) AS n_docs,
+           CAST(sum(payload) AS BIGINT) AS payload_sum,
+           TRUE AS stamp_has_lang
+    FROM v
+    GROUP BY COALESCE(lang, '<narrow-generation>')
+    ORDER BY lang_bucket
+    """,
+    covers=("T3", "X-sink-schema-evolution"),
+)
+def manifest_legacy_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upgrading a PRE-EVOLUTION view (manifest without a stamped
+    "fields") must not lose columns: a WIDE view (doc_id, payload,
+    lang for even doc_ids) is committed, its manifest stripped back to
+    the pre-stamp layout (what any view written before schema stamping
+    looks like on disk), and then a NARROW batch (doc_id, payload for
+    doc_id % 3 == 0 — no lang) upserts onto it. The first stamp must
+    be the UNION of what the existing dirs carry and what the batch
+    brings (streaming/sink.py _legacy_stamp — a one-time mergeSchema
+    footer sweep at upgrade time, zero reads on every later commit):
+    a batch-verbatim stamp would leave lang on disk but INVISIBLE
+    under every later stamped-schema read. The gate proves both
+    directions — surviving wide rows keep their real lang, replaced/
+    narrow rows NULL-fill into '<narrow-generation>' — and
+    stamp_has_lang pins the manifest itself: the published stamp
+    carries the legacy column. Type conflicts during the upgrade are
+    rejected loudly (pytest-pinned in tests/test_sink_schema.py)."""
+    import json
+    import os
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.streaming import sink
+
+    d = load_table(spark, "documents", sf_dir)
+    tmp = tempfile.mkdtemp(prefix="legacy_upgrade_")
+    view = f"{tmp}/docs_view"
+    try:
+        sink.upsert_keyed_parquet_bucketed(
+            spark,
+            d.where(F.col("doc_id") % 2 == 0).select(
+                "doc_id", F.col("n_chars").alias("payload"), "lang"
+            ),
+            view, key="doc_id", n_buckets=8, keep_versions=2,
+        )
+        # strip the stamp from the committed manifest (the on-disk
+        # shape of any view written before schema stamping existed),
+        # re-checksummed so it loads clean
+        mdir = os.path.join(view, sink._MANIFEST_DIR)
+        fp = os.path.join(mdir, sorted(os.listdir(mdir))[-1])
+        with open(fp) as f:
+            doc = json.load(f)
+        doc.pop("fields")
+        doc.pop("checksum")
+        doc["checksum"] = sink._manifest_checksum(doc)
+        with open(fp, "w") as f:
+            json.dump(doc, f, sort_keys=True)
+
+        sink.upsert_keyed_parquet_bucketed(
+            spark,
+            d.where(F.col("doc_id") % 3 == 0).select(
+                "doc_id", (F.col("n_chars") + F.lit(1000)).alias("payload")
+            ),
+            view, key="doc_id", n_buckets=8, keep_versions=2,
+        )
+        stamped = [n for n, _ in sink.load_manifest(view)["fields"]]
+        out = (
+            sink.read_bucketed_view(spark, view)
+            .groupBy(
+                F.coalesce(
+                    F.col("lang"), F.lit("<narrow-generation>")
+                ).alias("lang_bucket")
+            )
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("payload").cast("bigint").alias("payload_sum"),
+            )
+            .withColumn("stamp_has_lang", F.lit("lang" in stamped))
+            .orderBy("lang_bucket")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -149,6 +149,12 @@ HEADLINE = [
     # (delta appends per cycle, compaction every 3rd upsert, final
     # read crosses mixed base+delta state)
     "ivm_maintained_docs_delta",
+    # round-12 additions: the bucket-pruned merge-on-read (64-bucket
+    # base, sparse pending deltas — the read's window shuffles only
+    # delta-touched buckets) and the legacy-view first-stamp upgrade
+    # (one-time mergeSchema union sweep + stamped read-back)
+    "manifest_pruned_merge_read",
+    "manifest_legacy_upgrade",
 ]
 
 

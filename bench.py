@@ -155,6 +155,9 @@ HEADLINE = [
     # (one-time mergeSchema union sweep + stamped read-back)
     "manifest_pruned_merge_read",
     "manifest_legacy_upgrade",
+    # round-12 flagship: online bucket-count migration (linear-hashing
+    # splits with mixed-layout routing for every writer mid-migration)
+    "manifest_rebucket_equiv",
 ]
 
 

@@ -2501,6 +2501,118 @@ def manifest_pruned_merge_read(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_rebucket_equiv",
+    oracle="""
+    WITH merged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id <= 5 THEN n_chars + 5000
+                  WHEN doc_id IN (8, 9) THEN n_chars + 7000
+                  ELSE n_chars END AS payload
+      FROM documents
+      WHERE doc_id NOT IN (6, 7)
+    )
+    SELECT doc_id % 4 AS grp,
+           count(*) AS n_docs,
+           CAST(sum(payload) AS BIGINT) AS payload_sum,
+           TRUE AS mid_was_mixed,
+           TRUE AS migrated
+    FROM merged
+    GROUP BY doc_id % 4
+    ORDER BY grp
+    """,
+    covers=("T3", "X-sink-rebucket"),
+)
+def manifest_rebucket_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONLINE bucket-count migration under the oracle gate
+    (streaming/sink.py split_buckets — Iceberg partition-spec
+    evolution on plain parquet). The stamped bucket count exists so
+    writers can't fork the layout, but it also pins a view that grew
+    100× to 100×-oversized buckets; split_buckets migrates the count
+    linear-hashing style: the target is factor×n, so hash%(f·n) is
+    congruent to hash%n (mod n) — each old bucket splits into exactly
+    its {kb + j·n} children LOCALLY, one old bucket of I/O per step,
+    no cross-bucket shuffle, amortized over as many commits as the
+    operator likes. Scenario: documents land over 4 buckets, the
+    FIRST migration step splits half the buckets, then — with the
+    manifest mid-migration — a rewrite upsert (doc_id<=5), a rewrite
+    delete (6,7), a DELTA upsert (8,9) and its compaction all route
+    through the MIXED layout; the final step completes the migration
+    (n_buckets=8, marker dropped). The gated rollup proves not one
+    row was lost, duplicated, or misrouted across the re-layout;
+    mid_was_mixed pins from the manifest that writers really ran
+    against a half-migrated layout, migrated pins the completed stamp.
+    Crash/concurrency closures are pytest-pinned in
+    tests/test_sink_split.py (CAS-loss restage, delta-writer restage
+    on layout change, marker carry-forward, time travel across the
+    split, row-empty change feed)."""
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.streaming.sink import (
+        compact_bucketed_view,
+        delete_keys_bucketed,
+        load_manifest,
+        read_bucketed_view,
+        split_buckets,
+        upsert_keyed_parquet_bucketed,
+        upsert_keyed_parquet_delta,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    tmp = tempfile.mkdtemp(prefix="rebucket_")
+    view = f"{tmp}/docs_view"
+    try:
+        upsert_keyed_parquet_bucketed(
+            spark,
+            d.select("doc_id", F.col("n_chars").alias("payload")),
+            view, key="doc_id", n_buckets=4, keep_versions=2,
+        )
+        split_buckets(spark, view, factor=2, buckets_per_call=2)
+        man = load_manifest(view)
+        mid_mixed = (
+            man.get("rebucket") is not None
+            and 0 < len(man["rebucket"]["done"]) < 4
+        )
+        upsert_keyed_parquet_bucketed(  # rewrite upsert, mixed routing
+            spark,
+            d.where(F.col("doc_id") <= 5).select(
+                "doc_id", (F.col("n_chars") + F.lit(5000)).alias("payload")
+            ),
+            view, key="doc_id",
+        )
+        delete_keys_bucketed(  # rewrite delete, mixed routing
+            spark,
+            d.where(F.col("doc_id").isin(6, 7)).select("doc_id"),
+            view, key="doc_id",
+        )
+        upsert_keyed_parquet_delta(  # delta commit, mixed routing
+            spark,
+            d.where(F.col("doc_id").isin(8, 9)).select(
+                "doc_id", (F.col("n_chars") + F.lit(7000)).alias("payload")
+            ),
+            view, key="doc_id",
+        )
+        compact_bucketed_view(spark, view)  # drain the log, then finish
+        split_buckets(spark, view, factor=2)
+        man2 = load_manifest(view)
+        migrated = int(man2["n_buckets"]) == 8 and "rebucket" not in man2
+        merged = read_bucketed_view(spark, view)
+        out = (
+            merged.groupBy((F.col("doc_id") % 4).alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("payload").cast("bigint").alias("payload_sum"),
+            )
+            .withColumn("mid_was_mixed", F.lit(mid_mixed))
+            .withColumn("migrated", F.lit(migrated))
+            .orderBy("grp")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "orc_roundtrip_checksum",
     oracle="""
     SELECT l_linestatus AS bucket,

@@ -519,6 +519,67 @@ def vacuum(
     return counts
 
 
+# --------------------------------------------------------------------
+# Key → bucket routing (and online re-bucketing)
+#
+# A view's bucket count is stamped at creation so two writers can never
+# fork the layout — but a view that grew 100× would then be stuck with
+# oversized buckets forever. ``split_buckets`` migrates the count
+# ONLINE, linear-hashing style: because the target count is an integer
+# multiple f·n of the stamped n, a key's new bucket id (hash % f·n) is
+# congruent to its old id (mod n) — every old bucket splits into
+# exactly the id set {kb + j·n, j < f}, LOCALLY, so one migration step
+# reads and rewrites ONE old bucket and nothing else (no cross-bucket
+# shuffle; at the 100-TB sizing each step is ~1 bucket of I/O and the
+# migration amortizes over as many commits as the operator likes).
+# Mid-migration the manifest carries
+#   "rebucket": {"to": f·n, "done": [old ids already split]}
+# and EVERY writer routes keys through the mixed layout: old bucket id
+# if unsplit, hash % to if split. The ids stay collision-free in one
+# flat buckets map: a new id j < n can only exist once old id j was
+# split (and therefore removed in that same commit), and new ids
+# j >= n can never collide with old ids (< n). When the last old
+# bucket splits, the manifest stamps n_buckets = to and drops the
+# marker — the view is a plain f·n-bucket view, splittable again.
+# --------------------------------------------------------------------
+
+
+def _layout_of(
+    man: dict | None, n_buckets_default: int
+) -> tuple[int, int | None, frozenset[int]]:
+    """The routing layout a manifest implies: ``(n, to, done)`` where
+    ``to``/``done`` are the mid-migration rebucket state (``to`` None
+    when no migration is pending). Writers compare layouts taken
+    before staging and at publish time — a mismatch means a concurrent
+    ``split_buckets`` step landed and the staged bucket ids are stale,
+    so the batch must restage (same shape as the stamped-count check
+    the delta path already did)."""
+    if man is None:
+        return (int(n_buckets_default), None, frozenset())
+    nb = int(man["n_buckets"])
+    rb = man.get("rebucket")
+    if not rb:
+        return (nb, None, frozenset())
+    return (nb, int(rb["to"]), frozenset(int(x) for x in rb["done"]))
+
+
+def _kb_expr(layout: tuple[int, int | None, frozenset[int]], key: str):
+    """Column expression routing ``key`` to its bucket id under
+    ``layout`` — plain ``hash % n`` outside a migration; during one, a
+    key whose old bucket has been split routes to ``hash % to``
+    instead. The split set ships as a broadcast literal (bounded by
+    the stamped bucket count; migrations at very large counts should
+    use coarse ``buckets_per_call`` steps so the mid-state is
+    short-lived)."""
+    nb, to, done = layout
+    base = F.pmod(F.hash(F.col(key)), F.lit(nb))
+    if to is None or not done:
+        return base
+    return F.when(
+        base.isin(sorted(done)), F.pmod(F.hash(F.col(key)), F.lit(to))
+    ).otherwise(base)
+
+
 def upsert_keyed_parquet_bucketed(
     spark: SparkSession,
     batch: DataFrame,
@@ -577,7 +638,7 @@ def upsert_keyed_parquet_bucketed(
             _require_no_pending_deltas(path, man, "upsert_keyed_parquet_bucketed")
             nb = int(man["n_buckets"])  # stamped count wins — no drift
         fields = _widen_fields(spark, path, man, batch.schema)  # fail fast
-        kb_of = F.pmod(F.hash(F.col(key)), F.lit(nb))
+        kb_of = _kb_expr(_layout_of(man, nb), key)
         # persist: the batch plan (often a rebuild join+agg) feeds BOTH
         # the touched-bucket probe and the merge write — without the
         # cache it would execute twice per cycle. The batch is the
@@ -666,6 +727,12 @@ def _commit_touched_buckets(
         "n_buckets": n_buckets,
         "buckets": buckets,
     }
+    if man and man.get("rebucket"):
+        # mid-migration: dropping the marker would reset every writer's
+        # routing to the old layout while the map already holds
+        # new-layout ids — keys of split buckets would fork into
+        # duplicate dirs. Carried verbatim; only split_buckets edits it.
+        doc["rebucket"] = man["rebucket"]
     if fields is not None:
         doc["fields"] = fields
     pub_v = _publish_manifest(path, doc)  # THE commit point (CAS)
@@ -987,7 +1054,7 @@ def delete_keys_bucketed(
         _require_no_pending_deltas(path, man, "delete_keys_bucketed")
         _check_key_type(path, man, keys.select(key).schema)
         nb = int(man["n_buckets"])  # stamped count wins — no drift
-        kb_of = F.pmod(F.hash(F.col(key)), F.lit(nb))
+        kb_of = _kb_expr(_layout_of(man, nb), key)
         doomed = keys.select(key).distinct().withColumn("_kb", kb_of).persist()
         try:
             buckets: dict[str, str] = dict(man["buckets"])
@@ -1029,6 +1096,8 @@ def delete_keys_bucketed(
                 "n_buckets": nb,
                 "buckets": buckets,
             }
+            if man.get("rebucket"):
+                doc["rebucket"] = man["rebucket"]  # mid-migration marker
             if man.get("fields"):
                 doc["fields"] = man["fields"]  # deletes never evolve
             pub_v = _publish_manifest(path, doc)  # THE commit point
@@ -1344,7 +1413,8 @@ def _append_delta(
             _check_key_type(path, man, rows.schema)
         else:
             _widen_fields(spark, path, man, rows.schema)  # fail fast
-        kb_of = F.pmod(F.hash(F.col(key)), F.lit(nb))
+        layout = _layout_of(man, nb)
+        kb_of = _kb_expr(layout, key)
         b = (
             rows.withColumn(_DELETED_COL, F.lit(tombstone))
             .withColumn("_kb", kb_of)
@@ -1396,8 +1466,11 @@ def _append_delta(
                     # seq wins — but reads would scan the dirs twice
                     # and changed_buckets would report phantom churn)
                     return len(touched)
-                if man2 is not None and int(man2["n_buckets"]) != nb:
-                    break  # layout stamp changed — restage (outer loop)
+                if _layout_of(man2, nb) != layout:
+                    # bucket count OR rebucket state changed under us (a
+                    # first-commit race or a concurrent split_buckets
+                    # step) — the staged dirs' bucket ids are stale
+                    break  # restage under the fresh layout (outer loop)
                 if tombstone:
                     fields = man2.get("fields") if man2 else None
                 else:  # re-validate vs the manifest we now publish on
@@ -1412,6 +1485,8 @@ def _append_delta(
                     )
                     + [entry],
                 }
+                if man2 is not None and man2.get("rebucket"):
+                    doc["rebucket"] = man2["rebucket"]  # mid-migration
                 if fields is not None:
                     doc["fields"] = fields
                 pub_v = _publish_manifest(path, doc)  # THE commit point
@@ -1539,7 +1614,11 @@ def compact_bucketed_view(
             {int(kb) for dc in man["delta_commits"] for kb in dc["buckets"]}
         )
         only = {str(kb) for kb in touched}
-        kb_of = F.pmod(F.hash(F.col(key)), F.lit(nb))
+        # mixed routing during a migration: delta entries were written
+        # under the manifest's current layout (split_buckets refuses to
+        # run over a pending log, so the layout cannot have changed
+        # since), and the folded rows must land back under the same ids
+        kb_of = _kb_expr(_layout_of(man, nb), key)
         folded = _merged_delta_read(spark, path, man, only_buckets=only)
         commit_id = uuid.uuid4().hex[:12]
         stage = os.path.join(path, f"_stage-{commit_id}")
@@ -1564,6 +1643,8 @@ def compact_bucketed_view(
             "n_buckets": nb,
             "buckets": buckets,
         }
+        if man.get("rebucket"):
+            doc["rebucket"] = man["rebucket"]  # mid-migration marker
         if man.get("fields"):
             doc["fields"] = man["fields"]  # compaction never evolves
         pub_v = _publish_manifest(path, doc)  # THE commit point
@@ -1575,4 +1656,149 @@ def compact_bucketed_view(
     raise RuntimeError(
         f"compaction at {path!r} lost the manifest publish race 5 times "
         "— pathological writer contention"
+    )
+
+
+def split_buckets(
+    spark: SparkSession,
+    path: str,
+    factor: int = 2,
+    buckets_per_call: int | None = None,
+    keep_versions: int = 2,
+    gc_grace_seconds: float = 0.0,
+) -> int:
+    """ONLINE bucket-count migration for a bucketed keyed view —
+    linear-hashing-style incremental re-layout to ``factor ×`` the
+    stamped count (Iceberg's partition-spec evolution / bucket
+    transform rewrite, on plain parquet). The stamped count exists so
+    concurrent writers can't fork the layout, but it also means a view
+    that grew 100× since creation is stuck with ~100× oversized
+    buckets: every rewrite-mode commit pays the oversized bucket, and
+    read-side bucket pruning is 100× coarser than it should be. This
+    verb fixes the count WITHOUT a full-table rewrite and WITHOUT
+    stopping reads or writes.
+
+    Why it's local: the target count ``to = factor · n`` is an integer
+    multiple of ``n``, so ``hash % to ≡ hash % n (mod n)`` — old bucket
+    ``kb`` splits into exactly the id set ``{kb + j·n, j < factor}``
+    and NO key moves between old buckets. One migration step therefore
+    reads ONE old bucket's dir and writes its ``factor`` children —
+    O(bucket) I/O, no cross-bucket shuffle — and the whole migration
+    amortizes over ``n / buckets_per_call`` commits at whatever cadence
+    the operator likes. Mid-migration the manifest carries
+    ``{"rebucket": {"to": to, "done": [split old ids]}}`` and every
+    writer (upsert/delete, both modes, and the compactor) routes keys
+    through the mixed layout via :func:`_kb_expr`; readers are
+    untouched — they scan whatever dirs the manifest references.
+    When the last old bucket splits, the manifest stamps
+    ``n_buckets = to`` and drops the marker.
+
+    Concurrency and crash shape are the standard ones here: staged
+    dirs are invisible until the ONE manifest CAS publish; losing the
+    CAS (any interleaved commit — including another splitter) restages
+    against the winner, and the loser's dirs are unreferenced garbage
+    for GC/vacuum. Time travel keeps working: superseded manifests
+    reference the pre-split dirs until they age out of retention.
+    The delta log must be drained first (``compact_bucketed_view``) —
+    a pending delta's bucket ids would go stale under a re-layout, so
+    this raises on a non-empty log exactly like the rewrite writers;
+    conversely a delta commit that lands mid-migration just pauses the
+    migration until the next compaction, never corrupts it (delta
+    writers restage on any layout change — see ``_append_delta``).
+
+    Returns the number of OLD buckets split this call (0 when the view
+    is already fully migrated and no ``factor`` step is pending).
+    Call repeatedly (e.g. one maintenance slot per CDC cycle) until it
+    returns 0. ``done`` is a list of old ids in the manifest — bounded
+    by the stamped count; at very large counts use coarse
+    ``buckets_per_call`` so the mid-state is short-lived.
+    """
+    if int(factor) < 2:
+        raise ValueError(f"split factor must be >= 2, got {factor}")
+    for _ in range(5):
+        man = load_manifest(path)
+        if man is None:
+            raise FileNotFoundError(
+                f"bucketed keyed view at {path!r} has no committed "
+                "manifest — nothing to split"
+            )
+        key = man["key"]
+        _require_no_pending_deltas(path, man, "split_buckets")
+        nb = int(man["n_buckets"])
+        rb = man.get("rebucket")
+        if rb:
+            to = int(rb["to"])
+            if nb * int(factor) != to:
+                raise ValueError(
+                    f"split_buckets at {path!r}: a migration to "
+                    f"{to} buckets is in progress (base {nb}); factor "
+                    f"{factor} would target {nb * int(factor)} — finish "
+                    "the pending migration first"
+                )
+            done = {int(x) for x in rb["done"]}
+        else:
+            to = nb * int(factor)
+            done = set()
+        pending = [kb for kb in range(nb) if kb not in done]
+        if not pending:  # pragma: no cover - completion drops the marker
+            return 0
+        batch = pending[: buckets_per_call or len(pending)]
+        buckets: dict[str, str] = dict(man["buckets"])
+        src_dirs = [
+            os.path.join(path, buckets[str(kb)])
+            for kb in batch
+            if str(kb) in buckets
+        ]
+        commit_id = uuid.uuid4().hex[:12]
+        moved: dict[str, str] = {}
+        if src_dirs:
+            reader = spark.read
+            if man.get("fields"):
+                reader = reader.schema(_stamped_ddl(man["fields"]))
+            rows = reader.parquet(*sorted(src_dirs)).withColumn(
+                "_kb", F.pmod(F.hash(F.col(key)), F.lit(to))
+            )
+            stage = os.path.join(path, f"_stage-{commit_id}")
+            # one shuffle on the NEW bucket id → one file per child dir
+            rows.repartition(
+                len(batch) * (to // nb), F.col("_kb")
+            ).write.mode("overwrite").partitionBy("_kb").parquet(stage)
+            children = sorted(
+                kb + j * nb for kb in batch for j in range(to // nb)
+            )
+            for j in children:
+                src = os.path.join(stage, f"_kb={j}")
+                if not os.path.exists(src):
+                    continue  # no key of the old bucket landed here
+                rel = f"{_DATA_DIR}/kb={j}/c-{commit_id}"
+                dst = os.path.join(path, rel)
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                os.replace(src, dst)  # invisible until the manifest
+                moved[str(j)] = rel
+            shutil.rmtree(stage, ignore_errors=True)
+        for kb in batch:
+            buckets.pop(str(kb), None)  # old id dies with this commit
+        buckets.update(moved)
+        done2 = done | set(batch)
+        doc = {
+            "version": int(man["version"]) + 1,
+            "key": key,
+            "n_buckets": nb,
+            "buckets": buckets,
+        }
+        if len(done2) == nb:
+            doc["n_buckets"] = to  # migration complete — plain layout
+        else:
+            doc["rebucket"] = {"to": to, "done": sorted(done2)}
+        if man.get("fields"):
+            doc["fields"] = man["fields"]  # splits never evolve schema
+        pub_v = _publish_manifest(path, doc)  # THE commit point (CAS)
+        if pub_v is None:
+            continue  # an interleaved commit won — restage fresh
+        doc["version"] = pub_v
+        _gc_unreferenced(path, doc, keep_versions, gc_grace_seconds)
+        return len(batch)
+    raise RuntimeError(
+        f"split_buckets at {path!r} lost the manifest publish race 5 "
+        "times — pathological writer contention"
     )

@@ -1130,3 +1130,81 @@ def test_two_process_delta_append_vs_compact(spark, tmp_path):
     # same-version CAS collisions near-certain across 6 aligned rounds
     assert losses.value >= 1, "no CAS contention was exercised"
     assert n_compacted.value >= 1, "compactor never folded anything"
+
+
+def test_two_process_split_vs_upsert(spark, tmp_path):
+    """Two REAL processes race an ONLINE bucket-count migration against
+    rewrite-mode upserts: one splits one old bucket per round
+    (4->8, buckets_per_call=1) while the other updates an existing key
+    and inserts a brand-new key per round, publishes aligned by a
+    barrier before each side's first CAS attempt. Must hold: the
+    migration COMPLETES (n_buckets=8, marker dropped) even though
+    upserts kept landing mid-migration; every upsert survives (updated
+    values and new keys present — a dropped rebucket marker would fork
+    split buckets' keys into duplicate dirs, a stale-layout commit
+    would orphan them); no key is duplicated; and at least one real
+    CAS loss occurred. The in-process suite proves these interleavings
+    with monkeypatches; this proves them with os.link
+    create-exclusivity across process boundaries, each child driving
+    the REAL sink functions under its own SparkSession
+    (tests/_split_race_child.py)."""
+    import multiprocessing as mp
+
+    from etl_sprint_2_5_spark.streaming import sink
+    from tests import _split_race_child as child
+
+    path = str(tmp_path / "view")
+    base = spark.createDataFrame(
+        [(i, i * 10) for i in range(60)], "id long, val long"
+    )
+    sink.upsert_keyed_parquet_bucketed(
+        spark, base, path, "id", 4, keep_versions=8
+    )
+    model = {i: i * 10 for i in range(60)}
+
+    ROUNDS = 4  # == base bucket count: the migration completes exactly
+    ctx = mp.get_context("spawn")  # clean children: no inherited JVM
+    start_barrier = ctx.Barrier(2)
+    pub_barrier = ctx.Barrier(2)
+    losses = ctx.Value("i", 0)
+    n_split = ctx.Value("i", 0)
+    ps = ctx.Process(
+        target=child.split_worker,
+        args=(path, str(tmp_path), ROUNDS, start_barrier, pub_barrier,
+              losses, n_split),
+    )
+    pu = ctx.Process(
+        target=child.upsert_worker,
+        args=(path, str(tmp_path), ROUNDS, start_barrier, pub_barrier,
+              losses),
+    )
+    ps.start()
+    pu.start()
+    for p, who in ((ps, "splitter"), (pu, "upserter")):
+        p.join(timeout=420)
+        if p.is_alive():
+            p.terminate()
+            p.join(10)
+            pytest.fail(f"{who} hung")
+        assert p.exitcode == 0, f"{who} died: exitcode={p.exitcode}"
+
+    for i in range(ROUNDS):
+        model[i] = -i
+        model[2000 + i] = -i
+    man = sink.load_manifest(path)
+    assert int(man["n_buckets"]) == 8, "migration did not complete"
+    assert "rebucket" not in man, "migration marker left behind"
+    assert n_split.value == 4
+    got = {}
+    dup = []
+    for r in sink.read_bucketed_view(spark, path).collect():
+        if r.id in got:
+            dup.append(r.id)
+        got[r.id] = r.val
+    assert not dup, f"duplicated keys after the race: {dup}"
+    assert got == model, (
+        "upsert lost or misrouted across the migration race: "
+        f"missing={sorted(set(model) - set(got))} "
+        f"wrong={[k for k in got if got.get(k) != model.get(k)]}"
+    )
+    assert losses.value >= 1, "no CAS contention was exercised"

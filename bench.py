@@ -158,6 +158,10 @@ HEADLINE = [
     # round-12 flagship: online bucket-count migration (linear-hashing
     # splits with mixed-layout routing for every writer mid-migration)
     "manifest_rebucket_equiv",
+    # round-12: S4 live — the whole customer table crosses a real
+    # PostgreSQL wire twice (partition-parallel COPY in, ON CONFLICT
+    # upsert, COPY rollup out) against a throwaway root-less cluster
+    "pg_copy_roundtrip_live",
 ]
 
 

@@ -2291,3 +2291,93 @@ def manifest_legacy_upgrade(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "pg_copy_roundtrip_live",
+    oracle="""
+    SELECT c_nationkey AS nation,
+           count(*) AS n_cust,
+           CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                    + CASE WHEN c_custkey % 100 = 0 THEN 10000
+                           ELSE 0 END) AS BIGINT) AS bal_cents,
+           TRUE AS live_pg
+    FROM customer
+    GROUP BY c_nationkey
+    ORDER BY nation
+    """,
+    covers=("S4", "S7", "X-pg-live"),
+)
+def pg_copy_roundtrip_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4 (bulk INSERT sink, reference sqlite_to_postgresql/
+    etl.py:205-213) against a LIVE PostgreSQL server, under the oracle
+    gate — the wire path that was config-gated-only while the
+    container lacked server binaries. A throwaway root-less cluster
+    (initdb + pg_ctl as nobody, unix socket, fsync off —
+    sources/pg_copy.ephemeral_pg) lives for the query: DDL bootstrap
+    (S7), then the WHOLE customer table crosses the wire via
+    partition-parallel COPY FROM STDIN (one stream per Spark
+    partition — the production bulk-load verb, N× the reference's
+    single-connection executemany), then an ON CONFLICT (pk) DO
+    UPDATE upsert applies a +100.00 balance correction to every
+    custkey % 100 == 0 AND is redelivered verbatim (exactly-once
+    effect live — T3 semantics against a real database), and the
+    gated per-nation rollup reads back through COPY TO STDOUT. Any
+    row lost/duplicated/mistyped across the two wire crossings, a
+    non-idempotent redelivery, or a broken NULL/quote escaping bends
+    the counts or the cents checksum. Cents are fixed-point BIGINT
+    end-to-end (floor(x*100+0.5) on both engines) — no double sums
+    cross the gate. At scale the load side is N concurrent COPY
+    streams (WAL-bound, the correct bottleneck); the read-back here
+    is a rollup, not a fact scan — parallel PG READS are
+    sources/jdbc.py's range partitioning once a JDBC jar ships.
+    Live-process closures (escaping matrix, staging-table cleanup,
+    keyset tiling on the real planner) are pytest-pinned in
+    tests/test_pg_live.py."""
+    import tempfile
+
+    from etl_sprint_2_5_spark.sources import pg_copy
+
+    c = load_table(spark, "customer", sf_dir).select(
+        "c_custkey",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("bal_cents"),
+    )
+    import shutil
+
+    base = tempfile.mkdtemp(prefix="pg_live_")
+    try:
+        return _pg_live_scenario(spark, c, base)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _pg_live_scenario(spark, c, base):  # noqa: ANN001 - helper
+    import os
+
+    from etl_sprint_2_5_spark.sources import pg_copy
+
+    os.chmod(base, 0o755)  # the nobody-owned cluster must traverse it
+    with pg_copy.ephemeral_pg(f"{base}/cluster") as dsn:
+        pg_copy.pg_exec(
+            dsn,
+            "CREATE TABLE customer_bal (c_custkey bigint PRIMARY KEY, "
+            "c_nationkey bigint, bal_cents bigint)",
+        )
+        pg_copy.pg_copy_load(c, dsn, "customer_bal")
+        correction = c.where(F.col("c_custkey") % 100 == 0).withColumn(
+            "bal_cents", F.col("bal_cents") + F.lit(10000)
+        )
+        pg_copy.pg_upsert_copy(correction, dsn, "customer_bal", "c_custkey")
+        # redeliver the SAME correction — exactly-once effect, live
+        pg_copy.pg_upsert_copy(correction, dsn, "customer_bal", "c_custkey")
+        out = pg_copy.pg_copy_read(
+            spark, dsn,
+            "SELECT c_nationkey AS nation, count(*) AS n_cust, "
+            "sum(bal_cents) AS bal_cents FROM customer_bal "
+            "GROUP BY c_nationkey ORDER BY nation",
+            "nation bigint, n_cust bigint, bal_cents bigint",
+        ).withColumn("live_pg", F.lit(True)).orderBy("nation")
+        return spark.createDataFrame(out.collect(), out.schema)

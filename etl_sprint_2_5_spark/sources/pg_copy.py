@@ -1,0 +1,248 @@
+"""Live PostgreSQL wire path over the COPY protocol — SURVEY.md §2.1
+S4 (bulk INSERT sink, reference sqlite_to_postgresql/etl.py:205-213)
+and the PG half of S7 DDL bootstrap, runnable WITHOUT a JDBC driver
+jar or a Python DB-API module: every byte crosses the wire through
+``psql`` subprocesses speaking COPY, PostgreSQL's bulk-load verb.
+
+Why COPY and not executemany/JDBC batching: the reference's sink is a
+driver-side ``cursor.executemany(INSERT ...)`` loop — one round-trip
+per batch, values re-parsed per row. COPY streams CSV through one
+protocol message stream and is the documented fast path for bulk
+loads (what pg_dump/pg_restore use); production Spark→PG pipelines
+front exactly this shape (spark-postgres and friends COPY per
+partition). At the 100-TB sizing the load MUST be partition-parallel:
+``pg_copy_load`` opens one COPY per Spark partition via
+``foreachPartition`` — N concurrent COPY streams into the same table
+(plain inserts, no lock conflicts) — so throughput scales with
+executors until PG's WAL becomes the bottleneck, which is the correct
+bottleneck. The driver never materializes the dataset.
+
+Upsert (``pg_upsert_copy``) is the PG-native exactly-once shape the
+manifest sink mirrors on parquet: COPY into an UNLOGGED staging table
+(partition-parallel, no WAL), then ONE transactional
+``INSERT ... ON CONFLICT (key) DO UPDATE`` from the stage — re-running
+the same batch is a no-op effect-wise (T3 semantics live against a
+real database), and a crash between stage and merge leaves the target
+untouched.
+
+Requirements: ``psql`` on PATH wherever a partition runs (executors on
+a real cluster; this container has it). Connections are DSN strings
+(``host=... port=... user=... dbname=...``) — unix-socket DSNs work,
+which is how the tests run a throwaway root-less cluster via
+``initdb``/``pg_ctl`` under ``runuser -u nobody``. When the optional
+PostgreSQL JDBC jar IS present, prefer sources/jdbc.py for parallel
+range-partitioned READS; COPY stays the write path either way.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import subprocess
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: COPY NULL marker — distinguishable from the empty string under CSV
+#: quoting rules (an unquoted \\N is NULL, a quoted "" is an empty
+#: string), so text round-trips losslessly.
+_NULL = r"\N"
+
+
+def have_pg() -> bool:
+    """True when the PostgreSQL server binaries this module can drive
+    are on PATH (psql + initdb + pg_ctl, plus runuser when root —
+    PostgreSQL refuses to run as root, so a root process launches the
+    cluster as ``nobody``)."""
+    import os
+    import shutil
+
+    need = ["psql", "initdb", "pg_ctl"]
+    if os.geteuid() == 0:
+        need.append("runuser")
+    return all(shutil.which(b) for b in need)
+
+
+class ephemeral_pg:
+    """Context manager running a THROWAWAY PostgreSQL cluster on a
+    unix socket under ``base_dir`` — initdb + pg_ctl start on enter,
+    stop + delete on exit. Root-less: when the caller is root (this
+    container), the cluster runs as ``nobody`` via ``runuser`` (PG
+    refuses root); the socket is world-connectable so the caller's
+    psql subprocesses reach it. fsync is off and the instance is
+    socket-only — this is a test/verification instance, not a durable
+    deployment. Yields the DSN string."""
+
+    def __init__(self, base_dir: str, port: int = 54329):
+        self.base = base_dir
+        self.port = port
+
+    def _run(self, *cmd: str) -> None:
+        import os
+
+        full = list(cmd)
+        if os.geteuid() == 0:
+            full = ["runuser", "-u", "nobody", "--", *full]
+        proc = subprocess.run(full, capture_output=True, text=True)
+        if proc.returncode != 0:
+            raise RuntimeError(
+                f"{cmd[0]} failed: {proc.stderr.strip()[:500]}"
+            )
+
+    def __enter__(self) -> str:
+        import os
+        import shutil as _sh
+
+        os.makedirs(self.base, exist_ok=True)
+        if os.geteuid() == 0:
+            _sh.chown(self.base, user="nobody")
+        data = f"{self.base}/data"
+        self._run(
+            "initdb", "-D", data, "-U", "pguser", "--auth=trust",
+            "--no-sync",
+        )
+        self._run(
+            "pg_ctl", "-D", data, "-l", f"{self.base}/pg.log",
+            "-o",
+            f"-k {self.base} -p {self.port} -c listen_addresses= "
+            "-c fsync=off",
+            "start",
+        )
+        return (
+            f"host={self.base} port={self.port} user=pguser "
+            "dbname=postgres"
+        )
+
+    def __exit__(self, *exc) -> None:
+        import shutil as _sh
+
+        try:
+            self._run("pg_ctl", "-D", f"{self.base}/data", "-m",
+                      "immediate", "stop")
+        except RuntimeError:
+            pass
+        _sh.rmtree(self.base, ignore_errors=True)
+
+
+def pg_exec(dsn: str, sql: str) -> str:
+    """Run one SQL statement (or psql script) over a fresh connection;
+    returns stdout. Raises RuntimeError with PG's stderr on failure —
+    ON_ERROR_STOP so a failed statement can't half-apply a script
+    silently."""
+    proc = subprocess.run(
+        ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-At", "-c", sql],
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"psql failed: {proc.stderr.strip()}")
+    return proc.stdout
+
+
+def _copy_in(dsn: str, table: str, columns: list[str], rows) -> int:
+    """One COPY FROM STDIN stream for an iterator of Row/tuple — the
+    per-partition worker. Returns rows sent."""
+    cols = ", ".join(columns)
+    cmd = [
+        "psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-c",
+        f"COPY {table} ({cols}) FROM STDIN "
+        f"WITH (FORMAT csv, NULL '{_NULL}')",
+    ]
+    buf = io.StringIO()
+    w = csv.writer(buf, lineterminator="\n")
+    n = 0
+    for r in rows:
+        w.writerow([_NULL if v is None else v for v in r])
+        n += 1
+    proc = subprocess.run(
+        cmd, input=buf.getvalue(), capture_output=True, text=True
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"COPY failed: {proc.stderr.strip()}")
+    return n
+
+
+def pg_copy_load(df: DataFrame, dsn: str, table: str) -> None:
+    """Partition-parallel bulk INSERT: each Spark partition opens its
+    own ``COPY table FROM STDIN`` stream (concurrent plain inserts —
+    no lock conflicts, N× the single-connection throughput the
+    reference's executemany loop gets). Timestamps/dates cross as ISO
+    strings (PG parses them natively); binary columns are not
+    supported on this path — hex-encode first."""
+    columns = list(df.columns)
+    # stringify driver-agnostic: CSV needs text anyway, and doing the
+    # cast in Spark keeps the per-row Python work to csv.writerow
+    out = df.select([F.col(c).cast("string").alias(c) for c in columns])
+
+    def _load(part) -> None:
+        rows = [tuple(r) for r in part]
+        if rows:
+            _copy_in(dsn, table, columns, rows)
+
+    out.foreachPartition(_load)
+
+
+def pg_upsert_copy(
+    df: DataFrame, dsn: str, table: str, key: str
+) -> None:
+    """Exactly-once keyed upsert against live PostgreSQL: COPY the
+    batch into an UNLOGGED staging table (partition-parallel), then
+    ONE transactional ``INSERT ... ON CONFLICT (key) DO UPDATE`` from
+    the stage. Re-delivering the same batch is a no-op effect-wise —
+    the T3 idempotence contract, live. The batch must be key-unique
+    (same contract the manifest sink's rewrite merge has per commit);
+    the merge enforces it with DISTINCT ON so a duplicate key can't
+    abort the transaction halfway. Requires a UNIQUE/PK constraint on
+    ``key``."""
+    stage = f"{table}_stage_{uuid.uuid4().hex[:10]}"
+    cols = list(df.columns)
+    collist = ", ".join(cols)
+    sets = ", ".join(f"{c} = EXCLUDED.{c}" for c in cols if c != key)
+    pg_exec(
+        dsn,
+        f"CREATE UNLOGGED TABLE {stage} "
+        f"(LIKE {table} INCLUDING DEFAULTS)",
+    )
+    try:
+        pg_copy_load(df, dsn, stage)
+        pg_exec(
+            dsn,
+            f"INSERT INTO {table} ({collist}) "
+            f"SELECT DISTINCT ON ({key}) {collist} FROM {stage} "
+            f"ON CONFLICT ({key}) DO UPDATE SET {sets}",
+        )
+    finally:
+        pg_exec(dsn, f"DROP TABLE IF EXISTS {stage}")
+
+
+def pg_copy_read(
+    spark: SparkSession, dsn: str, query: str, schema: str
+) -> DataFrame:
+    """Read a query result back through ``COPY (query) TO STDOUT`` and
+    type it with an explicit DDL ``schema`` (e.g. ``"id bigint, name
+    string"``). Driver-side single stream — the READ-back/verification
+    path (result sets, dims, keyset batches), not a fact-table scan;
+    parallel reads want sources/jdbc.py's range partitioning once a
+    JDBC jar is present."""
+    proc = subprocess.run(
+        [
+            "psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-c",
+            f"COPY ({query}) TO STDOUT WITH (FORMAT csv, NULL '{_NULL}')",
+        ],
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"COPY read failed: {proc.stderr.strip()}")
+    rows = [
+        tuple(None if v == _NULL else v for v in rec)
+        for rec in csv.reader(io.StringIO(proc.stdout))
+    ]
+    names = [f.split()[0] for f in schema.split(",")]
+    str_schema = ", ".join(f"{n} string" for n in names)
+    raw = spark.createDataFrame(rows, str_schema)
+    types = [f.strip().split(None, 1)[1] for f in schema.split(",")]
+    return raw.select(
+        [F.col(n).cast(t).alias(n) for n, t in zip(names, types)]
+    )

@@ -1,0 +1,153 @@
+"""LIVE PostgreSQL integration for the COPY wire path
+(etl_sprint_2_5_spark/sources/pg_copy.py) — the first round in which
+the container carries server binaries, so the S4 bulk-INSERT sink and
+the PG half of S7 DDL bootstrap run against a REAL database instead
+of config-gated contract tests. A throwaway root-less cluster
+(initdb + pg_ctl under runuser/nobody, unix socket, fsync off) lives
+for the module and is deleted after; everything crosses the wire via
+psql COPY — no JDBC jar, no DB-API module.
+
+Pins: DDL bootstrap; partition-parallel COPY load (counts + checksum
++ NULL/empty-string/quote round-trip); COPY read-back typing;
+ON CONFLICT upsert idempotence + update semantics (T3 live);
+keyset-batch SQL (S2) executed by a real PG planner.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_sprint_2_5_spark.sources import pg_copy
+
+
+pytestmark = pytest.mark.skipif(
+    not pg_copy.have_pg(), reason="PostgreSQL server binaries absent"
+)
+
+
+@pytest.fixture(scope="module")
+def dsn(tmp_path_factory):
+    base = tmp_path_factory.mktemp("pg")
+    # the cluster runs as nobody — the path up to the socket dir must
+    # be traversable for it
+    for p in (base, *base.parents[:2]):
+        p.chmod(0o755)
+    with pg_copy.ephemeral_pg(str(base / "cluster")) as d:
+        yield d
+
+
+def test_ddl_bootstrap_and_copy_roundtrip(spark, dsn):
+    pg_copy.pg_exec(
+        dsn,
+        "CREATE TABLE items (id bigint PRIMARY KEY, name text, "
+        "price double precision, ts timestamp, note text)",
+    )
+    rows = [
+        (1, "plain", 1.5, "2026-01-02 03:04:05", "x"),
+        (2, 'quo"te,comma', 2.5, None, ""),  # csv escaping + NULL vs ''
+        (3, None, None, "2026-01-02 03:04:06", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, name string, price double, ts string, note string"
+    ).repartition(3)  # force multiple COPY streams
+    pg_copy.pg_copy_load(df, dsn, "items")
+    assert pg_copy.pg_exec(dsn, "SELECT count(*) FROM items").strip() == "3"
+    # NULL vs empty string must be distinguishable after the roundtrip
+    assert (
+        pg_copy.pg_exec(
+            dsn, "SELECT count(*) FROM items WHERE note = ''"
+        ).strip()
+        == "1"
+    )
+    assert (
+        pg_copy.pg_exec(
+            dsn, "SELECT count(*) FROM items WHERE note IS NULL"
+        ).strip()
+        == "1"
+    )
+    back = pg_copy.pg_copy_read(
+        spark, dsn,
+        "SELECT id, name, price FROM items",
+        "id bigint, name string, price double",
+    )
+    got = sorted((r.id, r.name, r.price) for r in back.collect())
+    assert got == [
+        (1, "plain", 1.5), (2, 'quo"te,comma', 2.5), (3, None, None)
+    ]
+
+
+def test_upsert_idempotent_and_updates(spark, dsn):
+    pg_copy.pg_exec(
+        dsn, "CREATE TABLE kv (k bigint PRIMARY KEY, v text, n bigint)"
+    )
+    b1 = spark.createDataFrame(
+        [(i, f"v{i}", i * 10) for i in range(50)],
+        "k long, v string, n long",
+    ).repartition(4)
+    pg_copy.pg_upsert_copy(b1, dsn, "kv", key="k")
+    # exactly-once effect: redelivering the SAME batch changes nothing
+    pg_copy.pg_upsert_copy(b1, dsn, "kv", key="k")
+    assert pg_copy.pg_exec(dsn, "SELECT count(*) FROM kv").strip() == "50"
+    # update + insert in one batch
+    b2 = spark.createDataFrame(
+        [(5, "NEW", -5), (500, "ins", -500)], "k long, v string, n long"
+    )
+    pg_copy.pg_upsert_copy(b2, dsn, "kv", key="k")
+    assert pg_copy.pg_exec(dsn, "SELECT count(*) FROM kv").strip() == "51"
+    assert (
+        pg_copy.pg_exec(dsn, "SELECT v FROM kv WHERE k = 5").strip()
+        == "NEW"
+    )
+    # no staging table leaked
+    assert (
+        pg_copy.pg_exec(
+            dsn,
+            "SELECT count(*) FROM pg_tables "
+            "WHERE tablename LIKE 'kv_stage%'",
+        ).strip()
+        == "0"
+    )
+
+
+def test_keyset_batches_against_live_planner(spark, dsn):
+    """S2's keyset cursor SQL (sources/jdbc.keyset_subquery) executed
+    by a REAL PostgreSQL planner: batches tile the table exactly, in
+    (ts, id) order, with the (ts, id) tie handled by the row-value
+    comparison."""
+    from etl_sprint_2_5_spark.sources.jdbc import keyset_subquery
+
+    pg_copy.pg_exec(
+        dsn,
+        "CREATE TABLE ev (id bigint PRIMARY KEY, ts timestamp, "
+        "val bigint)",
+    )
+    rows = [
+        # deliberate ts ties (i // 3) so the id tiebreak matters
+        (i, f"2026-01-01 00:00:{i // 3:02d}", i) for i in range(30)
+    ]
+    pg_copy.pg_copy_load(
+        spark.createDataFrame(rows, "id long, ts string, val long"),
+        dsn, "ev",
+    )
+    cursor_ts, cursor_id = "1970-01-01 00:00:00", "-1"
+    seen = []
+    while True:
+        sub = keyset_subquery(
+            "ev", "ts", "id", cursor_ts, cursor_id, batch_size=7
+        )
+        # keyset_subquery returns a parenthesized dbtable subquery —
+        # strip the alias wrapper for a plain COPY read
+        q = sub.strip()
+        if q.endswith(")"):
+            q = q[1:-1]
+        else:  # "( ... ) alias" form
+            q = q[q.index("(") + 1: q.rindex(")")]
+        batch = pg_copy.pg_copy_read(
+            spark, dsn, q, "id bigint, ts string, val bigint"
+        ).collect()
+        if not batch:
+            break
+        seen.extend((r.id, r.ts) for r in batch)
+        cursor_ts, cursor_id = batch[-1].ts, str(batch[-1].id)
+    assert [i for i, _ in seen] == list(range(30))  # exact tiling
+    assert len(seen) == 30

@@ -24,10 +24,8 @@ SURVEY_IDS = (
 # Operators whose home is a module/test rather than an oracle query
 # (connector configs, driver-side orchestration, API envelopes).
 MODULE_COVERED = {
-    "S4": "sources/jdbc.py — JDBC writer options (no DB in container)",
     "S5": "streaming/es_sink.py + streaming/sink.py upsert contract",
     "S6": "api/query.py — gold DataFrame is the search index (Q1-Q4 run on it)",
-    "S7": "schemas.py StructType registry + sources/parquet.py schema assertion",
     "S8": "streaming/state.py OffsetStore (tests/test_ivm.py)",
     "A7": "streaming/es_sink.py es.batch.size.entries + multimodal repartition_by_bytes",
     "F5": "functions/kernel.py uuid_sentinel (used by keyset defaults)",

@@ -162,6 +162,10 @@ HEADLINE = [
     # PostgreSQL wire twice (partition-parallel COPY in, ON CONFLICT
     # upsert, COPY rollup out) against a throwaway root-less cluster
     "pg_copy_roundtrip_live",
+    # round-12: S1 live — documents into a real SQLite file (with
+    # dirty duplicates), read back as 8 concurrent pk-range slices,
+    # deduped, gated rollup
+    "sqlite_live_scan",
 ]
 
 

@@ -351,3 +351,83 @@ def legacy_full_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_id")
     )
+
+
+@query(
+    "sqlite_live_scan",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_sum,
+           TRUE AS deduped,
+           TRUE AS parallel_scan
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    covers=("S1", "X-sqlite-live"),
+)
+def sqlite_live_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 (SQLite full scan + dedup, reference sqlite_to_postgresql/
+    etl.py:62-117) against a LIVE SQLite file, under the oracle gate.
+    The documents table is loaded into a real .sqlite file the way the
+    reference's own storage was built (driver-side executemany —
+    sources/sqlite_src.sqlite_bulk_insert), with every doc_id % 10 == 0
+    row inserted TWICE (the dirty-duplicate class the reference's
+    loader dedups). Spark then reads the file back as 8 CONCURRENT
+    pk-range slices (sqlite_range_read — the partitionColumn contract
+    with stdlib sqlite3 instead of a driver jar, Arrow-batched via
+    mapInPandas), dedups by key, and the gated per-lang rollup must be
+    bit-identical to DuckDB over the original parquet: any slice
+    overlap/gap (double-read or dropped rows), type coercion through
+    SQLite's dynamic typing, or failed dedup bends the counts.
+    deduped pins that the duplicates were really present and really
+    removed; parallel_scan pins >1 range slice executed. The residual
+    single-host nature of a SQLite FILE is inherent to the source
+    (module docstring) — this is the legacy-migration ingest edge,
+    not a fact-scan path."""
+    import os
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.sources.sqlite_src import (
+        sqlite_bulk_insert,
+        sqlite_range_read,
+    )
+
+    d = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    tmp = tempfile.mkdtemp(prefix="sqlite_live_")
+    db = os.path.join(tmp, "legacy.sqlite")
+    try:
+        rows = [(r.doc_id, r.lang, r.n_chars) for r in d.collect()]
+        dups = [t for t in rows if t[0] % 10 == 0]
+        # the legacy table models the reference's un-constrained source
+        # (no PK — dirty duplicates really land on disk)
+        sqlite_bulk_insert(
+            db, "documents_dirty",
+            "doc_id INTEGER, lang TEXT, n_chars INTEGER",
+            rows + dups,
+        )
+        raw = sqlite_range_read(
+            spark, db, "documents_dirty", pk="doc_id",
+            schema="doc_id long, lang string, n_chars long",
+            num_partitions=8,
+        )
+        raw_n = raw.count()
+        clean = raw.dropDuplicates(["doc_id"])
+        deduped = raw_n == len(rows) + len(dups) and clean.count() == len(rows)
+        out = (
+            clean.groupBy("lang")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("n_chars").cast("bigint").alias("chars_sum"),
+            )
+            .withColumn("deduped", F.lit(bool(deduped)))
+            .withColumn("parallel_scan", F.lit(raw.rdd.getNumPartitions() > 1))
+            .orderBy("lang")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

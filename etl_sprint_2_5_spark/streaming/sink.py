@@ -1802,3 +1802,76 @@ def split_buckets(
         f"split_buckets at {path!r} lost the manifest publish race 5 "
         "times — pathological writer contention"
     )
+
+
+#: How many bucket dirs maintain_bucketed_view samples to estimate the
+#: average bucket size — a full walk at the ~100k-bucket sizing would
+#: be an object-store LIST storm per maintenance slot (the same reason
+#: GC is incremental); 64 evenly-spaced buckets bound the estimate's
+#: cost while murmur3's uniformity keeps it honest.
+MAINTAIN_SIZE_SAMPLE = 64
+
+
+def maintain_bucketed_view(
+    spark: SparkSession,
+    path: str,
+    target_bucket_bytes: int = 1 << 30,
+    buckets_per_call: int = 1,
+    factor: int = 2,
+    keep_versions: int = 2,
+    gc_grace_seconds: float = 0.0,
+) -> dict:
+    """ONE maintenance slot for a bucketed keyed view — the
+    self-managing face of the table format (Delta's OPTIMIZE +
+    auto-compaction policy, composed from this module's verbs):
+
+    1. **Fold the log**: compact pending delta commits into bases
+       (no-op on a clean view).
+    2. **Fix the layout**: if a bucket-count migration is pending,
+       advance it by ``buckets_per_call`` old buckets; otherwise
+       estimate the average base-bucket size from a bounded sample
+       (:data:`MAINTAIN_SIZE_SAMPLE` dirs — never a full tree walk)
+       and START a ``factor×`` migration when it exceeds
+       ``target_bucket_bytes``.
+
+    Call it once per CDC cycle / cron slot: a view that doubled its
+    bytes drifts back to target-sized buckets over ~n_buckets /
+    buckets_per_call slots, each slot paying one compaction of the
+    cycle's deltas plus at most ``buckets_per_call`` bucket rewrites —
+    maintenance cost stays proportional to the CHANGE and the drift,
+    never the corpus. Returns
+    ``{"compacted": n, "split": n, "migration_pending": bool}``."""
+    compacted = compact_bucketed_view(
+        spark, path, keep_versions, gc_grace_seconds
+    )
+    man = load_manifest(path)
+    split = 0
+    if man is not None and man["buckets"]:
+        rb = man.get("rebucket")
+        if rb:
+            f = int(rb["to"]) // int(man["n_buckets"])
+            split = split_buckets(
+                spark, path, factor=f, buckets_per_call=buckets_per_call,
+                keep_versions=keep_versions,
+                gc_grace_seconds=gc_grace_seconds,
+            )
+        else:
+            rels = sorted(man["buckets"].values())
+            stride = max(1, len(rels) // MAINTAIN_SIZE_SAMPLE)
+            sample = rels[::stride][:MAINTAIN_SIZE_SAMPLE]
+            avg = sum(
+                dir_bytes(os.path.join(path, rel)) for rel in sample
+            ) / len(sample)
+            if avg > target_bucket_bytes:
+                split = split_buckets(
+                    spark, path, factor=factor,
+                    buckets_per_call=buckets_per_call,
+                    keep_versions=keep_versions,
+                    gc_grace_seconds=gc_grace_seconds,
+                )
+        man = load_manifest(path)
+    return {
+        "compacted": compacted,
+        "split": split,
+        "migration_pending": bool(man and man.get("rebucket")),
+    }

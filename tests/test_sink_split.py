@@ -292,3 +292,38 @@ def test_factor_validation(spark, tmp_path):
     # changing the factor mid-migration would fork the target layout
     with pytest.raises(ValueError, match="in progress"):
         sink.split_buckets(spark, view, factor=3)
+
+
+def test_maintain_view_compacts_then_migrates(spark, tmp_path):
+    """maintain_bucketed_view is one self-managing slot: fold pending
+    deltas, then drift the layout toward the byte target — starting a
+    migration when the sampled average bucket exceeds it, advancing a
+    pending one, and going quiet once buckets are back under target."""
+    _, sink = _imports()
+    view = str(tmp_path / "v")
+    exp = _seed(spark, sink, view, n=400, n_buckets=4)
+    sink.upsert_keyed_parquet_delta(
+        spark, _bdf(spark, [(1, -1)]), view, key="id"
+    )
+    exp = (exp - {(1, 10)}) | {(1, -1)}
+    # slot 1: compacts the delta AND starts the migration (tiny target)
+    r = sink.maintain_bucketed_view(
+        spark, view, target_bucket_bytes=1, buckets_per_call=1
+    )
+    assert r["compacted"] >= 1 and r["split"] == 1
+    assert r["migration_pending"]
+    # slots 2..4: advance one old bucket each, no deltas to fold
+    for i in range(3):
+        r = sink.maintain_bucketed_view(
+            spark, view, target_bucket_bytes=1, buckets_per_call=1
+        )
+        assert r["compacted"] == 0 and r["split"] == 1
+    assert not r["migration_pending"]
+    man = sink.load_manifest(view)
+    assert man["n_buckets"] == 8 and "rebucket" not in man
+    assert set(_rows_of(sink.read_bucketed_view(spark, view))) == exp
+    # with a sane target the view is quiet: no compact, no split
+    r = sink.maintain_bucketed_view(
+        spark, view, target_bucket_bytes=1 << 30
+    )
+    assert r == {"compacted": 0, "split": 0, "migration_pending": False}

@@ -166,6 +166,10 @@ HEADLINE = [
     # dirty duplicates), read back as 8 concurrent pk-range slices,
     # deduped, gated rollup
     "sqlite_live_scan",
+    # round-12: the image-codec hook made REAL for PNG (pure stdlib
+    # zlib+numpy) — 64 formula images encoded+decoded on executors,
+    # dims + pixel checksum gated against a codec-free oracle
+    "png_decode_real",
 ]
 
 

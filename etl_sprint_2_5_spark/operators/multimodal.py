@@ -189,8 +189,20 @@ def repartition_by_bytes(
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
-    """Real codec hook (PIL). Not available in this container."""
-    raise NotImplementedError("image codec not installed — deterministic fake in use")
+    """Real codec hook. PNG decodes for REAL since round 12 — the
+    pure-stdlib codec in operators/png_codec.py (zlib + numpy
+    unfilter, chunk CRCs verified); a corrupt PNG raises ValueError
+    (loud failure, never garbage dims). Non-PNG formats (JPEG etc.)
+    still need a library this container lacks, so they keep the
+    documented NotImplementedError → deterministic-fake fallback —
+    which also keeps the PRE-round-12 gated multimodal queries
+    byte-stable (their synthetic blobs carry no PNG signature)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from etl_sprint_2_5_spark.operators.png_codec import png_decode
+
+        h, w, c = png_decode(payload).shape
+        return w, h, c
+    raise NotImplementedError("non-PNG codec not installed — deterministic fake in use")
 
 
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
@@ -225,7 +237,7 @@ DECODED_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("channels", IntegerType()),
-        StructField("decode_ok", StringType()),  # 'real' | 'fake'
+        StructField("decode_ok", StringType()),  # 'real'|'fake'|'corrupt'
     ]
 )
 
@@ -245,6 +257,12 @@ def decode_images(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
                 except NotImplementedError:
                     w, h, c = _fake_dims(payload)
                     mode = "fake"
+                except ValueError:
+                    # a payload that CLAIMS a real format but fails to
+                    # parse is dirty data, not a job-killer at 100 TB:
+                    # quarantine it loudly in-band (zero dims) for a
+                    # downstream filter, never fake plausible dims
+                    w, h, c, mode = 0, 0, 0, "corrupt"
                 rows.append((i, w, h, c, mode))
             yield pd.DataFrame(
                 rows, columns=["id", "width", "height", "channels", "decode_ok"]
@@ -316,6 +334,8 @@ def decode_and_features(
                 except NotImplementedError:
                     w, h, c = _fake_dims(payload)
                     mode = "fake"
+                except ValueError:  # dirty claimed-format payload —
+                    w, h, c, mode = 0, 0, 0, "corrupt"  # quarantine
                 rows.append((i, w, h, c, mode, _fake_vector(payload, dim)))
             yield pd.DataFrame(
                 rows,

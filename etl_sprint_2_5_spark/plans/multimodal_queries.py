@@ -268,3 +268,122 @@ def multimodal_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rep_id", "n_copies", "byte_len", "blob_md5")
         .orderBy("rep_id")
     )
+
+
+@query(
+    "png_decode_real",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    dims AS (
+      SELECT doc_id,
+             16 + doc_id % 16 AS w,
+             16 + (doc_id * 7) % 16 AS h
+      FROM ids
+    ),
+    pix AS (
+      SELECT d.doc_id, d.w, d.h,
+             ((x.range + y.range + d.doc_id) % 256)
+           + ((2 * x.range + y.range + d.doc_id) % 256)
+           + ((x.range + 2 * y.range + d.doc_id) % 256) AS v
+      FROM dims d
+      JOIN range(0, 32) x ON x.range < d.w
+      JOIN range(0, 32) y ON y.range < d.h
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(sum(v) AS BIGINT) AS pix_sum,
+           'real' AS decode_ok
+    FROM pix
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+    covers=("X-multimodal-decode", "X-png-codec"),
+)
+def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image decode stage with a REAL codec under the oracle gate
+    (operators/png_codec.py — round 12 closed the standing
+    image-codec hook for PNG, pure stdlib zlib + numpy, no PIL).
+    Per doc_id < 64 a deterministic RGB image is generated from a
+    pixel FORMULA (W=16+d%16, H=16+7d%16, channel k at (x,y) =
+    (kx-ish linear form + d) mod 256), PNG-encoded on the EXECUTORS
+    (Arrow mapInPandas), and then:
+    - the production decode stage (operators/multimodal.decode_images
+      — the same stage every multimodal query runs) must report mode
+      'real' with the formula's exact dims: the real-codec dispatch,
+      not the deterministic fake, handled these blobs;
+    - a second Arrow stage decodes the blobs back to pixels and sums
+      them; the gated per-image checksum equals DuckDB's closed-form
+      evaluation of the formula itself — so encode→wire→decode is
+      PIXEL-lossless end-to-end, proven against an oracle that never
+      touches a codec (a swapped width/height convention, a broken
+      filter, or a channel reorder all bend pix_sum or dims).
+    Spec-level unfilter behavior (Sub/Up/Average/Paeth by hand) and
+    real-world PNGs (CPython's own icons, incl. palette) are
+    pytest-pinned in tests/test_png_codec.py. Non-PNG formats keep
+    the documented deterministic-fake fallback; corrupt claimed-PNGs
+    quarantine as decode_ok='corrupt' (zero dims), never fake dims."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.png_codec import (
+        png_decode,
+        png_encode,
+    )
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+
+    def gen(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 + d % 16, 16 + (d * 7) % 16
+                x = np.arange(w, dtype=np.int64)[None, :]
+                y = np.arange(h, dtype=np.int64)[:, None]
+                chans = [
+                    (x + y + d) % 256,
+                    (2 * x + y + d) % 256,
+                    (x + 2 * y + d) % 256,
+                ]
+                arr = np.stack(chans, axis=2).astype(np.uint8)
+                rows.append((d, png_encode(arr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = ids.mapInPandas(gen, "doc_id long, payload binary")
+
+    # the decode stage's output id is a string (DECODED_SCHEMA) — feed
+    # it one and cast back for the gate's BIGINT doc_id
+    dims = M.decode_images(
+        blobs.select(
+            F.col("doc_id").cast("string").alias("doc_id"), "payload"
+        ),
+        "doc_id",
+        "payload",
+    ).select(
+        F.col("id").cast("long").alias("doc_id"),
+        "width", "height", "channels", "decode_ok",
+    )
+
+    def pixsum(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = [
+                (int(d), int(png_decode(bytes(p)).astype(np.int64).sum()))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "pix_sum"])
+
+    sums = blobs.mapInPandas(pixsum, "doc_id long, pix_sum long")
+    out = (
+        dims.join(sums, "doc_id")
+        .select(
+            "doc_id", "width", "height", "channels", "pix_sum", "decode_ok"
+        )
+        .orderBy("doc_id")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)

@@ -43,13 +43,25 @@ def test_decode_schema_and_determinism(blobs):
     a = {r["id"]: (r["width"], r["height"]) for r in out.collect()}
     b = {r["id"]: (r["width"], r["height"]) for r in out.collect()}
     assert a == b  # deterministic across recomputation
-    assert all(16 <= w < 256 for w, _ in a.values())
-    assert {r["decode_ok"] for r in out.collect()} == {"fake"}  # stub active
+    assert all(16 <= w < 256 for w, _ in a.values() if w)
+    # non-PNG payloads fall back to the deterministic fake; the blob
+    # CLAIMING a PNG signature but failing to parse is quarantined
+    # loudly as 'corrupt' (zero dims), never faked-plausible
+    modes = {r["id"]: r["decode_ok"] for r in out.collect()}
+    assert modes["b2"] == "corrupt"
+    assert {m for i, m in modes.items() if i != "b2"} == {"fake"}
 
 
 def test_real_hook_raises():
+    # non-PNG formats still lack a codec in this container
     with pytest.raises(NotImplementedError):
         M._decode_image_real(b"anything")
+    # PNG decodes for REAL (operators/png_codec.py)
+    from etl_sprint_2_5_spark.operators.png_codec import png_encode
+    import numpy as np
+
+    w, h, c = M._decode_image_real(png_encode(np.zeros((3, 7), np.uint8)))
+    assert (w, h, c) == (7, 3, 1)
 
 
 def test_features_match_fake_vector(blobs):

@@ -170,6 +170,9 @@ HEADLINE = [
     # zlib+numpy) — 64 formula images encoded+decoded on executors,
     # dims + pixel checksum gated against a codec-free oracle
     "png_decode_real",
+    # round-12: the audio half — WAV parses for real (stdlib wave),
+    # 48 formula PCM streams encoded+decoded, amplitude checksum gated
+    "wav_decode_real",
 ]
 
 

@@ -205,6 +205,27 @@ def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
     raise NotImplementedError("non-PNG codec not installed — deterministic fake in use")
 
 
+def _decode_audio_real(payload: bytes) -> tuple[int, int, int]:
+    """Real audio codec hook: RIFF/WAVE 16-bit PCM parses for REAL
+    (operators/wav_codec.py, stdlib ``wave`` + numpy) →
+    (sample_rate, n_frames, channels); a malformed or compressed WAV
+    raises ValueError (quarantined by the stage, never faked).
+    Non-WAV formats (mp3/flac/ogg) still need a library this
+    container lacks → NotImplementedError → deterministic fake."""
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        from etl_sprint_2_5_spark.operators.wav_codec import wav_decode
+
+        samples, rate = wav_decode(payload)
+        return rate, samples.shape[0], samples.shape[1]
+    raise NotImplementedError("non-WAV audio codec not installed")
+
+
+def _fake_audio(payload: bytes) -> tuple[int, int, int]:
+    """DETERMINISTIC FAKE audio header (md5-derived, like _fake_dims)."""
+    h = hashlib.md5(payload).digest()
+    return 8000 + h[0] * 64, 1000 + h[1] * 37, 1 + h[2] % 2
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     """DETERMINISTIC FAKE: dims derived from payload md5 (stable across
     runs/retries, so downstream goldens are exact)."""
@@ -269,6 +290,52 @@ def decode_images(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
             )
 
     return df.select(id_col, blob_col).mapInPandas(run, DECODED_SCHEMA)
+
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("channels", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("decode_ok", StringType()),  # 'real'|'fake'|'corrupt'
+    ]
+)
+
+
+def decode_audio(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """Audio decode stage: (id, blob) → stream header facts
+    (rate/frames/channels/duration). Arrow-batched; WAV parses for
+    REAL (wav_codec), other formats keep the deterministic fake, and
+    a claimed-WAV that fails to parse quarantines as 'corrupt' with
+    zeroed facts — same contract as decode_images. duration_ms is
+    exact integer math (frames·1000 // rate), never float."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[blob_col]):
+                payload = bytes(payload)
+                try:
+                    rate, n, ch = _decode_audio_real(payload)
+                    mode = "real"
+                except NotImplementedError:
+                    rate, n, ch = _fake_audio(payload)
+                    mode = "fake"
+                except ValueError:  # dirty claimed-WAV — quarantine
+                    rate, n, ch, mode = 0, 0, 0, "corrupt"
+                dur = (n * 1000) // rate if rate else 0
+                rows.append((i, rate, n, ch, dur, mode))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "sample_rate", "n_frames", "channels",
+                    "duration_ms", "decode_ok",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, AUDIO_SCHEMA)
 
 
 FEATURES_SCHEMA = StructType(

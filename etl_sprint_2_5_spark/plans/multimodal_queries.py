@@ -387,3 +387,104 @@ def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "wav_decode_real",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+    spec AS (
+      SELECT doc_id,
+             8000 + 100 * (doc_id % 8) AS rate,
+             400 + 16 * (doc_id % 16) AS n
+      FROM ids
+    ),
+    amp AS (
+      SELECT s.doc_id, s.rate, s.n,
+             abs((3 * k.range + s.doc_id) % 200 - 100) AS a
+      FROM spec s
+      JOIN range(0, 1024) k ON k.range < s.n
+    )
+    SELECT doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(1 AS INTEGER) AS channels,
+           CAST((n * 1000) // rate AS BIGINT) AS duration_ms,
+           CAST(sum(a) AS BIGINT) AS amp_sum,
+           'real' AS decode_ok
+    FROM amp
+    GROUP BY doc_id, rate, n
+    ORDER BY doc_id
+    """,
+    covers=("X-multimodal-audio", "X-wav-codec"),
+)
+def wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio decode stage with a REAL codec under the oracle gate
+    (operators/wav_codec.py — stdlib ``wave`` + numpy; round 12's
+    audio half of closing the codec hooks). Per doc_id < 48 a mono
+    16-bit PCM stream is generated from a sample FORMULA
+    (rate = 8000+100·(d%8), n = 400+16·(d%16), sample k =
+    (3k+d) mod 200 − 100), WAV-encoded on the EXECUTORS, then:
+    - the production audio stage (operators/multimodal.decode_audio)
+      must report mode 'real' with the formula's exact
+      rate/frames/channels and the exact integer duration
+      (n·1000 // rate — no float in the gate);
+    - a second Arrow stage decodes the samples back and sums |value|;
+      the gated per-stream amplitude checksum equals DuckDB's
+      closed-form evaluation of the formula — encode→wire→decode is
+      SAMPLE-lossless, proven against an oracle that never touches a
+      codec. Non-WAV audio keeps the deterministic-fake fallback;
+      corrupt claimed-WAVs quarantine as decode_ok='corrupt'."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.wav_codec import (
+        wav_decode,
+        wav_encode,
+    )
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < 48)
+        .select(F.col("doc_id").cast("string").alias("doc_id"))
+    )
+
+    def gen(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = []
+            for ds in pdf["doc_id"]:
+                d = int(ds)
+                rate = 8000 + 100 * (d % 8)
+                n = 400 + 16 * (d % 16)
+                k = np.arange(n, dtype=np.int64)
+                samples = ((3 * k + d) % 200 - 100).astype(np.int16)
+                rows.append((ds, wav_encode(samples, rate)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = ids.mapInPandas(gen, "doc_id string, payload binary")
+    meta = M.decode_audio(blobs, "doc_id", "payload").select(
+        F.col("id").cast("long").alias("doc_id"),
+        "sample_rate", "n_frames", "channels", "duration_ms", "decode_ok",
+    )
+
+    def ampsum(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = [
+                (
+                    int(ds),
+                    int(np.abs(wav_decode(bytes(p))[0].astype(np.int64)).sum()),
+                )
+                for ds, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "amp_sum"])
+
+    sums = blobs.mapInPandas(ampsum, "doc_id long, amp_sum long")
+    out = (
+        meta.join(sums, "doc_id")
+        .select(
+            "doc_id", "sample_rate", "n_frames", "channels",
+            "duration_ms", "amp_sum", "decode_ok",
+        )
+        .orderBy("doc_id")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)

@@ -173,6 +173,9 @@ HEADLINE = [
     # round-12: the audio half — WAV parses for real (stdlib wave),
     # 48 formula PCM streams encoded+decoded, amplitude checksum gated
     "wav_decode_real",
+    # round-12: real nearest-neighbor PNG resize through the resize
+    # stage, resized payloads decoded + checksummed vs the formula
+    "png_resize_real",
 ]
 
 

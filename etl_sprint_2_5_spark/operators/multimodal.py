@@ -420,6 +420,7 @@ RESIZED_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("payload", BinaryType()),
+        StructField("resize_ok", StringType()),  # 'real'|'fake'|'corrupt'
     ]
 )
 
@@ -428,20 +429,52 @@ def resize_images(
     df: DataFrame, id_col: str, blob_col: str, max_side: int = 224
 ) -> DataFrame:
     """Resize stage: clamp the longer side to ``max_side`` preserving
-    aspect; payload re-encode is the deterministic fake (md5 chain of
-    the source payload + target dims)."""
+    aspect. PNG payloads resize for REAL since round 12 (png_codec
+    decode → nearest-neighbor resample with the floor-index
+    convention out[j,i] = in[(j·h)//nh, (i·w)//nw] → png_codec
+    re-encode); other formats keep the deterministic fake (md5 chain
+    of source payload + target dims), and a claimed-PNG that fails to
+    parse quarantines as 'corrupt' (zero dims, empty payload) — the
+    decode_images contract."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from etl_sprint_2_5_spark.operators.png_codec import (
+            png_decode,
+            png_encode,
+        )
+
+        def _scaled(w: int, h: int) -> tuple[int, int]:
+            scale = min(1.0, max_side / max(w, h))
+            return max(1, round(w * scale)), max(1, round(h * scale))
+
         for pdf in batches:
             rows = []
             for i, payload in zip(pdf[id_col], pdf[blob_col]):
                 payload = bytes(payload)
+                if payload[:8] == b"\x89PNG\r\n\x1a\n":
+                    try:
+                        arr = png_decode(payload)
+                    except ValueError:  # dirty claimed-PNG: quarantine
+                        rows.append((i, 0, 0, b"", "corrupt"))
+                        continue
+                    h, w = arr.shape[0], arr.shape[1]
+                    nw, nh = _scaled(w, h)
+                    ix = (np.arange(nw, dtype=np.int64) * w) // nw
+                    iy = (np.arange(nh, dtype=np.int64) * h) // nh
+                    rows.append(
+                        (i, nw, nh, png_encode(arr[iy][:, ix]), "real")
+                    )
+                    continue
                 w, h, _ = _fake_dims(payload)
-                scale = min(1.0, max_side / max(w, h))
-                nw, nh = max(1, round(w * scale)), max(1, round(h * scale))
+                nw, nh = _scaled(w, h)
                 fake = hashlib.md5(payload + f":{nw}x{nh}".encode()).digest()
-                rows.append((i, nw, nh, fake))
-            yield pd.DataFrame(rows, columns=["id", "width", "height", "payload"])
+                rows.append((i, nw, nh, fake, "fake"))
+            yield pd.DataFrame(
+                rows,
+                columns=["id", "width", "height", "payload", "resize_ok"],
+            )
 
     return df.select(id_col, blob_col).mapInPandas(run, RESIZED_SCHEMA)
 

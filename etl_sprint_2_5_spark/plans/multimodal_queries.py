@@ -488,3 +488,99 @@ def wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "png_resize_real",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+    spec AS (SELECT doc_id, 2 + doc_id % 2 AS f FROM ids),
+    pix AS (
+      SELECT s.doc_id,
+             ((i.range * s.f + j.range * s.f + s.doc_id) % 256)
+           + ((2 * i.range * s.f + j.range * s.f + s.doc_id) % 256)
+           + ((i.range * s.f + 2 * j.range * s.f + s.doc_id) % 256) AS v
+      FROM spec s
+      CROSS JOIN range(0, 16) i
+      CROSS JOIN range(0, 16) j
+    )
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(sum(v) AS BIGINT) AS pix_sum,
+           'real' AS resize_ok
+    FROM pix
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+    covers=("X-multimodal-resize", "X-png-codec"),
+)
+def png_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The resize stage with the REAL PNG codec under the oracle gate:
+    per doc_id < 48 a square formula image of side 16f (f = 2+d%2 →
+    32 or 48 px) is PNG-encoded on the executors, resized by the
+    PRODUCTION stage (operators/multimodal.resize_images, max_side=16
+    → exact 1/f nearest-neighbor with the floor-index convention
+    out[j,i] = in[(j·h)//nh, (i·w)//nw], here index = f·i exactly),
+    and the resized PAYLOAD is decoded back and checksummed. The gate
+    equals DuckDB's closed-form evaluation of the formula AT THE
+    SAMPLED COORDINATES (f·i, f·j) — so the stage provably resampled
+    real pixels (resize_ok='real' pinned), produced a valid PNG, and
+    used the exact claimed index map; a rounding drift, transposed
+    axes, or fake-path fallthrough all bend pix_sum or the pin.
+    Non-PNG payloads keep the deterministic-fake resize
+    (multimodal_resize gates that path, byte-stable since r04)."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.png_codec import (
+        png_decode,
+        png_encode,
+    )
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < 48)
+        .select(F.col("doc_id").cast("string").alias("doc_id"))
+    )
+
+    def gen(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = []
+            for ds in pdf["doc_id"]:
+                d = int(ds)
+                s = 16 * (2 + d % 2)
+                x = np.arange(s, dtype=np.int64)[None, :]
+                y = np.arange(s, dtype=np.int64)[:, None]
+                arr = np.stack(
+                    [(x + y + d) % 256, (2 * x + y + d) % 256,
+                     (x + 2 * y + d) % 256],
+                    axis=2,
+                ).astype(np.uint8)
+                rows.append((ds, png_encode(arr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = ids.mapInPandas(gen, "doc_id string, payload binary")
+    resized = M.resize_images(blobs, "doc_id", "payload", max_side=16)
+
+    def pixsum(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = [
+                (int(i), int(png_decode(bytes(p)).astype(np.int64).sum()))
+                for i, p in zip(pdf["id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "pix_sum"])
+
+    sums = resized.select("id", "payload").mapInPandas(
+        pixsum, "doc_id long, pix_sum long"
+    )
+    out = (
+        resized.select(
+            F.col("id").cast("long").alias("doc_id"),
+            "width", "height", "resize_ok",
+        )
+        .join(sums, "doc_id")
+        .select("doc_id", "width", "height", "pix_sum", "resize_ok")
+        .orderBy("doc_id")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)

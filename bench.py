@@ -176,6 +176,9 @@ HEADLINE = [
     # round-12: real nearest-neighbor PNG resize through the resize
     # stage, resized payloads decoded + checksummed vs the formula
     "png_resize_real",
+    # round-12: real ISO-BMFF probe — container durations drive the
+    # frame-sample cadence, gated against the closed-form clamp
+    "mp4_probe_real",
 ]
 
 

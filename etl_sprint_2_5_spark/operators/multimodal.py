@@ -226,6 +226,27 @@ def _fake_audio(payload: bytes) -> tuple[int, int, int]:
     return 8000 + h[0] * 64, 1000 + h[1] * 37, 1 + h[2] % 2
 
 
+def _probe_video_real(payload: bytes) -> tuple[str, int, int]:
+    """Real video metadata hook: ISO-BMFF (mp4/mov) container metadata
+    parses for REAL (operators/mp4_probe.py, pure struct) →
+    (brand, timescale, duration_units); frame-PIXEL decode still
+    needs a codec library → the frame payload fakes stay. Malformed
+    containers raise ValueError (quarantined); non-BMFF formats
+    (webm/avi) raise NotImplementedError (deterministic fake)."""
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        from etl_sprint_2_5_spark.operators.mp4_probe import mp4_probe
+
+        info = mp4_probe(payload)
+        return info["brand"], info["timescale"], info["duration"]
+    raise NotImplementedError("non-BMFF video probe not installed")
+
+
+def _fake_video(payload: bytes) -> tuple[str, int, int]:
+    """DETERMINISTIC FAKE video header (md5-derived)."""
+    h = hashlib.md5(payload).digest()
+    return "fake", 600, 600 * (1 + h[0] % 120)
+
+
 def _fake_dims(payload: bytes) -> tuple[int, int, int]:
     """DETERMINISTIC FAKE: dims derived from payload md5 (stable across
     runs/retries, so downstream goldens are exact)."""
@@ -336,6 +357,53 @@ def decode_audio(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
             )
 
     return df.select(id_col, blob_col).mapInPandas(run, AUDIO_SCHEMA)
+
+
+VIDEO_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("brand", StringType()),
+        StructField("timescale", IntegerType()),
+        StructField("duration_units", LongType()),
+        StructField("duration_ms", LongType()),
+        StructField("decode_ok", StringType()),  # 'real'|'fake'|'corrupt'
+    ]
+)
+
+
+def probe_video(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
+    """Video probe stage: (id, blob) → container metadata
+    (brand/timescale/duration). Arrow-batched; ISO-BMFF parses for
+    REAL (mp4_probe), other formats keep the deterministic fake, and
+    a claimed-BMFF that fails to parse quarantines as 'corrupt' with
+    zeroed facts. duration_ms is exact integer math
+    (units·1000 // timescale) — the real cadence feed for
+    sample_frames."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[blob_col]):
+                payload = bytes(payload)
+                try:
+                    brand, ts, dur = _probe_video_real(payload)
+                    mode = "real"
+                except NotImplementedError:
+                    brand, ts, dur = _fake_video(payload)
+                    mode = "fake"
+                except ValueError:  # dirty claimed-BMFF — quarantine
+                    brand, ts, dur, mode = "", 0, 0, "corrupt"
+                ms = (dur * 1000) // ts if ts else 0
+                rows.append((i, brand, ts, dur, ms, mode))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "id", "brand", "timescale", "duration_units",
+                    "duration_ms", "decode_ok",
+                ],
+            )
+
+    return df.select(id_col, blob_col).mapInPandas(run, VIDEO_SCHEMA)
 
 
 FEATURES_SCHEMA = StructType(

@@ -584,3 +584,94 @@ def png_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "mp4_probe_real",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+    spec AS (
+      SELECT doc_id,
+             600 AS ts,
+             600 * (1 + doc_id % 8) + (doc_id * 37) % 600 AS units
+      FROM ids
+    ),
+    meta AS (
+      SELECT doc_id, ts, units,
+             (units * 1000) // ts AS duration_ms
+      FROM spec
+    )
+    SELECT m.doc_id,
+           'isom' AS brand,
+           CAST(m.ts AS INTEGER) AS timescale,
+           CAST(m.units AS BIGINT) AS duration_units,
+           CAST(m.duration_ms AS BIGINT) AS duration_ms,
+           CAST(least(8, greatest(1, m.duration_ms // 1000))
+                AS BIGINT) AS n_frames,
+           'real' AS decode_ok
+    FROM meta m
+    ORDER BY m.doc_id
+    """,
+    covers=("X-multimodal-frames", "X-mp4-probe"),
+)
+def mp4_probe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The video probe with a REAL container parser under the oracle
+    gate (operators/mp4_probe.py — pure-struct ISO-BMFF box walk; the
+    video half of closing the codec hooks; frame-PIXEL decode still
+    needs a codec library and keeps the documented fake). Per
+    doc_id < 48 a well-formed ftyp+moov/mvhd container is built from
+    a duration FORMULA (timescale 600, units = 600·(1+d%8)+37d%600 —
+    deliberately NOT a whole second, so the integer division
+    units·1000 // ts is actually exercised), probed by the PRODUCTION
+    stage (operators/multimodal.probe_video, decode_ok='real'
+    pinned), and the probe's REAL duration then drives the
+    sample_frames cadence — n_frames counts the stage's actual output
+    rows per stream, gated against the oracle's closed-form clamp
+    (least(8, greatest(1, ms // 1000))). A box-size lie, a v0/v1
+    field-offset slip, or a float sneaking into the duration math all
+    bend the gated numbers. mvhd v1 (64-bit), largesize boxes, and
+    malformed-container quarantine are pytest-pinned
+    (tests/test_mp4_probe.py)."""
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.mp4_probe import mp4_build_minimal
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < 48)
+        .select(F.col("doc_id").cast("string").alias("doc_id"))
+    )
+
+    def gen(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = []
+            for ds in pdf["doc_id"]:
+                d = int(ds)
+                units = 600 * (1 + d % 8) + (d * 37) % 600
+                ver = d % 2  # exercise BOTH mvhd versions under the gate
+                rows.append(
+                    (ds, mp4_build_minimal("isom", 600, units, version=ver))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = ids.mapInPandas(gen, "doc_id string, payload binary")
+    meta = M.probe_video(blobs, "doc_id", "payload")
+    frames = M.sample_frames(
+        meta.join(blobs, meta["id"] == blobs["doc_id"]).select(
+            "id", "payload", "duration_ms"
+        ),
+        "id", "payload", "duration_ms", every_ms=1000, max_frames=8,
+    )
+    counts = frames.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    out = (
+        meta.join(counts, "id")
+        .select(
+            F.col("id").cast("long").alias("doc_id"),
+            "brand", "timescale", "duration_units", "duration_ms",
+            "n_frames", "decode_ok",
+        )
+        .orderBy("doc_id")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)

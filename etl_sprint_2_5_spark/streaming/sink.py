@@ -567,16 +567,22 @@ def _kb_expr(layout: tuple[int, int | None, frozenset[int]], key: str):
     """Column expression routing ``key`` to its bucket id under
     ``layout`` — plain ``hash % n`` outside a migration; during one, a
     key whose old bucket has been split routes to ``hash % to``
-    instead. The split set ships as a broadcast literal (bounded by
-    the stamped bucket count; migrations at very large counts should
-    use coarse ``buckets_per_call`` steps so the mid-state is
-    short-lived)."""
+    instead. ``split_buckets`` always takes the SMALLEST pending old
+    ids, so the done set is a contiguous prefix ``[0..m)`` and routing
+    is one O(1) comparison (``old_id < m``) — a constant-size plan
+    literal even at ~100k buckets, where shipping the set as an
+    ``isin`` array would bloat every writer's plan. The ``isin`` form
+    survives only as the fallback for a hand-edited manifest whose
+    done set has holes."""
     nb, to, done = layout
     base = F.pmod(F.hash(F.col(key)), F.lit(nb))
     if to is None or not done:
         return base
-    return F.when(
-        base.isin(sorted(done)), F.pmod(F.hash(F.col(key)), F.lit(to))
+    split_route = F.pmod(F.hash(F.col(key)), F.lit(to))
+    if done == frozenset(range(len(done))):  # the invariant case
+        return F.when(base < F.lit(len(done)), split_route).otherwise(base)
+    return F.when(  # pragma: no cover - non-prefix sets unreachable
+        base.isin(sorted(done)), split_route  # via split_buckets itself
     ).otherwise(base)
 
 

@@ -327,3 +327,24 @@ def test_maintain_view_compacts_then_migrates(spark, tmp_path):
         spark, view, target_bucket_bytes=1 << 30
     )
     assert r == {"compacted": 0, "split": 0, "migration_pending": False}
+
+
+def test_mixed_routing_is_constant_size_in_plan(spark, tmp_path):
+    """split_buckets takes the smallest pending ids, so the done set
+    is a contiguous prefix and mid-migration routing must compile to
+    ONE comparison (old_id < m), not an O(n_buckets) isin literal —
+    at ~100k buckets the array form would bloat every writer's plan."""
+    _, sink = _imports()
+    view = str(tmp_path / "v")
+    _seed(spark, sink, view, n=120, n_buckets=4)
+    sink.split_buckets(spark, view, factor=2, buckets_per_call=2)
+    man = sink.load_manifest(view)
+    assert man["rebucket"]["done"] == [0, 1]  # the prefix invariant
+    layout = sink._layout_of(man, 4)
+    expr = sink._kb_expr(layout, "id")
+    df = spark.range(0, 10).select(expr.alias("kb"))
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert " IN " not in plan and "isin" not in plan.lower()
+    # and the routing still lands every key in a live bucket
+    got = sorted(r.kb for r in df.distinct().collect())
+    assert all(0 <= kb < 8 for kb in got)

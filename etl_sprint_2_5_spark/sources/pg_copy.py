@@ -36,7 +36,6 @@ range-partitioned READS; COPY stays the write path either way.
 
 from __future__ import annotations
 
-import csv
 import io
 import subprocess
 import uuid
@@ -46,8 +45,66 @@ from pyspark.sql import functions as F
 
 #: COPY NULL marker — distinguishable from the empty string under CSV
 #: quoting rules (an unquoted \\N is NULL, a quoted "" is an empty
-#: string), so text round-trips losslessly.
+#: string), so text round-trips losslessly. Lossless includes a data
+#: value LITERALLY equal to the marker: the writer force-quotes every
+#: non-NULL field (so only NULL is ever the bare marker), and the
+#: reader is quote-aware (PostgreSQL's CSV output quotes a data value
+#: that happens to equal the null string — _parse_csv_raw preserves
+#: that distinction where csv.reader would collapse it).
 _NULL = r"\N"
+
+
+def _csv_field(v) -> str:  # noqa: ANN001
+    """One COPY csv field: bare NULL marker for None, everything else
+    force-quoted (internal quotes doubled) — a string value equal to
+    the marker stays a string on the PG side."""
+    if v is None:
+        return _NULL
+    s = str(v)
+    return '"' + s.replace('"', '""') + '"'
+
+
+def _parse_csv_raw(text: str):
+    """Tokenize COPY csv output KEEPING the quoted/unquoted distinction
+    (yields per row a list of (was_quoted, value)). csv.reader discards
+    quoting, which collapses PostgreSQL's quoted literal "\\N" into the
+    bare NULL marker; this parser exists solely to keep them apart."""
+    row: list[tuple[bool, str]] = []
+    tok: list[str] = []
+    quoted = in_q = False
+    i, n = 0, len(text)
+    while i < n:
+        c = text[i]
+        if in_q:
+            if c == '"':
+                if i + 1 < n and text[i + 1] == '"':
+                    tok.append('"')
+                    i += 2
+                    continue
+                in_q = False
+            else:
+                tok.append(c)
+            i += 1
+        elif c == '"':
+            in_q = quoted = True
+            i += 1
+        elif c == ",":
+            row.append((quoted, "".join(tok)))
+            tok, quoted = [], False
+            i += 1
+        elif c == "\n":
+            row.append((quoted, "".join(tok)))
+            yield row
+            row, tok, quoted = [], [], False
+            i += 1
+        elif c == "\r" and i + 1 < n and text[i + 1] == "\n":
+            i += 1  # tolerate CRLF outside quotes
+        else:
+            tok.append(c)
+            i += 1
+    if tok or row or quoted:
+        row.append((quoted, "".join(tok)))
+        yield row
 
 
 def have_pg() -> bool:
@@ -102,11 +159,14 @@ class ephemeral_pg:
             "initdb", "-D", data, "-U", "pguser", "--auth=trust",
             "--no-sync",
         )
+        # unix_socket_permissions=0700: trust auth stays unreachable by
+        # arbitrary local users — only the cluster owner (and root,
+        # which owns the test process) can connect to the socket
         self._run(
             "pg_ctl", "-D", data, "-l", f"{self.base}/pg.log",
             "-o",
             f"-k {self.base} -p {self.port} -c listen_addresses= "
-            "-c fsync=off",
+            "-c fsync=off -c unix_socket_permissions=0700",
             "start",
         )
         return (
@@ -150,10 +210,10 @@ def _copy_in(dsn: str, table: str, columns: list[str], rows) -> int:
         f"WITH (FORMAT csv, NULL '{_NULL}')",
     ]
     buf = io.StringIO()
-    w = csv.writer(buf, lineterminator="\n")
     n = 0
     for r in rows:
-        w.writerow([_NULL if v is None else v for v in r])
+        buf.write(",".join(_csv_field(v) for v in r))
+        buf.write("\n")
         n += 1
     proc = subprocess.run(
         cmd, input=buf.getvalue(), capture_output=True, text=True
@@ -235,9 +295,12 @@ def pg_copy_read(
     )
     if proc.returncode != 0:
         raise RuntimeError(f"COPY read failed: {proc.stderr.strip()}")
+    # quote-aware decode: only an UNQUOTED marker is NULL — PostgreSQL
+    # quotes a data value equal to the null string precisely so the
+    # two are distinguishable, and csv.reader would erase that
     rows = [
-        tuple(None if v == _NULL else v for v in rec)
-        for rec in csv.reader(io.StringIO(proc.stdout))
+        tuple(None if (not q and v == _NULL) else v for q, v in rec)
+        for rec in _parse_csv_raw(proc.stdout)
     ]
     names = [f.split()[0] for f in schema.split(",")]
     str_schema = ", ".join(f"{n} string" for n in names)

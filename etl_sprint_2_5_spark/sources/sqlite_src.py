@@ -76,9 +76,13 @@ def sqlite_range_read(
                 if len(out):
                     yield out
 
-    bounds = spark.createDataFrame(ranges, "lo long, hi long").repartition(
-        n, "lo"
-    )
+    # range-partition on the bound, NOT hash: hash collisions could
+    # co-locate several pk slices in one task and leave others empty;
+    # repartitionByRange puts each of the n bounds rows in its own
+    # partition, so the advertised N-way concurrency is real
+    bounds = spark.createDataFrame(
+        ranges, "lo long, hi long"
+    ).repartitionByRange(n, "lo")
     raw = bounds.mapInPandas(read_slices, schema=schema)
     return raw
 

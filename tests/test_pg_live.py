@@ -46,12 +46,23 @@ def test_ddl_bootstrap_and_copy_roundtrip(spark, dsn):
         (1, "plain", 1.5, "2026-01-02 03:04:05", "x"),
         (2, 'quo"te,comma', 2.5, None, ""),  # csv escaping + NULL vs ''
         (3, None, None, "2026-01-02 03:04:06", None),
+        # a STRING literally equal to the COPY NULL marker must survive
+        # both wire crossings as a string (force-quoted out, quote-aware
+        # parse back) — the round-12 ADVICE corruption case
+        (4, "\\N", 4.5, None, "\\N"),
     ]
     df = spark.createDataFrame(
         rows, "id long, name string, price double, ts string, note string"
     ).repartition(3)  # force multiple COPY streams
     pg_copy.pg_copy_load(df, dsn, "items")
-    assert pg_copy.pg_exec(dsn, "SELECT count(*) FROM items").strip() == "3"
+    assert pg_copy.pg_exec(dsn, "SELECT count(*) FROM items").strip() == "4"
+    # the literal backslash-N landed as a 2-char STRING, not SQL NULL
+    assert (
+        pg_copy.pg_exec(
+            dsn, r"SELECT count(*) FROM items WHERE name = E'\\N'"
+        ).strip()
+        == "1"
+    )
     # NULL vs empty string must be distinguishable after the roundtrip
     assert (
         pg_copy.pg_exec(
@@ -70,9 +81,15 @@ def test_ddl_bootstrap_and_copy_roundtrip(spark, dsn):
         "SELECT id, name, price FROM items",
         "id bigint, name string, price double",
     )
-    got = sorted((r.id, r.name, r.price) for r in back.collect())
+    got = sorted(
+        ((r.id, r.name, r.price) for r in back.collect()),
+        key=lambda t: t[0],
+    )
     assert got == [
-        (1, "plain", 1.5), (2, 'quo"te,comma', 2.5), (3, None, None)
+        (1, "plain", 1.5),
+        (2, 'quo"te,comma', 2.5),
+        (3, None, None),
+        (4, "\\N", 4.5),  # read-back kept the quoted string a string
     ]
 
 

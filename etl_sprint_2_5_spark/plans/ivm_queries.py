@@ -35,6 +35,7 @@ stale pre-mutation name and break the hash).
 
 from __future__ import annotations
 
+import datetime as dt
 import shutil
 import tempfile
 
@@ -60,23 +61,23 @@ def _ts(expr) -> F.Column:  # noqa: ANN001
     return F.timestamp_seconds(expr)
 
 
-def _stage_base(spark: SparkSession, sf_dir: str, base: str) -> None:
-    """Write the pre-mutation snapshots with deterministic cursors."""
+def _base_frames(
+    spark: SparkSession, sf_dir: str
+) -> dict[str, DataFrame]:
+    """The three pre-mutation source snapshots with deterministic
+    cursors (shared by the parquet-staged twins and the live-PG
+    scenario, which COPYies them into a real database instead)."""
     orders = load_table(spark, "orders", sf_dir).select(
         "o_orderkey",
         "o_custkey",
         "o_orderpriority",
         _ts(F.lit(_T0) + (F.col("o_orderkey") % 5) * 60).alias("updated_at"),
     )
-    orders.write.mode("overwrite").parquet(f"{base}/orders")
-
     cust = load_table(spark, "customer", sf_dir).select(
         "c_custkey",
         "c_name",
         _ts(F.lit(_T0) + (F.col("c_custkey") % 3) * 60).alias("updated_at"),
     )
-    cust.write.mode("overwrite").parquet(f"{base}/customer")
-
     li = load_table(spark, "lineitem", sf_dir).select(
         (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("li_id"),
         "l_orderkey",
@@ -87,7 +88,13 @@ def _stage_base(spark: SparkSession, sf_dir: str, base: str) -> None:
         .alias("cents"),
         _ts(F.lit(_T0) + (F.col("l_orderkey") % 7) * 60).alias("updated_at"),
     )
-    li.write.mode("overwrite").parquet(f"{base}/lineitem")
+    return {"orders": orders, "customer": cust, "lineitem": li}
+
+
+def _stage_base(spark: SparkSession, sf_dir: str, base: str) -> None:
+    """Write the pre-mutation snapshots with deterministic cursors."""
+    for name, df in _base_frames(spark, sf_dir).items():
+        df.write.mode("overwrite").parquet(f"{base}/{name}")
 
 
 def _mutate(spark: SparkSession, sf_dir: str, base: str) -> None:
@@ -704,3 +711,274 @@ def streaming_ivm_aggregate_deltas(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 _REG["streaming_ivm_aggregate_deltas"].oracle = _REG["ivm_aggregate_deltas"].oracle
+
+
+@query(
+    "ivm_maintained_docs_pg_live",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_orderpriority
+      FROM orders WHERE o_orderkey % 20 = 0
+    ), mut_cust AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 10 = 0 THEN upper(c_name)
+                  ELSE c_name END AS c_name
+      FROM customer
+    ), mut_ord AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN o_orderkey % 13 = 0 THEN 'MUTATED'
+                  ELSE o_orderpriority END AS o_orderpriority
+      FROM o
+    ), li AS (
+      SELECT l_orderkey AS o_orderkey,
+             count(*) AS n_items,
+             CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100
+                                 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+      FROM lineitem WHERE l_orderkey % 20 = 0 GROUP BY l_orderkey
+    ), meta AS (
+      SELECT (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)
+           + (SELECT count(*) FROM o WHERE o_orderkey % 13 = 0)
+             AS phase_b_rows
+    )
+    SELECT o.o_orderkey AS o_orderkey, c.c_name, o.o_orderpriority,
+           COALESCE(li.n_items, 0)       AS n_items,
+           COALESCE(li.revenue_cents, 0) AS revenue_cents,
+           m.phase_b_rows
+    FROM mut_ord o
+    JOIN mut_cust c ON o.o_custkey = c.c_custkey
+    LEFT JOIN li   ON li.o_orderkey = o.o_orderkey
+    CROSS JOIN meta m
+    ORDER BY o.o_orderkey
+    """,
+    covers=("S2", "S4", "S7", "T2", "T3", "T7", "T8", "X-ivm-live",
+            "X-pg-live"),
+)
+def ivm_maintained_docs_pg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC maintenance loop against a LIVE PostgreSQL database —
+    the reference's ACTUAL topology (postgres_to_es/daemon.py:90-129,
+    384-542: poll PG with a keyset cursor, fan out, rebuild, upsert),
+    previously proven only over parquet-staged snapshots. A throwaway
+    root-less cluster lives for the query; the star-schema snapshots
+    (orders/lineitem restricted to ``o_orderkey % 20 == 0`` to bound
+    the wire volume, full customer dim) are staged INTO PostgreSQL by
+    partition-parallel COPY, with a composite ``(updated_at, key)``
+    index per table — the reference's cursor index.
+
+    Every per-cycle read then runs on the REAL PG planner:
+
+    - **producer**: ``pg_keyset_read`` — the row-value keyset query
+      (daemon.py:110-117) with ORDER BY + LIMIT evaluated by PG, so a
+      cycle ships only its batch over the wire (Pipeline.batch_fn);
+    - **dimension fan-out**: changed customer keys → affected orders
+      via ``SELECT DISTINCT o_orderkey ... WHERE o_custkey IN (...)``
+      on PG (FanOut.bridge_fn — get_table_ids_by_join,
+      daemon.py:139-152, pushed to the source);
+    - **rebuild**: the SAME ``_rebuild_docs`` Catalyst plan as every
+      twin, fed by id-restricted COPY reads (only affected orders,
+      their lineitems, and their customers cross the wire — the
+      reference's one-rebuild-query shape, daemon.py:155-200);
+    - **sink**: the bucket-pruned manifest upsert, unchanged;
+    - **CDC writes**: REAL SQL UPDATEs between the phases (customers
+      renamed, orders re-prioritized, ``updated_at`` bumped to T1).
+
+    Gated by the same from-scratch DuckDB oracle family as the
+    parquet twins (restricted to the staged subset): incremental over
+    a live database == batch, with ``phase_b_rows`` pinning that the
+    resumed cursors consumed EXACTLY the mutated rows. At 100 TB the
+    wire cost per cycle is O(batch + affected docs) — table scans
+    never leave the database, and the view lives in the manifest sink
+    whose upsert is O(touched buckets)."""
+    import os
+
+    from etl_sprint_2_5_spark.sources import pg_copy
+    from etl_sprint_2_5_spark.streaming.ivm import (
+        FanOut,
+        Pipeline,
+        run_to_completion,
+    )
+    from etl_sprint_2_5_spark.streaming.state import OffsetStore
+
+    tmp = tempfile.mkdtemp(prefix="ivm_pg_live_")
+    os.chmod(tmp, 0o755)  # the nobody-owned cluster must traverse it
+    gold = f"{tmp}/gold/docs"
+    from pyspark.sql.window import Window
+
+    frames = _base_frames(spark, sf_dir)
+    # the testdata lineitem carries duplicate (l_orderkey,
+    # l_linenumber) pairs (harmless to the parquet twins — no key
+    # constraint, and rebuilds read the full snapshot); a DATABASE
+    # primary key rejects them, so mint a deterministic per-duplicate
+    # suffix. cents/updated_at are untouched — the gated revenue still
+    # sums every physical row, duplicates included.
+    dedup_w = Window.partitionBy("li_id").orderBy("cents")
+    v1 = {
+        "orders": frames["orders"].where(F.col("o_orderkey") % 20 == 0),
+        "customer": frames["customer"],
+        "lineitem": frames["lineitem"]
+        .where(F.col("l_orderkey") % 20 == 0)
+        .withColumn(
+            "li_id",
+            F.col("li_id") * 100 + F.row_number().over(dedup_w),
+        ),
+    }
+    schemas = {
+        "orders": (
+            "o_orderkey long, o_custkey long, o_orderpriority string, "
+            "updated_at timestamp"
+        ),
+        "customer": "c_custkey long, c_name string, updated_at timestamp",
+        "lineitem": (
+            "li_id long, l_orderkey long, cents long, updated_at timestamp"
+        ),
+    }
+    ddl = {
+        "orders": (
+            "o_orderkey bigint PRIMARY KEY, o_custkey bigint, "
+            "o_orderpriority text, updated_at timestamp"
+        ),
+        "customer": "c_custkey bigint PRIMARY KEY, c_name text, "
+                    "updated_at timestamp",
+        "lineitem": "li_id bigint PRIMARY KEY, l_orderkey bigint, "
+                    "cents bigint, updated_at timestamp",
+    }
+    keys = {"orders": "o_orderkey", "customer": "c_custkey",
+            "lineitem": "li_id"}
+    # batch_size ≈ n/2: every pipeline needs ≥2 keyset cycles for the
+    # backfill, so the cursor provably advances mid-table on LIVE PG
+    sizes = {n: max(1, v1[n].count() // 2 + 1) for n in v1}
+
+    def _no_load(name: str) -> DataFrame:
+        raise AssertionError(
+            "live-PG scenario reads only from PostgreSQL, never a "
+            f"staged snapshot (asked for {name!r})"
+        )
+
+    try:
+        with pg_copy.ephemeral_pg(f"{tmp}/cluster") as dsn:
+            for name in v1:  # S7 DDL bootstrap + the cursor index
+                pg_copy.pg_exec(dsn, f"CREATE TABLE {name} ({ddl[name]})")
+                pg_copy.pg_exec(
+                    dsn,
+                    f"CREATE INDEX ON {name} (updated_at, {keys[name]})",
+                )
+                pg_copy.pg_copy_load(v1[name], dsn, name)
+            # bucket count from the REAL staged relation sizes
+            nb = buckets_for(int(pg_copy.pg_exec(
+                dsn,
+                "SELECT "
+                + " + ".join(
+                    f"pg_total_relation_size('{n}')" for n in v1
+                ),
+            ).strip()))
+
+            def rd(sql: str, schema: str) -> DataFrame:
+                return pg_copy.pg_copy_read(spark, dsn, sql, schema)
+
+            def mk_batch_fn(name: str):
+                def fn(cursor_ts, cursor_id, n):  # noqa: ANN001
+                    return pg_copy.pg_keyset_read(
+                        spark, dsn, name, schemas[name],
+                        "updated_at", keys[name], cursor_ts, cursor_id, n,
+                    )
+                return fn
+
+            def bridge_custkeys(picked: DataFrame) -> DataFrame:
+                # the reference collects exactly this bounded id list
+                # into an IN clause (daemon.py:139-152)
+                ks = ",".join(str(r.id) for r in picked.collect()) or "NULL"
+                return rd(
+                    "SELECT DISTINCT o_orderkey AS id FROM orders "
+                    f"WHERE o_custkey IN ({ks})",
+                    "id long",
+                )
+
+            def pg_rebuild(_load, ids: DataFrame) -> DataFrame:  # noqa: ANN001
+                inl = ",".join(str(r.id) for r in ids.collect()) or "NULL"
+
+                def rload(name: str) -> DataFrame:
+                    if name == "orders":
+                        return rd(
+                            "SELECT o_orderkey, o_custkey, o_orderpriority "
+                            f"FROM orders WHERE o_orderkey IN ({inl})",
+                            "o_orderkey long, o_custkey long, "
+                            "o_orderpriority string",
+                        )
+                    if name == "customer":
+                        return rd(
+                            "SELECT c_custkey, c_name FROM customer "
+                            "WHERE c_custkey IN (SELECT o_custkey FROM "
+                            f"orders WHERE o_orderkey IN ({inl}))",
+                            "c_custkey long, c_name string",
+                        )
+                    return rd(
+                        "SELECT li_id, l_orderkey, cents FROM lineitem "
+                        f"WHERE l_orderkey IN ({inl})",
+                        "li_id long, l_orderkey long, cents long",
+                    )
+
+                return _rebuild_docs(rload, ids)
+
+            common = dict(
+                rebuild=pg_rebuild, sink_path=gold, doc_key="o_orderkey",
+                n_buckets=nb,
+            )
+            pipelines = [
+                Pipeline(
+                    name="orders", source="orders",
+                    cursor_field="updated_at", id_field="o_orderkey",
+                    fanout=FanOut(id_field="o_orderkey"),
+                    batch_size=sizes["orders"],
+                    batch_fn=mk_batch_fn("orders"), **common,
+                ),
+                Pipeline(
+                    name="customer", source="customer",
+                    cursor_field="updated_at", id_field="c_custkey",
+                    fanout=FanOut(
+                        id_field="c_custkey", bridge="orders",
+                        join_field="o_custkey", select_field="o_orderkey",
+                        bridge_fn=bridge_custkeys,
+                    ),
+                    batch_size=sizes["customer"],
+                    batch_fn=mk_batch_fn("customer"), **common,
+                ),
+                Pipeline(
+                    name="lineitem", source="lineitem",
+                    cursor_field="updated_at", id_field="li_id",
+                    fanout=FanOut(id_field="l_orderkey"),
+                    batch_size=sizes["lineitem"],
+                    batch_fn=mk_batch_fn("lineitem"), **common,
+                ),
+            ]
+            offsets = OffsetStore(f"{tmp}/offsets.json", id_default=0)
+
+            run_to_completion(spark, pipelines, _no_load, offsets)  # phase A
+            # the CDC writes: LIVE SQL UPDATEs, stamped strictly after
+            # every phase-A timestamp
+            t1 = dt.datetime.fromtimestamp(
+                _T1, dt.timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S")
+            pg_copy.pg_exec(
+                dsn,
+                "UPDATE customer SET c_name = upper(c_name), "
+                f"updated_at = TIMESTAMP '{t1}' WHERE c_custkey % 10 = 0",
+            )
+            pg_copy.pg_exec(
+                dsn,
+                "UPDATE orders SET o_orderpriority = 'MUTATED', "
+                f"updated_at = TIMESTAMP '{t1}' WHERE o_orderkey % 13 = 0",
+            )
+            consumed_b = run_to_completion(
+                spark, pipelines, _no_load, offsets
+            )  # phase B
+
+            docs = (
+                read_bucketed_view(spark, gold)
+                .withColumn(
+                    "phase_b_rows", F.lit(consumed_b).cast("bigint")
+                )
+                .orderBy("o_orderkey")
+            )
+            return spark.createDataFrame(docs.collect(), docs.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -276,6 +276,36 @@ def pg_upsert_copy(
         pg_exec(dsn, f"DROP TABLE IF EXISTS {stage}")
 
 
+def pg_keyset_read(
+    spark: SparkSession,
+    dsn: str,
+    table: str,
+    schema: str,
+    ts_col: str,
+    id_col: str,
+    cursor_ts,
+    cursor_id,
+    batch_size: int,
+) -> DataFrame:
+    """One S2 keyset batch evaluated by the LIVE PostgreSQL planner —
+    the reference CDC producer's own query (postgres_to_es/
+    daemon.py:110-117) as a row-value comparison, which PG turns into
+    one index range scan on a ``(ts_col, id_col)`` composite index:
+    ``WHERE (ts, id) > (cursor) ORDER BY ts, id LIMIT n``. Only the
+    batch crosses the wire; the table never does. ``cursor_ts`` is a
+    datetime or an ISO string; ``cursor_id`` must be integral (the
+    star-schema key shape — quote-free so the literal stays
+    index-comparable)."""
+    cols = ", ".join(f.strip().split()[0] for f in schema.split(","))
+    sql = (
+        f"SELECT {cols} FROM {table} "
+        f"WHERE ({ts_col}, {id_col}) > "
+        f"(TIMESTAMP '{cursor_ts}', {int(cursor_id)}) "
+        f"ORDER BY {ts_col}, {id_col} LIMIT {int(batch_size)}"
+    )
+    return pg_copy_read(spark, dsn, sql, schema)
+
+
 def pg_copy_read(
     spark: SparkSession, dsn: str, query: str, schema: str
 ) -> DataFrame:

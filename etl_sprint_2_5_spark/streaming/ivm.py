@@ -62,11 +62,22 @@ class FanOut:
     bridge: str | None = None
     join_field: str | None = None
     select_field: str | None = None
+    # optional source-native bridge pushdown: given the distinct
+    # changed-id frame (bounded by batch_size — the reference daemon
+    # collects exactly this list into an IN clause,
+    # daemon.py:139-152), returns the affected doc-id frame. Set when
+    # the bridge lives in an external database (live PG) so the
+    # dimension fan-out runs on the SOURCE planner and only the
+    # affected ids cross the wire, instead of shipping the bridge
+    # table per cycle.
+    bridge_fn: Callable[[DataFrame], DataFrame] | None = None
 
     def affected_ids(self, changed: DataFrame, load: TableLoader) -> DataFrame:
         picked = changed.select(F.col(self.id_field).alias("id")).distinct()
         if self.bridge is None:
             return picked
+        if self.bridge_fn is not None:
+            return self.bridge_fn(picked)
         b = load(self.bridge)
         return (
             b.join(F.broadcast(picked), b[self.join_field] == picked.id, "left_semi")
@@ -102,6 +113,14 @@ class Pipeline:
     # touches one doc per bucket pays doc-size, not bucket-size, I/O.
     sink_mode: str = "rewrite"
     compact_every: int = 0
+    # optional source-native keyset producer: (cursor_ts, cursor_id,
+    # batch_size) -> bounded batch DataFrame. When set it replaces the
+    # Spark-side keyset_batch over ``load(source)`` — the cursor
+    # predicate + ORDER BY + LIMIT run on the SOURCE's planner (live
+    # PostgreSQL via COPY, the reference daemon's own query shape,
+    # daemon.py:110-117), so one cycle ships only the batch over the
+    # wire, never the table.
+    batch_fn: Callable[[object, object, int], DataFrame] | None = None
     _delta_upserts: int = 0
 
     def upsert(self, spark: SparkSession, docs: DataFrame) -> None:
@@ -173,9 +192,13 @@ def run_cycle(
 ) -> int:
     """One micro-batch for one pipeline; returns rows consumed."""
     ts, last_id = offsets.get(p.name)
-    batch = keyset_batch(
-        load(p.source), p.cursor_field, p.id_field, ts, last_id, p.batch_size
-    )
+    if p.batch_fn is not None:
+        batch = p.batch_fn(ts, last_id, p.batch_size)
+    else:
+        batch = keyset_batch(
+            load(p.source), p.cursor_field, p.id_field, ts, last_id,
+            p.batch_size,
+        )
     # cache: the batch feeds the fan-out AND the cursor computation;
     # bounded by batch_size so it is safely materializable
     batch = batch.cache()

@@ -168,3 +168,38 @@ def test_keyset_batches_against_live_planner(spark, dsn):
         cursor_ts, cursor_id = batch[-1].ts, str(batch[-1].id)
     assert [i for i, _ in seen] == list(range(30))  # exact tiling
     assert len(seen) == 30
+
+
+def test_pg_keyset_read_row_value_cursor(spark, dsn):
+    """pg_keyset_read (the Pipeline.batch_fn producer behind the live
+    CDC gate): row-value cursor comparison drains the table exactly,
+    typed, against the real planner — including the (ts, id) tie split
+    ACROSS a batch boundary."""
+    import datetime as dt
+
+    pg_copy.pg_exec(
+        dsn,
+        "CREATE TABLE ks (id bigint PRIMARY KEY, ts timestamp, "
+        "val bigint)",
+    )
+    pg_copy.pg_exec(dsn, "CREATE INDEX ON ks (ts, id)")
+    rows = [(i, f"2026-02-01 00:00:{i // 4:02d}", i * 7) for i in range(21)]
+    pg_copy.pg_copy_load(
+        spark.createDataFrame(rows, "id long, ts string, val long"),
+        dsn, "ks",
+    )
+    cur_ts, cur_id = dt.datetime(1970, 1, 1), 0
+    seen = []
+    while True:
+        batch = pg_copy.pg_keyset_read(
+            spark, dsn, "ks", "id bigint, ts timestamp, val bigint",
+            "ts", "id", cur_ts, cur_id, batch_size=6,
+        ).collect()
+        if not batch:
+            break
+        seen.extend((r.id, r.val) for r in batch)
+        cur_ts, cur_id = batch[-1].ts, batch[-1].id
+    # id=0 is excluded by the strictly-greater cursor over (epoch, 0)
+    # only when ts == epoch; here ts > epoch so ALL rows arrive
+    assert [i for i, _ in seen] == list(range(21))
+    assert all(v == i * 7 for i, v in seen)  # typed round-trip

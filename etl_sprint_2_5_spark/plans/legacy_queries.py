@@ -47,6 +47,8 @@ driver-side except this query's final per-movie rollup.
 
 from __future__ import annotations
 
+from pathlib import Path
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -269,15 +271,22 @@ def legacy_full_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     has the full derivation + gating story). The oracle is an
     independent DuckDB implementation of etl.py:62-202's semantics
     over the same derived inputs."""
+    from etl_sprint_2_5_spark.pipeline.normalize import normalize
+
+    movies, actors, writers, bridge = legacy_frames(spark, sf_dir)
+    t = normalize(movies, actors, writers, bridge)
+    return _gated_readback(t)
+
+
+def _gated_readback(t) -> DataFrame:  # noqa: ANN001 - NormalizedTables
+    """The uuid-free natural-key readback over the five normalized
+    frames (module docstring: why no minted id may cross the gate) —
+    shared by the derived-synthetic gate and the live-db.sqlite one."""
     from etl_sprint_2_5_spark.pipeline.normalize import (
         ROLE_ACTOR,
         ROLE_DIRECTOR,
         ROLE_WRITER,
-        normalize,
     )
-
-    movies, actors, writers, bridge = legacy_frames(spark, sf_dir)
-    t = normalize(movies, actors, writers, bridge)
 
     fw = t.film_work.select(
         F.col("id").alias("fw_id"),
@@ -431,3 +440,154 @@ def sqlite_live_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+#: The reference's OWN legacy dataset — the 1000-movie db.sqlite the
+#: §3.1 migration actually ships (genuine "N/A" sentinels, a real
+#: invalid actor and writer, 47 duplicate bridge pairs, 79 JSON writer
+#: arrays with duplicated ids). Read-only input; never written.
+_REF_DB = "/root/reference/sqlite_to_postgresql/db.sqlite"
+
+#: Raw staging dir for the live gate's oracle: the query COPIES the
+#: raw sqlite tables here as parquet each run (DuckDB has no sqlite
+#: reader in this container), and the oracle re-derives the migration
+#: from these raw bytes independently. Fixed path inside the repo
+#: (gitignored) — the driver runs the Spark side before the oracle.
+_STAGE = str(Path(__file__).resolve().parents[2] / ".oracle_stage" / "ref_sqlite")
+
+_LIVE_ORACLE = f"""
+WITH m_raw AS (
+  SELECT DISTINCT * FROM read_parquet('{_STAGE}/movies/*.parquet')
+), a_raw AS (
+  SELECT DISTINCT * FROM read_parquet('{_STAGE}/actors/*.parquet')
+), w_raw AS (
+  SELECT DISTINCT * FROM read_parquet('{_STAGE}/writers/*.parquet')
+), ma_raw AS (
+  SELECT DISTINCT movie_id, actor_id
+  FROM read_parquet('{_STAGE}/movie_actors/*.parquet')
+), act AS (
+  SELECT id AS aid, name FROM a_raw WHERE name NOT IN ('N/A', '')
+), wrt AS (
+  SELECT id AS wid, name FROM w_raw WHERE name NOT IN ('N/A', '')
+), mv AS (
+  SELECT id AS mid, title,
+    CASE WHEN plot IN ('N/A','') THEN NULL ELSE plot END AS description,
+    CASE WHEN imdb_rating IN ('N/A','') THEN NULL
+         ELSE CAST(imdb_rating AS DOUBLE) END AS rating,
+    CASE WHEN genre IN ('N/A','') THEN NULL ELSE genre END AS genre_csv,
+    CASE WHEN director IN ('N/A','') THEN NULL
+         ELSE director END AS director_csv,
+    list_distinct(
+      CASE WHEN writers IS NOT NULL AND writers NOT IN ('N/A','')
+           THEN json_extract_string(writers, '$[*].id')
+           WHEN writer IS NOT NULL AND writer NOT IN ('N/A','')
+           THEN [writer]
+           ELSE [] END) AS writer_ids
+  FROM m_raw
+), mg AS (
+  SELECT DISTINCT mid, g FROM
+    (SELECT mid, unnest(string_split(genre_csv, ', ')) AS g FROM mv)
+  WHERE g IS NOT NULL AND g NOT IN ('N/A', '')
+), uni AS (
+  SELECT DISTINCT mid, full_name, role FROM (
+    SELECT ma.movie_id AS mid, act.name AS full_name, 'actor' AS role
+    FROM ma_raw ma JOIN act ON act.aid = CAST(ma.actor_id AS BIGINT)
+    UNION ALL
+    SELECT w.mid, wrt.name, 'writer'
+    FROM (SELECT mid, unnest(writer_ids) AS wid FROM mv) w
+    JOIN wrt ON wrt.wid = w.wid
+    UNION ALL
+    SELECT mid, d, 'director'
+    FROM (SELECT mid, unnest(string_split(director_csv, ', ')) AS d FROM mv)
+    WHERE d IS NOT NULL AND d NOT IN ('N/A', '')
+  )
+),
+ga  AS (SELECT mid, string_agg(DISTINCT g, ',' ORDER BY g) AS genres
+        FROM mg GROUP BY mid),
+pa_a AS (SELECT mid, string_agg(DISTINCT full_name, ',' ORDER BY full_name)
+              AS actors FROM uni WHERE role='actor' GROUP BY mid),
+pa_d AS (SELECT mid, string_agg(DISTINCT full_name, ',' ORDER BY full_name)
+              AS directors FROM uni WHERE role='director' GROUP BY mid),
+pa_w AS (SELECT mid, string_agg(DISTINCT full_name, ',' ORDER BY full_name)
+              AS writers FROM uni WHERE role='writer' GROUP BY mid),
+cnt AS (SELECT
+  (SELECT count(DISTINCT g) FROM mg)            AS n_genre_dim,
+  (SELECT count(DISTINCT full_name) FROM uni)   AS n_person_dim,
+  (SELECT count(*) FROM mg)                     AS n_genre_links,
+  (SELECT count(*) FROM uni)                    AS n_person_links)
+SELECT mv.mid AS source_id, mv.title, mv.description,
+       round(mv.rating, 1) AS rating,
+       COALESCE(ga.genres, '')    AS genres,
+       COALESCE(pa_a.actors, '')  AS actors,
+       COALESCE(pa_d.directors, '') AS directors,
+       COALESCE(pa_w.writers, '') AS writers,
+       cnt.n_genre_dim, cnt.n_person_dim,
+       cnt.n_genre_links, cnt.n_person_links
+FROM mv
+LEFT JOIN ga   ON ga.mid   = mv.mid
+LEFT JOIN pa_a ON pa_a.mid = mv.mid
+LEFT JOIN pa_d ON pa_d.mid = mv.mid
+LEFT JOIN pa_w ON pa_w.mid = mv.mid
+CROSS JOIN cnt
+ORDER BY source_id
+"""
+
+
+@query(
+    "legacy_full_load_live",
+    oracle=_LIVE_ORACLE,
+    covers=("S1", "P2", "P3", "A4", "A5", "U1", "U2", "F1", "F2", "F4",
+            "J9", "X-legacy-full-load", "X-sqlite-live"),
+)
+def legacy_full_load_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.1 on the reference's OWN storage: the genuine db.sqlite the
+    migration ships (sqlite_to_postgresql/db.sqlite — 1000 movies,
+    2683 actors, 1192 writers, 3519 bridge rows with its real
+    anomalies: "N/A" sentinels, one invalid actor + one invalid
+    writer, 47 duplicate bridge pairs, 79 writer-JSON arrays with a
+    duplicated id) read LIVE through the parallel range scan
+    (sqlite_range_read over the implicit rowid — movies keys are
+    TEXT, rowid is the B-tree key every table has), then
+    pipeline/normalize.normalize() → the uuid-free natural-key
+    readback shared with the derived-synthetic gate.
+
+    Oracle independence: the query stages the RAW sqlite tables as
+    parquet (DuckDB has no sqlite reader here); the oracle re-derives
+    the whole migration from those raw bytes in SQL — an independent
+    second implementation of etl.py:62-202 (sentinel cleansing,
+    invalid-dim exclusion, DISTINCT scans, the writers-JSON /
+    legacy-writer fallback rule, per-movie writer dedup). Any
+    divergence between normalize() and the reference semantics on the
+    REAL dirty data — not a synthetic derivation of it — breaks the
+    hash. ``sf_dir`` is unused by construction: this is the one
+    dataset the reference actually ships, fixed-size at every SF."""
+    from etl_sprint_2_5_spark.pipeline.normalize import normalize
+    from etl_sprint_2_5_spark.sources.sqlite_src import sqlite_range_read
+
+    def rd(table: str, schema: str, n: int = 8) -> DataFrame:
+        return sqlite_range_read(
+            spark, _REF_DB, table, pk="rowid", schema=schema,
+            num_partitions=n,
+        )
+
+    movies = rd(
+        "movies",
+        "id string, genre string, director string, writer string, "
+        "title string, plot string, imdb_rating string, writers string",
+    )
+    actors = rd("actors", "id long, name string")
+    writers = rd("writers", "id string, name string")
+    bridge = rd("movie_actors", "movie_id string, actor_id string")
+
+    # driver-stage the raw tables for the oracle (overwrite per run —
+    # content is fixed; the oracle reads these bytes, the pipeline
+    # below never does)
+    for name, df in (
+        ("movies", movies), ("actors", actors),
+        ("writers", writers), ("movie_actors", bridge),
+    ):
+        df.coalesce(1).write.mode("overwrite").parquet(f"{_STAGE}/{name}")
+
+    t = normalize(movies, actors, writers, bridge)
+    out = _gated_readback(t)
+    return spark.createDataFrame(out.collect(), out.schema)

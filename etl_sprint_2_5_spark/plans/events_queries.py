@@ -2613,6 +2613,159 @@ def manifest_rebucket_equiv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "manifest_auto_maintain",
+    oracle="""
+    WITH v AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN n_chars + 7000
+                  ELSE n_chars END AS payload
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000, n_chars + 1000 FROM documents
+      UNION ALL
+      SELECT doc_id + 20000000, n_chars + 2000 FROM documents
+      WHERE doc_id % 2 = 0
+    )
+    SELECT doc_id % 4 AS grp,
+           count(*) AS n_docs,
+           CAST(sum(payload) AS BIGINT) AS payload_sum,
+           TRUE AS started_mid,
+           TRUE AS completed,
+           TRUE AS folded,
+           TRUE AS idle_noop
+    FROM v
+    GROUP BY doc_id % 4
+    ORDER BY grp
+    """,
+    covers=("T3", "X-sink-rebucket", "X-sink-delta-log",
+            "X-sink-maintain"),
+)
+def manifest_auto_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELF-MANAGING maintenance slot end-to-end
+    (streaming/sink.maintain_bucketed_view — Delta's OPTIMIZE +
+    auto-compaction policy composed from this sink's verbs), under the
+    oracle gate: a view that GROWS past its target bucket size must
+    fold its delta log, notice the drift from a bounded size sample,
+    start a 2× linear-hashing migration, advance it across slots WHILE
+    delta writers keep landing on the mixed layout, complete it, and
+    then go quiescent — all without an operator ever calling
+    split_buckets directly.
+
+    Self-calibrating scenario (deterministic at every SF): documents
+    lands over 4 buckets; the target is set to 1.5× the MEASURED v1
+    average bucket size; delta waves then add 1.5× more rows (every
+    doc re-keyed +10M, every even doc +20M), so the post-fold average
+    crosses the target at any scale (row growth 2.5×; parquet
+    overhead keeps byte growth above 1.5× even at sf0.001) while the
+    post-split average (≈2.3×/2) lands back UNDER it — the final slot
+    must be a no-op. Between the first and second slot a further
+    delta wave updates existing keys (doc_id % 5) — landing
+    mid-migration, folded by the second slot through the mixed
+    layout. Four structural pins ride the gate: started_mid (slot 1
+    folded the log AND started+advanced a split that left the marker
+    pending), completed (slot 2 finished the migration — 8 buckets,
+    marker dropped), folded (both slots compacted >0 delta commits),
+    idle_noop (slot 3 did nothing: no deltas, size back under
+    target). The grouped counts + payload checksum gate that the
+    whole maintenance history changed no row. At 100 TB this is one
+    cron slot per CDC cycle: cost proportional to the cycle's deltas
+    plus at most buckets_per_call bucket rewrites — never the corpus."""
+    import shutil
+    import tempfile
+
+    from etl_sprint_2_5_spark.streaming.sink import (
+        dir_bytes,
+        load_manifest,
+        maintain_bucketed_view,
+        read_bucketed_view,
+        upsert_keyed_parquet_bucketed,
+        upsert_keyed_parquet_delta,
+    )
+
+    d = load_table(spark, "documents", sf_dir)
+    tmp = tempfile.mkdtemp(prefix="auto_maintain_")
+    view = f"{tmp}/docs_view"
+    try:
+        upsert_keyed_parquet_bucketed(
+            spark,
+            d.select("doc_id", F.col("n_chars").alias("payload")),
+            view, key="doc_id", n_buckets=4, keep_versions=2,
+        )
+        man = load_manifest(view)
+        rels = list(man["buckets"].values())
+        avg0 = sum(
+            dir_bytes(f"{view}/{rel}") for rel in rels
+        ) / max(1, len(rels))
+        target = int(avg0 * 1.5)
+
+        # growth wave: 1.5x new keys through the delta log
+        upsert_keyed_parquet_delta(
+            spark,
+            d.select(
+                (F.col("doc_id") + F.lit(10_000_000)).alias("doc_id"),
+                (F.col("n_chars") + F.lit(1000)).alias("payload"),
+            ),
+            view, key="doc_id", keep_versions=2,
+        )
+        upsert_keyed_parquet_delta(
+            spark,
+            d.where(F.col("doc_id") % 2 == 0).select(
+                (F.col("doc_id") + F.lit(20_000_000)).alias("doc_id"),
+                (F.col("n_chars") + F.lit(2000)).alias("payload"),
+            ),
+            view, key="doc_id", keep_versions=2,
+        )
+        s1 = maintain_bucketed_view(
+            spark, view, target_bucket_bytes=target, buckets_per_call=2,
+        )
+        started_mid = (
+            s1["compacted"] > 0 and s1["split"] > 0
+            and s1["migration_pending"]
+        )
+        # a CDC wave lands MID-MIGRATION (existing keys updated)
+        upsert_keyed_parquet_delta(
+            spark,
+            d.where(F.col("doc_id") % 5 == 0).select(
+                "doc_id", (F.col("n_chars") + F.lit(7000)).alias("payload")
+            ),
+            view, key="doc_id", keep_versions=2,
+        )
+        s2 = maintain_bucketed_view(
+            spark, view, target_bucket_bytes=target, buckets_per_call=2,
+        )
+        man2 = load_manifest(view)
+        completed = (
+            s2["split"] > 0 and not s2["migration_pending"]
+            and int(man2["n_buckets"]) == 8 and "rebucket" not in man2
+        )
+        folded = s1["compacted"] > 0 and s2["compacted"] > 0
+        s3 = maintain_bucketed_view(
+            spark, view, target_bucket_bytes=target, buckets_per_call=2,
+        )
+        idle_noop = (
+            s3["compacted"] == 0 and s3["split"] == 0
+            and not s3["migration_pending"]
+        )
+
+        out = (
+            read_bucketed_view(spark, view)
+            .groupBy((F.col("doc_id") % 4).alias("grp"))
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.sum("payload").cast("bigint").alias("payload_sum"),
+            )
+            .withColumn("started_mid", F.lit(bool(started_mid)))
+            .withColumn("completed", F.lit(bool(completed)))
+            .withColumn("folded", F.lit(bool(folded)))
+            .withColumn("idle_noop", F.lit(bool(idle_noop)))
+            .orderBy("grp")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "orc_roundtrip_checksum",
     oracle="""
     SELECT l_linestatus AS bucket,

@@ -802,7 +802,115 @@ def ivm_maintained_docs_pg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="ivm_pg_live_")
     os.chmod(tmp, 0o755)  # the nobody-owned cluster must traverse it
     gold = f"{tmp}/gold/docs"
+    try:
+        with pg_copy.ephemeral_pg(f"{tmp}/cluster") as dsn:
+            env = _pg_live_env(spark, sf_dir, dsn)
+            # batch_size ≈ n/2: every pipeline needs ≥2 keyset cycles
+            # for the backfill, so the cursor provably advances
+            # mid-table on LIVE PG
+            sizes = {n: max(1, c // 2 + 1) for n, c in env["counts"].items()}
+
+            def mk_batch_fn(name: str):
+                def fn(cursor_ts, cursor_id, n):  # noqa: ANN001
+                    return pg_copy.pg_keyset_read(
+                        spark, dsn, name, _PG_SCHEMAS[name],
+                        "updated_at", _PG_KEYS[name], cursor_ts,
+                        cursor_id, n,
+                    )
+                return fn
+
+            common = dict(
+                rebuild=env["rebuild"], sink_path=gold,
+                doc_key="o_orderkey", n_buckets=env["nb"],
+            )
+            pipelines = [
+                Pipeline(
+                    name="orders", source="orders",
+                    cursor_field="updated_at", id_field="o_orderkey",
+                    fanout=FanOut(id_field="o_orderkey"),
+                    batch_size=sizes["orders"],
+                    batch_fn=mk_batch_fn("orders"), **common,
+                ),
+                Pipeline(
+                    name="customer", source="customer",
+                    cursor_field="updated_at", id_field="c_custkey",
+                    fanout=FanOut(
+                        id_field="c_custkey", bridge="orders",
+                        join_field="o_custkey", select_field="o_orderkey",
+                        bridge_fn=env["bridge_custkeys"],
+                    ),
+                    batch_size=sizes["customer"],
+                    batch_fn=mk_batch_fn("customer"), **common,
+                ),
+                Pipeline(
+                    name="lineitem", source="lineitem",
+                    cursor_field="updated_at", id_field="li_id",
+                    fanout=FanOut(id_field="l_orderkey"),
+                    batch_size=sizes["lineitem"],
+                    batch_fn=mk_batch_fn("lineitem"), **common,
+                ),
+            ]
+            offsets = OffsetStore(f"{tmp}/offsets.json", id_default=0)
+
+            run_to_completion(spark, pipelines, _no_pg_load, offsets)  # A
+            _pg_live_mutate(dsn)  # the CDC writes: LIVE SQL UPDATEs
+            consumed_b = run_to_completion(
+                spark, pipelines, _no_pg_load, offsets
+            )  # phase B
+
+            docs = (
+                read_bucketed_view(spark, gold)
+                .withColumn(
+                    "phase_b_rows", F.lit(consumed_b).cast("bigint")
+                )
+                .orderBy("o_orderkey")
+            )
+            return spark.createDataFrame(docs.collect(), docs.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+_PG_SCHEMAS = {
+    "orders": (
+        "o_orderkey long, o_custkey long, o_orderpriority string, "
+        "updated_at timestamp"
+    ),
+    "customer": "c_custkey long, c_name string, updated_at timestamp",
+    "lineitem": (
+        "li_id long, l_orderkey long, cents long, updated_at timestamp"
+    ),
+}
+_PG_DDL = {
+    "orders": (
+        "o_orderkey bigint PRIMARY KEY, o_custkey bigint, "
+        "o_orderpriority text, updated_at timestamp"
+    ),
+    "customer": "c_custkey bigint PRIMARY KEY, c_name text, "
+                "updated_at timestamp",
+    "lineitem": "li_id bigint PRIMARY KEY, l_orderkey bigint, "
+                "cents bigint, updated_at timestamp",
+}
+_PG_KEYS = {"orders": "o_orderkey", "customer": "c_custkey",
+            "lineitem": "li_id"}
+
+
+def _no_pg_load(name: str) -> DataFrame:
+    raise AssertionError(
+        "live-PG scenario reads only from PostgreSQL, never a staged "
+        f"snapshot (asked for {name!r})"
+    )
+
+
+def _pg_live_env(spark: SparkSession, sf_dir: str, dsn: str) -> dict:
+    """Stage the subset star schema INTO live PostgreSQL (S7 DDL
+    bootstrap + partition-parallel COPY + the composite cursor index)
+    and return the source-native helpers shared by the batch and
+    streaming live-CDC gates: per-cycle reads all run on the PG
+    planner, only batches / affected rows cross the wire."""
     from pyspark.sql.window import Window
+
+    from etl_sprint_2_5_spark.sources import pg_copy
+    from etl_sprint_2_5_spark.streaming.sink import buckets_for
 
     frames = _base_frames(spark, sf_dir)
     # the testdata lineitem carries duplicate (l_orderkey,
@@ -822,155 +930,190 @@ def ivm_maintained_docs_pg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("li_id") * 100 + F.row_number().over(dedup_w),
         ),
     }
-    schemas = {
-        "orders": (
-            "o_orderkey long, o_custkey long, o_orderpriority string, "
-            "updated_at timestamp"
+    counts = {}
+    for name in v1:  # S7 DDL bootstrap + the cursor index
+        pg_copy.pg_exec(dsn, f"CREATE TABLE {name} ({_PG_DDL[name]})")
+        pg_copy.pg_exec(
+            dsn, f"CREATE INDEX ON {name} (updated_at, {_PG_KEYS[name]})"
+        )
+        pg_copy.pg_copy_load(v1[name], dsn, name)
+        counts[name] = int(
+            pg_copy.pg_exec(dsn, f"SELECT count(*) FROM {name}").strip()
+        )
+    # bucket count from the REAL staged relation sizes
+    nb = buckets_for(int(pg_copy.pg_exec(
+        dsn,
+        "SELECT " + " + ".join(
+            f"pg_total_relation_size('{n}')" for n in v1
         ),
-        "customer": "c_custkey long, c_name string, updated_at timestamp",
-        "lineitem": (
-            "li_id long, l_orderkey long, cents long, updated_at timestamp"
-        ),
-    }
-    ddl = {
-        "orders": (
-            "o_orderkey bigint PRIMARY KEY, o_custkey bigint, "
-            "o_orderpriority text, updated_at timestamp"
-        ),
-        "customer": "c_custkey bigint PRIMARY KEY, c_name text, "
-                    "updated_at timestamp",
-        "lineitem": "li_id bigint PRIMARY KEY, l_orderkey bigint, "
-                    "cents bigint, updated_at timestamp",
-    }
-    keys = {"orders": "o_orderkey", "customer": "c_custkey",
-            "lineitem": "li_id"}
-    # batch_size ≈ n/2: every pipeline needs ≥2 keyset cycles for the
-    # backfill, so the cursor provably advances mid-table on LIVE PG
-    sizes = {n: max(1, v1[n].count() // 2 + 1) for n in v1}
+    ).strip()))
 
-    def _no_load(name: str) -> DataFrame:
-        raise AssertionError(
-            "live-PG scenario reads only from PostgreSQL, never a "
-            f"staged snapshot (asked for {name!r})"
+    def rd(sql: str, schema: str) -> DataFrame:
+        return pg_copy.pg_copy_read(spark, dsn, sql, schema)
+
+    def bridge_custkeys(picked: DataFrame) -> DataFrame:
+        # the reference collects exactly this bounded id list into an
+        # IN clause (daemon.py:139-152)
+        ks = ",".join(str(r.id) for r in picked.collect()) or "NULL"
+        return rd(
+            "SELECT DISTINCT o_orderkey AS id FROM orders "
+            f"WHERE o_custkey IN ({ks})",
+            "id long",
         )
 
+    def pg_rebuild(_load, ids: DataFrame) -> DataFrame:  # noqa: ANN001
+        inl = ",".join(str(r.id) for r in ids.collect()) or "NULL"
+
+        def rload(name: str) -> DataFrame:
+            if name == "orders":
+                return rd(
+                    "SELECT o_orderkey, o_custkey, o_orderpriority "
+                    f"FROM orders WHERE o_orderkey IN ({inl})",
+                    "o_orderkey long, o_custkey long, "
+                    "o_orderpriority string",
+                )
+            if name == "customer":
+                return rd(
+                    "SELECT c_custkey, c_name FROM customer "
+                    "WHERE c_custkey IN (SELECT o_custkey FROM "
+                    f"orders WHERE o_orderkey IN ({inl}))",
+                    "c_custkey long, c_name string",
+                )
+            return rd(
+                "SELECT li_id, l_orderkey, cents FROM lineitem "
+                f"WHERE l_orderkey IN ({inl})",
+                "li_id long, l_orderkey long, cents long",
+            )
+
+        return _rebuild_docs(rload, ids)
+
+    return {
+        "counts": counts, "nb": nb, "rd": rd,
+        "bridge_custkeys": bridge_custkeys, "rebuild": pg_rebuild,
+    }
+
+
+def _pg_live_mutate(dsn: str) -> None:
+    """The CDC writes as LIVE SQL UPDATEs, stamped strictly after
+    every phase-A timestamp."""
+    from etl_sprint_2_5_spark.sources import pg_copy
+
+    t1 = dt.datetime.fromtimestamp(_T1, dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S"
+    )
+    pg_copy.pg_exec(
+        dsn,
+        "UPDATE customer SET c_name = upper(c_name), "
+        f"updated_at = TIMESTAMP '{t1}' WHERE c_custkey % 10 = 0",
+    )
+    pg_copy.pg_exec(
+        dsn,
+        "UPDATE orders SET o_orderpriority = 'MUTATED', "
+        f"updated_at = TIMESTAMP '{t1}' WHERE o_orderkey % 13 = 0",
+    )
+
+
+@query(
+    "streaming_ivm_pg_live",
+    oracle=None,  # set below — identical to ivm_maintained_docs_pg_live's
+    covers=("T1", "S2", "X-ivm-stream-live", "X-pg-live",
+            "X-pg-stream-source"),
+)
+def streaming_ivm_pg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live-PG CDC scenario under STRUCTURED STREAMING with a real
+    custom streaming SOURCE: sources/pg_stream.PgKeysetDataSource (the
+    PySpark-4 Python DataSource API) turns the reference daemon's
+    keyset poll (daemon.py:90-129,537-542) into a first-class
+    micro-batch source — the composite ``(updated_at, id)`` cursor IS
+    the stream offset, persisted in Spark's checkpoint; each
+    micro-batch's interval is tiled into id-sliced partitions read as
+    concurrent COPY streams ON THE EXECUTORS.
+
+    Same staged-into-PostgreSQL star schema, same pushed-down fan-out
+    / restricted rebuild / manifest sink as the batch twin
+    (``_pg_live_env``), same live SQL UPDATEs between phases — but the
+    cursor discipline is now Spark's: phase A drains each table's
+    stream (processAllAvailable — the Python source has no
+    Trigger.AvailableNow), phase B REOPENS each stream from its
+    checkpoint, which must consume exactly the mutated rows.
+    ``phase_b_rows`` (the resumed queries' own foreachBatch counts)
+    rides the gate, sharing the batch twin's from-scratch oracle: a
+    checkpoint that replayed phase A or missed an update breaks the
+    hash. This closes the last seam between the reference topology
+    and the Spark-native one: live database, live mutations, Spark-
+    owned offsets, streaming execution."""
+    import os
+
+    from etl_sprint_2_5_spark.sources import pg_copy
+    from etl_sprint_2_5_spark.sources.pg_stream import PgKeysetDataSource
+    from etl_sprint_2_5_spark.streaming.ivm import FanOut, Pipeline
+    from etl_sprint_2_5_spark.streaming.structured import (
+        stream_pipeline_from,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ivm_pg_stream_")
+    os.chmod(tmp, 0o755)  # the nobody-owned cluster must traverse it
+    gold = f"{tmp}/gold/docs"
+    spark.dataSource.register(PgKeysetDataSource)
     try:
         with pg_copy.ephemeral_pg(f"{tmp}/cluster") as dsn:
-            for name in v1:  # S7 DDL bootstrap + the cursor index
-                pg_copy.pg_exec(dsn, f"CREATE TABLE {name} ({ddl[name]})")
-                pg_copy.pg_exec(
-                    dsn,
-                    f"CREATE INDEX ON {name} (updated_at, {keys[name]})",
-                )
-                pg_copy.pg_copy_load(v1[name], dsn, name)
-            # bucket count from the REAL staged relation sizes
-            nb = buckets_for(int(pg_copy.pg_exec(
-                dsn,
-                "SELECT "
-                + " + ".join(
-                    f"pg_total_relation_size('{n}')" for n in v1
-                ),
-            ).strip()))
-
-            def rd(sql: str, schema: str) -> DataFrame:
-                return pg_copy.pg_copy_read(spark, dsn, sql, schema)
-
-            def mk_batch_fn(name: str):
-                def fn(cursor_ts, cursor_id, n):  # noqa: ANN001
-                    return pg_copy.pg_keyset_read(
-                        spark, dsn, name, schemas[name],
-                        "updated_at", keys[name], cursor_ts, cursor_id, n,
-                    )
-                return fn
-
-            def bridge_custkeys(picked: DataFrame) -> DataFrame:
-                # the reference collects exactly this bounded id list
-                # into an IN clause (daemon.py:139-152)
-                ks = ",".join(str(r.id) for r in picked.collect()) or "NULL"
-                return rd(
-                    "SELECT DISTINCT o_orderkey AS id FROM orders "
-                    f"WHERE o_custkey IN ({ks})",
-                    "id long",
-                )
-
-            def pg_rebuild(_load, ids: DataFrame) -> DataFrame:  # noqa: ANN001
-                inl = ",".join(str(r.id) for r in ids.collect()) or "NULL"
-
-                def rload(name: str) -> DataFrame:
-                    if name == "orders":
-                        return rd(
-                            "SELECT o_orderkey, o_custkey, o_orderpriority "
-                            f"FROM orders WHERE o_orderkey IN ({inl})",
-                            "o_orderkey long, o_custkey long, "
-                            "o_orderpriority string",
-                        )
-                    if name == "customer":
-                        return rd(
-                            "SELECT c_custkey, c_name FROM customer "
-                            "WHERE c_custkey IN (SELECT o_custkey FROM "
-                            f"orders WHERE o_orderkey IN ({inl}))",
-                            "c_custkey long, c_name string",
-                        )
-                    return rd(
-                        "SELECT li_id, l_orderkey, cents FROM lineitem "
-                        f"WHERE l_orderkey IN ({inl})",
-                        "li_id long, l_orderkey long, cents long",
-                    )
-
-                return _rebuild_docs(rload, ids)
-
+            env = _pg_live_env(spark, sf_dir, dsn)
             common = dict(
-                rebuild=pg_rebuild, sink_path=gold, doc_key="o_orderkey",
-                n_buckets=nb,
+                rebuild=env["rebuild"], sink_path=gold,
+                doc_key="o_orderkey", n_buckets=env["nb"],
+                cursor_field="updated_at",
             )
-            pipelines = [
-                Pipeline(
+            pipelines = {
+                "orders": Pipeline(
                     name="orders", source="orders",
-                    cursor_field="updated_at", id_field="o_orderkey",
-                    fanout=FanOut(id_field="o_orderkey"),
-                    batch_size=sizes["orders"],
-                    batch_fn=mk_batch_fn("orders"), **common,
+                    id_field="o_orderkey",
+                    fanout=FanOut(id_field="o_orderkey"), **common,
                 ),
-                Pipeline(
+                "customer": Pipeline(
                     name="customer", source="customer",
-                    cursor_field="updated_at", id_field="c_custkey",
+                    id_field="c_custkey",
                     fanout=FanOut(
                         id_field="c_custkey", bridge="orders",
                         join_field="o_custkey", select_field="o_orderkey",
-                        bridge_fn=bridge_custkeys,
+                        bridge_fn=env["bridge_custkeys"],
                     ),
-                    batch_size=sizes["customer"],
-                    batch_fn=mk_batch_fn("customer"), **common,
+                    **common,
                 ),
-                Pipeline(
+                "lineitem": Pipeline(
                     name="lineitem", source="lineitem",
-                    cursor_field="updated_at", id_field="li_id",
-                    fanout=FanOut(id_field="l_orderkey"),
-                    batch_size=sizes["lineitem"],
-                    batch_fn=mk_batch_fn("lineitem"), **common,
+                    id_field="li_id",
+                    fanout=FanOut(id_field="l_orderkey"), **common,
                 ),
-            ]
-            offsets = OffsetStore(f"{tmp}/offsets.json", id_default=0)
+            }
+            counters: dict[str, list] = {n: [] for n in pipelines}
 
-            run_to_completion(spark, pipelines, _no_load, offsets)  # phase A
-            # the CDC writes: LIVE SQL UPDATEs, stamped strictly after
-            # every phase-A timestamp
-            t1 = dt.datetime.fromtimestamp(
-                _T1, dt.timezone.utc
-            ).strftime("%Y-%m-%d %H:%M:%S")
-            pg_copy.pg_exec(
-                dsn,
-                "UPDATE customer SET c_name = upper(c_name), "
-                f"updated_at = TIMESTAMP '{t1}' WHERE c_custkey % 10 = 0",
-            )
-            pg_copy.pg_exec(
-                dsn,
-                "UPDATE orders SET o_orderpriority = 'MUTATED', "
-                f"updated_at = TIMESTAMP '{t1}' WHERE o_orderkey % 13 = 0",
-            )
-            consumed_b = run_to_completion(
-                spark, pipelines, _no_load, offsets
-            )  # phase B
+            def drain(name: str) -> None:
+                stream = (
+                    spark.readStream.format("pg_keyset")
+                    .option("dsn", dsn)
+                    .option("table", name)
+                    .option("tscol", "updated_at")
+                    .option("idcol", _PG_KEYS[name])
+                    .option("readschema", _PG_SCHEMAS[name])
+                    .option("slices", "2")
+                    .load()
+                )
+                q = stream_pipeline_from(
+                    spark, pipelines[name], stream, _no_pg_load,
+                    f"{tmp}/ckpt/{name}", available_now=False,
+                    row_counter=counters[name],
+                )
+                q.processAllAvailable()
+                q.stop()
+                q.awaitTermination()
+
+            for name in pipelines:  # phase A: stream backfill
+                drain(name)
+            phase_a = sum(sum(c) for c in counters.values())
+            _pg_live_mutate(dsn)  # the CDC writes: LIVE SQL UPDATEs
+            for name in pipelines:  # phase B: resumed from checkpoint
+                drain(name)
+            consumed_b = sum(sum(c) for c in counters.values()) - phase_a
 
             docs = (
                 read_bucketed_view(spark, gold)
@@ -982,3 +1125,6 @@ def ivm_maintained_docs_pg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
             return spark.createDataFrame(docs.collect(), docs.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+_REG["streaming_ivm_pg_live"].oracle = _REG["ivm_maintained_docs_pg_live"].oracle

@@ -45,6 +45,28 @@ def stream_pipeline(
     aggregates reports up to 2× the real rows.)"""
 
     changed_stream = spark.readStream.schema(feed_schema).parquet(feed_dir)
+    return stream_pipeline_from(
+        spark, p, changed_stream, load, checkpoint_dir,
+        available_now=available_now, row_counter=row_counter,
+    )
+
+
+def stream_pipeline_from(
+    spark: SparkSession,
+    p: Pipeline,
+    changed_stream,  # noqa: ANN001 - streaming DataFrame of changed rows
+    load: TableLoader,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    row_counter: list | None = None,
+):
+    """The pipeline body over an ARBITRARY change-feed stream — same
+    foreachBatch fan-out → restricted rebuild → idempotent upsert as
+    :func:`stream_pipeline`, source-agnostic: file feeds, Kafka, or a
+    registered Python data source (sources/pg_stream's live-PG keyset
+    source). ``available_now=False`` leaves the trigger default —
+    callers drain with ``processAllAvailable()`` when the source does
+    not support Trigger.AvailableNow (Python data sources)."""
 
     def process(batch_df, batch_id: int) -> None:  # noqa: ANN001
         n = batch_df.count()

@@ -203,3 +203,54 @@ def test_pg_keyset_read_row_value_cursor(spark, dsn):
     # only when ts == epoch; here ts > epoch so ALL rows arrive
     assert [i for i, _ in seen] == list(range(21))
     assert all(v == i * 7 for i, v in seen)  # typed round-trip
+
+
+def test_pg_keyset_stream_source(spark, dsn, tmp_path):
+    """The Python streaming DataSource (sources/pg_stream): the keyset
+    cursor is the stream offset in Spark's checkpoint — a resumed
+    query consumes EXACTLY the rows mutated after its last offset,
+    sliced across 2 executor-side COPY partitions."""
+    from etl_sprint_2_5_spark.sources.pg_stream import PgKeysetDataSource
+
+    spark.dataSource.register(PgKeysetDataSource)
+    pg_copy.pg_exec(
+        dsn,
+        "CREATE TABLE sev (id bigint PRIMARY KEY, ts timestamp, "
+        "val bigint)",
+    )
+    rows = [(i, f"2026-03-01 00:00:{i // 3:02d}", i * 2) for i in range(20)]
+    pg_copy.pg_copy_load(
+        spark.createDataFrame(rows, "id long, ts string, val long"),
+        dsn, "sev",
+    )
+    batches: list[tuple[int, int]] = []
+
+    def proc(bdf, bid):  # noqa: ANN001
+        batches.append((bdf.count(), bdf.agg({"val": "sum"}).first()[0]))
+
+    def drain() -> None:
+        q = (
+            spark.readStream.format("pg_keyset")
+            .option("dsn", dsn).option("table", "sev")
+            .option("tscol", "ts").option("idcol", "id")
+            .option("readschema", "id bigint, ts timestamp, val bigint")
+            .option("slices", "2").load()
+            .writeStream.foreachBatch(proc)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        q.awaitTermination()
+
+    drain()  # backfill
+    assert batches == [(20, sum(i * 2 for i in range(20)))]
+    pg_copy.pg_exec(
+        dsn,
+        "UPDATE sev SET val = val + 1000, "
+        "ts = TIMESTAMP '2026-03-02 00:00:00' WHERE id % 4 = 0",
+    )
+    drain()  # resume: exactly the 5 mutated rows, new values
+    assert batches[1] == (5, sum(i * 2 + 1000 for i in range(0, 20, 4)))
+    drain()  # idle resume: no offset movement, no batch
+    assert len(batches) == 2

@@ -109,13 +109,16 @@ def hashed_linear_score(
     """fastText-style linear classifier over hashed token features:
     logit(doc) = Σ_t w(h(t)) / (1000 · n_tokens).
 
-    The Spark-side plumbing is the real thing — explode, per-token
-    weight lookup, one integer-sum shuffle per doc — while the weight
-    table is a deterministic md5 stand-in (w_int(t) = md5₆₀(salt‖t)
-    mod 2001 − 1000 ∈ [−1000, 1000]), the same fake-but-pinned
-    convention as the multimodal codecs: swap in a trained
-    id→weight table (broadcast join instead of the md5 expression)
-    without touching the dataflow.
+    The per-token weight sum runs as ``F.aggregate`` over the token
+    array INSIDE the row's projection — no explode, no shuffle: the
+    naive explode → groupBy(doc) shape ships every token through an
+    exchange (60M rows at sf1 — profiled 10× slower, round 13) to
+    recombine rows that were never apart. The weight table is a
+    deterministic md5 stand-in (w_int(t) = md5₆₀(salt‖t) mod 2001 −
+    1000 ∈ [−1000, 1000]), the same fake-but-pinned convention as the
+    multimodal codecs: a trained model swaps in a broadcast
+    id→weight map lookup inside the same lambda without touching the
+    dataflow.
 
     The whole computation stays in INTEGERS — weight sums are exact
     and order-independent (double summation would make the shuffle
@@ -127,19 +130,25 @@ def hashed_linear_score(
     offset-then-divide keeps the integer division on positive values,
     where floor and truncate agree across engines."""
     toks = tokenize(text_col)
-    exploded = df.select(
-        F.col(id_col), F.size(toks).alias("_n"), F.explode(toks).alias("_t")
-    )
-    w_int = (
-        F.conv(
-            F.substring(F.md5(F.concat(F.lit(salt), F.col("_t"))), 1, 15), 16, 10
-        ).cast("long")
-        % 2001
-        - 1000
-    )
+
+    def w_int(t):  # noqa: ANN001 - Column lambda
+        return (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(salt), t)), 1, 15), 16, 10
+            ).cast("long")
+            % 2001
+            - 1000
+        )
+
     return (
-        exploded.groupBy(id_col, "_n")
-        .agg(F.sum(w_int).alias("_sw"))
+        df.select(
+            F.col(id_col),
+            F.size(toks).alias("_n"),
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + w_int(t)
+            ).alias("_sw"),
+        )
+        .where(F.col("_n") > 0)  # explode semantics: token-free docs drop
         .select(
             F.col(id_col),
             F.col("_n").alias("n_tokens"),

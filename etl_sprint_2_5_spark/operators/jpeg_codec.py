@@ -1,0 +1,609 @@
+"""Baseline JPEG (ITU-T T.81) codec — pure stdlib + numpy, no PIL /
+libjpeg, closing the last image-codec fake surface (PNG became real
+in round 12; operators/multimodal._decode_image_real dispatches here
+for ``FF D8 FF`` payloads).
+
+Decoder: baseline + extended-sequential DCT, 8-bit precision (SOF0 /
+SOF1), grayscale or 3-component YCbCr with arbitrary sampling factors
+(4:4:4 / 4:2:2 / 4:2:0 via per-component replication), restart
+markers, 16-bit quant tables. Progressive (SOF2) and the other coding
+processes raise ``NotImplementedError`` — a VALID stream this decoder
+does not speak routes to the deterministic-fake lane, while a
+MALFORMED stream raises ``ValueError`` and quarantines (never fake
+dims for a claimed-real payload). Chroma upsampling is pixel
+replication (the T.81 sample-expansion reference shape, not libjpeg's
+fancy bilinear — decoders legitimately differ here; the exactness
+gate uses flat chroma where every convention agrees).
+
+Encoder: baseline SOF0 with the Annex K quantization + Huffman
+tables, libjpeg's quality→scale mapping, 4:4:4 or 4:2:0 (2×2 box
+chroma subsample). ``quality=100`` yields all-ones quant tables,
+which makes BLOCK-FLAT images bit-exact through the whole pipeline
+(flat 8×8 → every AC coefficient is exactly 0, the DC coefficient is
+an exact multiple of 8, and R=G=B inputs put chroma at exactly 128) —
+the property the oracle-gated query exploits for a closed-form
+cross-engine checksum of a LOSSY codec.
+
+Dataflow stance unchanged from png_codec: codecs run inside Arrow
+``mapInPandas`` stages on the executors; this module is the per-blob
+kernel, Spark owns the distribution.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------- tables
+
+#: zigzag scan order (T.81 Figure 5): zigzag index -> raster index
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int64)
+
+#: Annex K Table K.1/K.2 base quantization tables (raster order)
+QT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.int64)
+QT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.int64)
+
+#: Annex K typical Huffman tables: (bits[1..16], huffval)
+HUFF_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+HUFF_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+HUFF_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# orthonormal 8x8 DCT-II basis: A[u,x] = C(u)/2 * cos((2x+1)uπ/16);
+# forward F = A @ B @ A.T, inverse B = A.T @ F @ A (T.81 Annex A.3.3)
+_x = np.arange(8)
+_A = 0.5 * np.cos((2 * _x[None, :] + 1) * _x[:, None] * np.pi / 16)
+_A[0, :] *= 1 / np.sqrt(2)
+
+
+def _canonical_codes(bits: list[int], huffval: list[int]):
+    """T.81 Annex C code generation: {length: {code: symbol}}."""
+    table: dict[int, dict[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            table.setdefault(ln, {})[code] = huffval[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _encode_codes(bits: list[int], huffval: list[int]):
+    """symbol -> (code, length) for the encoder."""
+    enc: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            enc[huffval[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return enc
+
+
+# ---------------------------------------------------------------- decode
+
+
+class _BitReader:
+    """Entropy-segment bit reader (input already unstuffed)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.data):
+            raise ValueError("jpeg: entropy stream truncated")
+        b = (self.data[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def read_huff(self, table: dict[int, dict[int, int]]) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get(ln, {}).get(code)
+            if sym is not None:
+                return sym
+        raise ValueError("jpeg: invalid Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t raw bits to the signed value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_block(r: _BitReader, dc_tab, ac_tab, pred: int):
+    """One 8×8 block of quantized coefficients (zigzag order)."""
+    coef = np.zeros(64, dtype=np.int64)
+    t = r.read_huff(dc_tab)
+    diff = _extend(r.read_bits(t), t)
+    pred += diff
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = r.read_huff(ac_tab)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += run
+        if k > 63:
+            raise ValueError("jpeg: AC run past block end")
+        coef[k] = _extend(r.read_bits(size), size)
+        k += 1
+    return coef, pred
+
+
+def jpeg_decode(payload: bytes) -> np.ndarray:
+    """Decode a baseline JFIF/JPEG byte string → (H, W, C) uint8,
+    C = 1 (grayscale) or 3 (RGB). ValueError on malformed input,
+    NotImplementedError on valid-but-unsupported coding processes."""
+    try:
+        return _jpeg_decode_inner(payload)
+    except (IndexError, struct.error) as ex:
+        # truncated/garbled headers surface as slice/unpack errors —
+        # normalize to the quarantine lane's contract
+        raise ValueError(f"jpeg: malformed stream ({ex})") from ex
+
+
+def _jpeg_decode_inner(payload: bytes) -> np.ndarray:
+    if payload[:3] != b"\xff\xd8\xff":
+        raise ValueError("jpeg: bad SOI signature")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None  # (H, W, [(cid, h, v, tq)])
+    restart = 0
+    i = 2
+    n = len(payload)
+    while i < n - 1:
+        if payload[i] != 0xFF:
+            raise ValueError("jpeg: marker expected")
+        m = payload[i + 1]
+        i += 2
+        if m == 0xD8 or (0xD0 <= m <= 0xD7):
+            continue
+        if m == 0xD9:  # EOI before SOS
+            raise ValueError("jpeg: EOI before scan data")
+        if m == 0x01:
+            continue
+        (seg_len,) = struct.unpack(">H", payload[i:i + 2])
+        seg = payload[i + 2:i + seg_len]
+        if len(seg) != seg_len - 2:
+            raise ValueError("jpeg: truncated segment")
+        if m == 0xDB:  # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 15
+                j += 1
+                if pq:  # 16-bit table
+                    vals = np.frombuffer(
+                        seg[j:j + 128], dtype=">u2"
+                    ).astype(np.int64)
+                    j += 128
+                else:
+                    vals = np.frombuffer(
+                        seg[j:j + 64], dtype=np.uint8
+                    ).astype(np.int64)
+                    j += 64
+                if vals.size != 64:
+                    raise ValueError("jpeg: short DQT")
+                qt[tq] = vals
+        elif m in (0xC0, 0xC1):  # SOF0/SOF1: baseline/ext sequential
+            if seg[0] != 8:
+                raise NotImplementedError("jpeg: 12-bit precision")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            if nc not in (1, 3):
+                raise NotImplementedError(f"jpeg: {nc}-component scan")
+            comps = []
+            for k in range(nc):
+                cid, hv, tq_id = seg[6 + 3 * k:9 + 3 * k]
+                comps.append((cid, hv >> 4, hv & 15, tq_id))
+            if h == 0 or w == 0:
+                raise ValueError("jpeg: zero frame dimension")
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                   0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"jpeg: coding process SOF{m - 0xC0} not supported"
+            )
+        elif m == 0xC4:  # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 15
+                bits = list(seg[j + 1:j + 17])
+                cnt = sum(bits)
+                huffval = list(seg[j + 17:j + 17 + cnt])
+                if len(huffval) != cnt:
+                    raise ValueError("jpeg: short DHT")
+                huff[(tc, th)] = _canonical_codes(bits, huffval)
+                j += 17 + cnt
+        elif m == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", seg[:2])
+        elif m == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("jpeg: SOS before SOF")
+            ns = seg[0]
+            scan = []
+            for k in range(ns):
+                cs, tdta = seg[1 + 2 * k], seg[2 + 2 * k]
+                scan.append((cs, tdta >> 4, tdta & 15))
+            return _decode_scan(
+                payload[i + seg_len:], frame, scan, qt, huff, restart
+            )
+        # APPn / COM / others: skip
+        i += seg_len
+    raise ValueError("jpeg: no scan data")
+
+
+def _split_entropy(data: bytes):
+    """Entropy stream → unstuffed restart segments (split on RSTn;
+    terminated by any other marker)."""
+    segs, cur = [], bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        b = data[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        m = data[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:  # stuffed data byte
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # restart
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next header
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _decode_scan(data, frame, scan, qt, huff, restart) -> np.ndarray:
+    h, w, comps = frame
+    if len(scan) != len(comps):
+        raise NotImplementedError("jpeg: multi-scan (non-interleaved)")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    by_id = {c[0]: c for c in comps}
+    planes, meta = {}, []
+    for cs, td, ta in scan:
+        if cs not in by_id:
+            raise ValueError("jpeg: scan references unknown component")
+        _, ch, cv, tq_id = by_id[cs]
+        if tq_id not in qt:
+            raise ValueError("jpeg: missing quant table")
+        if (0, td) not in huff or (1, ta) not in huff:
+            raise ValueError("jpeg: missing Huffman table")
+        planes[cs] = np.zeros(
+            (mcuy * cv * 8, mcux * ch * 8), dtype=np.float64
+        )
+        meta.append((cs, ch, cv, qt[tq_id], huff[(0, td)], huff[(1, ta)]))
+
+    segs = _split_entropy(data)
+    r = _BitReader(segs[0])
+    seg_i = 0
+    pred = {cs: 0 for cs, *_ in meta}
+    deq = np.zeros(64, dtype=np.int64)
+    for mcu in range(mcux * mcuy):
+        if restart and mcu and mcu % restart == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise ValueError("jpeg: missing restart segment")
+            r = _BitReader(segs[seg_i])
+            pred = {cs: 0 for cs in pred}
+        my, mx = divmod(mcu, mcux)
+        for cs, ch, cv, q, dc_tab, ac_tab in meta:
+            for v in range(cv):
+                for hh in range(ch):
+                    coef, pred[cs] = _decode_block(
+                        r, dc_tab, ac_tab, pred[cs]
+                    )
+                    deq[ZIGZAG] = coef * q
+                    block = _A.T @ deq.reshape(8, 8).astype(np.float64) @ _A
+                    y0 = (my * cv + v) * 8
+                    x0 = (mx * ch + hh) * 8
+                    planes[cs][y0:y0 + 8, x0:x0 + 8] = block
+    out = []
+    for cs, ch, cv, *_ in meta:
+        p = planes[cs] + 128.0
+        # replicate up to full resolution, crop to frame dims
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out.append(p[:h, :w])
+    if len(out) == 1:
+        g = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return g[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------- encode
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)  # 1-fill pad (T.81 F.1.2.3)
+        return bytes(self.out)
+
+
+def _quality_tables(quality: int):
+    """libjpeg quality→scaling: 5000/q below 50, 200−2q above;
+    quality=100 → all-ones tables (the exactness mode)."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    luma = np.clip((QT_LUMA * scale + 50) // 100, 1, 255)
+    chroma = np.clip((QT_CHROMA * scale + 50) // 100, 1, 255)
+    return luma, chroma
+
+
+def _encode_size(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _encode_block(w: _BitWriter, coef: np.ndarray, pred: int,
+                  dc_enc, ac_enc) -> int:
+    dc = int(coef[0])
+    diff = dc - pred
+    t = _encode_size(diff)
+    w.write(*dc_enc[t])
+    if t:
+        w.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = int(np.max(np.nonzero(coef)[0])) if np.any(coef[1:]) else 0
+    for k in range(1, 64):
+        v = int(coef[k])
+        if v == 0:
+            if k > last_nz:
+                w.write(*ac_enc[0x00])  # EOB
+                break
+            run += 1
+            continue
+        while run > 15:
+            w.write(*ac_enc[0xF0])  # ZRL
+            run -= 16
+        s = _encode_size(v)
+        w.write(*ac_enc[run * 16 + s])
+        w.write(v if v > 0 else v + (1 << s) - 1, s)
+        run = 0
+    return dc
+
+
+def _plane_blocks(plane: np.ndarray, q: np.ndarray):
+    """Pad a component plane to 8-multiples (edge replication), then
+    forward-DCT + quantize every 8×8 block → dict[(by,bx)] zigzag."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    p = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    p = p.astype(np.float64) - 128.0
+    out = {}
+    qr = q.reshape(8, 8)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            block = p[by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8]
+            coefs = np.round((_A @ block @ _A.T) / qr).astype(np.int64)
+            out[(by, bx)] = coefs.reshape(64)[ZIGZAG]  # raster → zigzag
+    return out, ph // 8, pw // 8
+
+
+def jpeg_encode(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0"
+) -> bytes:
+    """Encode (H, W, 1|3) uint8 → baseline JFIF bytes. 3-channel input
+    is RGB; ``subsampling`` is '4:4:4' or '4:2:0' (ignored for gray)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("jpeg_encode: 1 or 3 channels")
+    luma_q, chroma_q = _quality_tables(quality)
+    a = arr.astype(np.float64)
+    if nc == 3:
+        r, g, b = a[..., 0], a[..., 1], a[..., 2]
+        y = np.round(0.299 * r + 0.587 * g + 0.114 * b)
+        cb = np.round(128 - 0.168736 * r - 0.331264 * g + 0.5 * b)
+        cr = np.round(128 + 0.5 * r - 0.418688 * g - 0.081312 * b)
+        if subsampling == "4:2:0":
+            sh, sv = 2, 2
+            ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+            cb = np.pad(cb, ((0, ph - h), (0, pw - w)), mode="edge")
+            cr = np.pad(cr, ((0, ph - h), (0, pw - w)), mode="edge")
+            cb = np.round(
+                (cb[0::2, 0::2] + cb[0::2, 1::2]
+                 + cb[1::2, 0::2] + cb[1::2, 1::2]) / 4
+            )
+            cr = np.round(
+                (cr[0::2, 0::2] + cr[0::2, 1::2]
+                 + cr[1::2, 0::2] + cr[1::2, 1::2]) / 4
+            )
+        elif subsampling == "4:4:4":
+            sh, sv = 1, 1
+        else:
+            raise ValueError(f"jpeg_encode: subsampling {subsampling!r}")
+        comps = [
+            (1, sh, sv, 0, y, luma_q, "l"),
+            (2, 1, 1, 1, cb, chroma_q, "c"),
+            (3, 1, 1, 1, cr, chroma_q, "c"),
+        ]
+    else:
+        comps = [(1, 1, 1, 0, a[..., 0], luma_q, "l")]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq_id, q in ((0, luma_q), (1, chroma_q))[: 1 if nc == 1 else 2]:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq_id])
+        out += bytes(int(q[z]) for z in ZIGZAG)  # zigzag order
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
+                                     len(comps))
+    for cid, sh_, sv_, tq_id, *_ in comps:
+        out += bytes([cid, (sh_ << 4) | sv_, tq_id])
+    tables = [
+        (0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA),
+    ] + ([(0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA)] if nc == 3 else [])
+    for tc, th, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(tc << 4) | th, *bits, *vals])
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+    for cid, _, _, tq_id, *_ in comps:
+        td_ta = 0x00 if tq_id == 0 else 0x11
+        out += bytes([cid, td_ta])
+    out += b"\x00\x3f\x00"  # Ss/Se/Ah-Al (baseline fixed)
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    dc_l, ac_l = _encode_codes(*HUFF_DC_LUMA), _encode_codes(*HUFF_AC_LUMA)
+    dc_c, ac_c = (
+        _encode_codes(*HUFF_DC_CHROMA), _encode_codes(*HUFF_AC_CHROMA),
+    )
+    blocks, pred = {}, {}
+    for cid, ch, cv, _, plane, q, kind in comps:
+        # pad the plane so every MCU is covered (edge replication)
+        need_h, need_w = mcuy * cv * 8, mcux * ch * 8
+        p = np.pad(
+            plane,
+            ((0, need_h - plane.shape[0]), (0, need_w - plane.shape[1])),
+            mode="edge",
+        )
+        blocks[cid] = _plane_blocks(p, q)[0]
+        pred[cid] = 0
+    bw = _BitWriter()
+    for mcu in range(mcux * mcuy):
+        my, mx = divmod(mcu, mcux)
+        for cid, ch, cv, _, _, _, kind in comps:
+            dce, ace = (dc_l, ac_l) if kind == "l" else (dc_c, ac_c)
+            for v in range(cv):
+                for hh in range(ch):
+                    pred[cid] = _encode_block(
+                        bw, blocks[cid][(my * cv + v, mx * ch + hh)],
+                        pred[cid], dce, ace,
+                    )
+    out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)

@@ -189,20 +189,30 @@ def repartition_by_bytes(
 
 
 def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
-    """Real codec hook. PNG decodes for REAL since round 12 — the
-    pure-stdlib codec in operators/png_codec.py (zlib + numpy
-    unfilter, chunk CRCs verified); a corrupt PNG raises ValueError
-    (loud failure, never garbage dims). Non-PNG formats (JPEG etc.)
-    still need a library this container lacks, so they keep the
-    documented NotImplementedError → deterministic-fake fallback —
-    which also keeps the PRE-round-12 gated multimodal queries
-    byte-stable (their synthetic blobs carry no PNG signature)."""
+    """Real codec hook. PNG decodes for REAL since round 12
+    (operators/png_codec.py — stdlib zlib + numpy, chunk CRCs
+    verified) and baseline JPEG since round 13 (operators/
+    jpeg_codec.py — Huffman + IDCT in numpy, 4:2:0/4:2:2/4:4:4,
+    restart markers). A corrupt stream raises ValueError (loud
+    failure, never garbage dims); a VALID stream in a dialect the
+    codec does not speak (progressive JPEG, 12-bit) raises
+    NotImplementedError → the documented deterministic-fake lane, as
+    do the remaining library-less formats (webp/gif/tiff) — which
+    also keeps the pre-round-12 gated multimodal queries byte-stable
+    (their synthetic blobs carry neither signature)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from etl_sprint_2_5_spark.operators.png_codec import png_decode
 
         h, w, c = png_decode(payload).shape
         return w, h, c
-    raise NotImplementedError("non-PNG codec not installed — deterministic fake in use")
+    if payload[:3] == b"\xff\xd8\xff":
+        from etl_sprint_2_5_spark.operators.jpeg_codec import jpeg_decode
+
+        h, w, c = jpeg_decode(payload).shape
+        return w, h, c
+    raise NotImplementedError(
+        "non-PNG/JPEG codec not installed — deterministic fake in use"
+    )
 
 
 def _decode_audio_real(payload: bytes) -> tuple[int, int, int]:

@@ -390,6 +390,126 @@ def png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "jpeg_decode_real",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+    dims AS (
+      SELECT doc_id,
+             16 * (1 + doc_id % 3) AS w,
+             16 * (1 + (doc_id * 7) % 3) AS h
+      FROM ids
+    ),
+    blocks AS (
+      SELECT d.doc_id, d.w, d.h,
+             (17 * bx.range + 29 * by.range + 13 * d.doc_id) % 256 AS v
+      FROM dims d
+      JOIN range(0, 6) bx ON bx.range < d.w // 8
+      JOIN range(0, 6) by ON by.range < d.h // 8
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(192 * sum(v) AS BIGINT) AS pix_sum,
+           'real' AS decode_ok
+    FROM blocks
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+    covers=("X-multimodal-decode", "X-jpeg-codec"),
+)
+def jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image decode stage with a REAL **JPEG** codec under the
+    oracle gate (operators/jpeg_codec.py — round 13 closes the largest
+    remaining fake-codec surface: baseline T.81 Huffman + IDCT in pure
+    numpy, 4:2:0 MCU interleave, restart markers; no PIL/libjpeg).
+
+    Gating a LOSSY codec with a cross-engine hash needs a fixture
+    class where the round-trip is provably EXACT: per doc_id < 48 a
+    BLOCK-FLAT R=G=B image (W=16(1+d%3), H=16(1+7d%3); each 8×8 block
+    flat at (17bx+29by+13d) mod 256) is JPEG-encoded at quality=100
+    (all-ones quant tables) with 4:2:0 subsampling ON THE EXECUTORS —
+    flat blocks make every AC coefficient exactly 0, the DC an exact
+    integer, and R=G=B pins chroma at exactly 128, so DCT, subsampling
+    and color conversion are all bit-exact. Then:
+    - the production decode stage (operators/multimodal.decode_images)
+      must report mode 'real' with the formula's exact dims — the
+      FF D8 FF dispatch hit the real codec, not the deterministic
+      fake;
+    - a second Arrow stage decodes the blobs back and sums all pixels;
+      the gated per-image checksum equals DuckDB's closed-form
+      evaluation of the block formula (pix_sum = 3·64·Σv) — an oracle
+      that never touches a codec.
+    Lossy-path behavior (bounded error on arbitrary images, smooth
+    4:2:0, grayscale), spec-level Huffman/EXTEND decisions, restart
+    markers, CPython's real shipped JPEGs, and the corrupt →
+    ValueError / progressive → NotImplementedError lanes are
+    pytest-pinned in tests/test_jpeg_codec.py."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+
+    def gen(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 * (1 + d % 3), 16 * (1 + (d * 7) % 3)
+                bx = np.arange(w // 8, dtype=np.int64)[None, :]
+                by = np.arange(h // 8, dtype=np.int64)[:, None]
+                vals = (17 * bx + 29 * by + 13 * d) % 256
+                plane = np.repeat(
+                    np.repeat(vals, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                arr = np.stack([plane] * 3, axis=2)
+                rows.append(
+                    (d, jpeg_encode(arr, quality=100, subsampling="4:2:0"))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = ids.mapInPandas(gen, "doc_id long, payload binary")
+
+    dims = M.decode_images(
+        blobs.select(
+            F.col("doc_id").cast("string").alias("doc_id"), "payload"
+        ),
+        "doc_id",
+        "payload",
+    ).select(
+        F.col("id").cast("long").alias("doc_id"),
+        "width", "height", "channels", "decode_ok",
+    )
+
+    def pixsum(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = [
+                (int(d), int(jpeg_decode(bytes(p)).astype(np.int64).sum()))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "pix_sum"])
+
+    sums = blobs.mapInPandas(pixsum, "doc_id long, pix_sum long")
+    out = (
+        dims.join(sums, "doc_id")
+        .select(
+            "doc_id", "width", "height", "channels", "pix_sum", "decode_ok"
+        )
+        .orderBy("doc_id")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
     "wav_decode_real",
     oracle="""
     WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),

@@ -1,0 +1,203 @@
+"""Baseline JPEG codec (operators/jpeg_codec.py) against the T.81
+spec and real-world files — the round-13 closure of the largest
+remaining fake-codec surface (PNG went real in round 12).
+
+Pins: hand-computed Huffman/EXTEND decisions against the spec tables;
+bit-exact round-trip of block-flat images at quality=100 (the
+closed-form property the gated query rides); bounded error on
+arbitrary images; 4:2:0 vs 4:4:4; grayscale; odd (crop-path) dims;
+restart-marker decode; CPython's own shipped JPEGs; loud failures
+(corrupt → ValueError, progressive → NotImplementedError); the
+multimodal dispatch routing FF D8 FF payloads to the real codec.
+"""
+
+from __future__ import annotations
+
+import glob
+import struct
+
+import numpy as np
+import pytest
+
+from etl_sprint_2_5_spark.operators.jpeg_codec import (
+    HUFF_DC_LUMA,
+    ZIGZAG,
+    _canonical_codes,
+    _encode_codes,
+    _extend,
+    jpeg_decode,
+    jpeg_encode,
+)
+
+
+def test_canonical_huffman_against_spec():
+    """T.81 Annex K.3.1 DC luminance table: category 0 is the 2-bit
+    code 00, categories 1-5 are 3-bit 010..110 — the worked example
+    every JPEG spec walkthrough uses."""
+    dec = _canonical_codes(*HUFF_DC_LUMA)
+    assert dec[2] == {0b00: 0}
+    assert dec[3] == {0b010: 1, 0b011: 2, 0b100: 3, 0b101: 4, 0b110: 5}
+    enc = _encode_codes(*HUFF_DC_LUMA)
+    assert enc[0] == (0b00, 2)
+    assert enc[5] == (0b110, 3)
+
+
+def test_extend_against_spec():
+    """T.81 F.2.2.1: t raw bits starting with 0 map to the negative
+    branch (v − 2^t + 1)."""
+    assert _extend(0, 0) == 0
+    assert _extend(1, 1) == 1
+    assert _extend(0, 1) == -1
+    assert _extend(0b101, 3) == 5
+    assert _extend(0b010, 3) == 0b010 - 7  # -5
+    assert _extend(0b0111, 4) == -8  # 7 < 2^3 → 7 − 15
+
+
+def test_zigzag_is_a_permutation():
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    # first diagonal steps of T.81 Figure 5
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+
+
+def test_blockflat_rgb_420_is_bit_exact():
+    """The closed-form gate property: R=G=B block-flat images at
+    quality=100 survive DCT, 4:2:0 subsampling, and color conversion
+    EXACTLY (flat blocks → AC coefficients exactly 0, DC an exact
+    integer, chroma exactly 128)."""
+    rng = np.random.RandomState(13)
+    vals = rng.randint(0, 256, size=(4, 6))
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    rgb = np.stack([img] * 3, axis=2)
+    dec = jpeg_decode(jpeg_encode(rgb, quality=100, subsampling="4:2:0"))
+    assert np.array_equal(dec, rgb)
+
+
+def test_arbitrary_image_bounded_error():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, size=(33, 47, 3)).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quality=95, subsampling="4:4:4"))
+    assert dec.shape == img.shape
+    # random noise is JPEG's worst case; q95 4:4:4 stays well inside
+    err = np.abs(dec.astype(int) - img.astype(int))
+    assert err.max() <= 40
+    assert err.mean() < 6
+
+
+def test_smooth_image_small_error_420():
+    x, y = np.arange(37)[None, :], np.arange(29)[:, None]
+    img = np.stack(
+        [(x * 3 + y * 2) % 200 + 20, (x + y) % 180 + 30,
+         (2 * x + y) % 150 + 50],
+        axis=2,
+    ).astype(np.uint8)
+    dec = jpeg_decode(jpeg_encode(img, quality=90))  # default 4:2:0
+    assert dec.shape == img.shape  # odd dims → crop path
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 3
+
+
+def test_grayscale_roundtrip():
+    x, y = np.arange(24)[None, :], np.arange(16)[:, None]
+    g = ((x * 5 + y * 7) % 256).astype(np.uint8)[:, :, None]
+    dec = jpeg_decode(jpeg_encode(g, quality=100))
+    assert dec.shape == (16, 24, 1)
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 1
+
+
+def test_restart_markers_decode():
+    """A DRI/RSTn stream must reset DC predictors per interval: build
+    one by re-segmenting an encoded stream is brittle, so craft it by
+    encoding, then inject DRI=1 + RST markers between MCU codes is
+    equally brittle — instead decode a stream we assemble from two
+    single-MCU encodes sharing tables. Simpler and spec-true: encode a
+    16×16 gray image (4 MCUs at 8×8), then rewrite it with DRI=2 and
+    split the entropy stream at the MCU-pair boundary re-encoding by
+    hand via the public encoder internals."""
+    from etl_sprint_2_5_spark.operators.jpeg_codec import (
+        HUFF_AC_LUMA,
+        _BitWriter,
+        _encode_block,
+        _plane_blocks,
+        _quality_tables,
+    )
+
+    vals = np.array([[10, 200], [60, 140]])
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    luma_q, _ = _quality_tables(100)
+    blocks, _, _ = _plane_blocks(img.astype(np.float64), luma_q)
+    dc_e, ac_e = _encode_codes(*HUFF_DC_LUMA), _encode_codes(*HUFF_AC_LUMA)
+
+    # entropy: two restart intervals of 2 MCUs each, DC pred resets
+    seg_bytes = []
+    order = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    for half in (order[:2], order[2:]):
+        bw = _BitWriter()
+        pred = 0
+        for pos in half:
+            pred = _encode_block(bw, blocks[pos], pred, dc_e, ac_e)
+        seg_bytes.append(bw.flush())
+    entropy = seg_bytes[0] + b"\xff\xd0" + seg_bytes[1]
+
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+    head += bytes(int(luma_q[z]) for z in ZIGZAG)
+    head += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 16, 16, 1)
+    head += bytes([1, 0x11, 0])
+    for tc, (bits, hv) in ((0, HUFF_DC_LUMA), (1, HUFF_AC_LUMA)):
+        head += b"\xff\xc4" + struct.pack(">H", 19 + len(hv))
+        head += bytes([(tc << 4), *bits, *hv])
+    head += b"\xff\xdd" + struct.pack(">HH", 4, 2)  # DRI = 2 MCUs
+    head += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    head += b"\x00\x3f\x00"
+    dec = jpeg_decode(bytes(head) + entropy + b"\xff\xd9")
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_real_world_jpegs_decode():
+    """CPython's own shipped JPEGs (16×16 4:2:0 SOF0 logos) decode to
+    their header dims with real pixels, deterministically."""
+    paths = sorted(set(
+        glob.glob(
+            "/root/.pyenv/versions/*/lib/python*/test/**/*.jpg",
+            recursive=True,
+        )
+    ))
+    if not paths:
+        pytest.skip("no CPython jpeg fixtures on this machine")
+    seen = 0
+    for p in paths[:4]:
+        data = open(p, "rb").read()
+        a = jpeg_decode(data)
+        b = jpeg_decode(data)
+        assert a.shape == (16, 16, 3)
+        assert np.array_equal(a, b)
+        assert a.min() >= 0 and a.max() <= 255 and a.max() > a.min()
+        seen += 1
+    assert seen
+
+
+def test_loud_failures():
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\x89PNG\r\n\x1a\nnot a jpeg")
+    # truncated mid-header → ValueError, never garbage dims
+    good = jpeg_encode(np.zeros((8, 8, 1), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        jpeg_decode(good[:20])
+    with pytest.raises(ValueError):
+        jpeg_decode(good[:-12])  # entropy stream truncated
+    # progressive (SOF2) is VALID jpeg this decoder does not speak →
+    # NotImplementedError (deterministic-fake lane, not quarantine)
+    prog = bytearray(good)
+    sof = prog.find(b"\xff\xc0")
+    prog[sof + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(prog))
+
+
+def test_multimodal_hook_decodes_jpeg_for_real():
+    from etl_sprint_2_5_spark.operators.multimodal import _decode_image_real
+
+    vals = np.arange(6).reshape(2, 3) * 40
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    rgb = np.stack([img] * 3, axis=2)
+    w, h, c = _decode_image_real(jpeg_encode(rgb, quality=100))
+    assert (w, h, c) == (24, 16, 3)

@@ -44,12 +44,14 @@ def test_decode_schema_and_determinism(blobs):
     b = {r["id"]: (r["width"], r["height"]) for r in out.collect()}
     assert a == b  # deterministic across recomputation
     assert all(16 <= w < 256 for w, _ in a.values() if w)
-    # non-PNG payloads fall back to the deterministic fake; the blob
-    # CLAIMING a PNG signature but failing to parse is quarantined
-    # loudly as 'corrupt' (zero dims), never faked-plausible
+    # signature-less payloads fall back to the deterministic fake; a
+    # blob CLAIMING a real-codec signature (PNG b2, JPEG b1 — both
+    # codecs are REAL now) but failing to parse is quarantined loudly
+    # as 'corrupt' (zero dims), never faked-plausible
     modes = {r["id"]: r["decode_ok"] for r in out.collect()}
+    assert modes["b1"] == "corrupt"
     assert modes["b2"] == "corrupt"
-    assert {m for i, m in modes.items() if i != "b2"} == {"fake"}
+    assert {m for i, m in modes.items() if i not in ("b1", "b2")} == {"fake"}
 
 
 def test_real_hook_raises():

@@ -160,5 +160,10 @@ def test_multimodal_hook_decodes_png_for_real():
     a = np.zeros((12, 34, 3), np.uint8)
     w, h, c = _decode_image_real(png_encode(a))
     assert (w, h, c) == (34, 12, 3)
-    with pytest.raises(NotImplementedError):
+    # a JPEG signature now routes to the REAL jpeg codec (round 13),
+    # which rejects this garbage as malformed — quarantine lane
+    with pytest.raises(ValueError):
         _decode_image_real(b"\xff\xd8\xff\xe0 not a png")
+    # signature-less payloads keep the deterministic-fake lane
+    with pytest.raises(NotImplementedError):
+        _decode_image_real(b"GIF89a not supported")

@@ -179,6 +179,27 @@ HEADLINE = [
     # round-12: real ISO-BMFF probe — container durations drive the
     # frame-sample cadence, gated against the closed-form clamp
     "mp4_probe_real",
+    # round-13 flagship: the CDC loop against LIVE PostgreSQL — star
+    # schema staged via partition-parallel COPY, per-cycle keyset
+    # batches / fan-out / restricted rebuilds all on the PG planner,
+    # live SQL UPDATEs between phases, manifest sink unchanged
+    "ivm_maintained_docs_pg_live",
+    # round-13: the same scenario as a Structured Streaming query over
+    # the custom pg_keyset Python data source (cursor = checkpoint
+    # offset, id-sliced COPY partitions on the executors)
+    "streaming_ivm_pg_live",
+    # round-13: §3.1 on the reference's OWN db.sqlite — live rowid
+    # range scan → normalize → uuid-free readback vs an independent
+    # DuckDB re-derivation over raw staged bytes
+    "legacy_full_load_live",
+    # round-13: the self-managing maintenance slot — fold deltas,
+    # notice size drift from a bounded sample, start/advance/complete
+    # an online 2x migration with mid-migration delta writers
+    "manifest_auto_maintain",
+    # round-13: baseline JPEG made REAL (numpy T.81 Huffman+IDCT) —
+    # 48 block-flat images bit-exact through a LOSSY codec at q=100,
+    # checksummed against a codec-free closed-form oracle
+    "jpeg_decode_real",
 ]
 
 

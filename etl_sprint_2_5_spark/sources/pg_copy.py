@@ -189,9 +189,14 @@ def pg_exec(dsn: str, sql: str) -> str:
     """Run one SQL statement (or psql script) over a fresh connection;
     returns stdout. Raises RuntimeError with PG's stderr on failure —
     ON_ERROR_STOP so a failed statement can't half-apply a script
-    silently."""
+    silently. The SQL ships via STDIN (``-f -``), not argv: a
+    statement carrying a large IN-list (the CDC rebuild's affected-id
+    pushdown at scale) would otherwise hit the kernel's per-argument
+    size limit (MAX_ARG_STRLEN, ~128 KiB)."""
     proc = subprocess.run(
-        ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-At", "-c", sql],
+        ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-At",
+         "-f", "-"],
+        input=sql,
         capture_output=True,
         text=True,
     )
@@ -314,12 +319,11 @@ def pg_copy_read(
     string"``). Driver-side single stream — the READ-back/verification
     path (result sets, dims, keyset batches), not a fact-table scan;
     parallel reads want sources/jdbc.py's range partitioning once a
-    JDBC jar is present."""
+    JDBC jar is present. The COPY statement ships via STDIN — see
+    pg_exec on the argv size limit large IN-lists would hit."""
     proc = subprocess.run(
-        [
-            "psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-c",
-            f"COPY ({query}) TO STDOUT WITH (FORMAT csv, NULL '{_NULL}')",
-        ],
+        ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-f", "-"],
+        input=f"COPY ({query}) TO STDOUT WITH (FORMAT csv, NULL '{_NULL}')",
         capture_output=True,
         text=True,
     )

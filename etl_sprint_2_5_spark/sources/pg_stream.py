@@ -133,8 +133,9 @@ class PgKeysetStreamReader(DataSourceStreamReader):
         proc = subprocess.run(
             [
                 "psql", self.dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q",
-                "-c", f"COPY ({sql}) TO STDOUT WITH (FORMAT csv)",
+                "-f", "-",
             ],
+            input=f"COPY ({sql}) TO STDOUT WITH (FORMAT csv)",
             capture_output=True, text=True,
         )
         if proc.returncode != 0:

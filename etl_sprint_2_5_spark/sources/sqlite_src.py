@@ -76,13 +76,15 @@ def sqlite_range_read(
                 if len(out):
                     yield out
 
-    # range-partition on the bound, NOT hash: hash collisions could
-    # co-locate several pk slices in one task and leave others empty;
-    # repartitionByRange puts each of the n bounds rows in its own
-    # partition, so the advertised N-way concurrency is real
+    # exactly one pk slice per task, POSITIONALLY: hash repartition
+    # could co-locate several slices (collisions) and leave tasks
+    # empty, and repartitionByRange pays a boundary-sampling job; the
+    # driver already knows the placement, so parallelize(ranges, n)
+    # pins it with no shuffle and no sampling — the advertised N-way
+    # concurrency is real by construction
     bounds = spark.createDataFrame(
-        ranges, "lo long, hi long"
-    ).repartitionByRange(n, "lo")
+        spark.sparkContext.parallelize(ranges, n), "lo long, hi long"
+    )
     raw = bounds.mapInPandas(read_slices, schema=schema)
     return raw
 

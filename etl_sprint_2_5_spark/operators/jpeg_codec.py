@@ -256,6 +256,12 @@ def _jpeg_decode_inner(payload: bytes) -> np.ndarray:
     while i < n - 1:
         if payload[i] != 0xFF:
             raise ValueError("jpeg: marker expected")
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad the
+        # stream before a marker code — skip to the last 0xFF
+        while i + 1 < n and payload[i + 1] == 0xFF:
+            i += 1
+        if i >= n - 1:
+            break
         m = payload[i + 1]
         i += 2
         if m == 0xD8 or (0xD0 <= m <= 0xD7):
@@ -336,7 +342,9 @@ def _jpeg_decode_inner(payload: bytes) -> np.ndarray:
 
 def _split_entropy(data: bytes):
     """Entropy stream → unstuffed restart segments (split on RSTn;
-    terminated by any other marker)."""
+    terminated by any other marker). 0xFF runs are scanned to the
+    first non-0xFF byte before classifying (T.81 B.1.1.2 allows fill
+    bytes before a marker, so 0xFF 0xFF 0xD0 is still a restart)."""
     segs, cur = [], bytearray()
     i, n = 0, len(data)
     while i < n:
@@ -345,14 +353,17 @@ def _split_entropy(data: bytes):
             cur.append(b)
             i += 1
             continue
-        m = data[i + 1] if i + 1 < n else 0xD9
-        if m == 0x00:  # stuffed data byte
+        j = i + 1
+        while j < n and data[j] == 0xFF:  # fill bytes
+            j += 1
+        m = data[j] if j < n else 0xD9
+        if m == 0x00:  # stuffed data byte (trailing 0xFF 0x00 pair)
             cur.append(0xFF)
-            i += 2
+            i = j + 1
         elif 0xD0 <= m <= 0xD7:  # restart
             segs.append(bytes(cur))
             cur = bytearray()
-            i += 2
+            i = j + 1
         else:  # EOI or next header
             break
     segs.append(bytes(cur))
@@ -382,6 +393,9 @@ def _decode_scan(data, frame, scan, qt, huff, restart) -> np.ndarray:
         )
         meta.append((cs, ch, cv, qt[tq_id], huff[(0, td)], huff[(1, ta)]))
 
+    if set(planes) != set(by_id):
+        raise ValueError("jpeg: scan does not cover the frame components")
+
     segs = _split_entropy(data)
     r = _BitReader(segs[0])
     seg_i = 0
@@ -407,8 +421,12 @@ def _decode_scan(data, frame, scan, qt, huff, restart) -> np.ndarray:
                     x0 = (mx * ch + hh) * 8
                     planes[cs][y0:y0 + 8, x0:x0 + 8] = block
     out = []
-    for cs, ch, cv, *_ in meta:
-        p = planes[cs] + 128.0
+    # color interpretation follows the FRAME component list (JFIF:
+    # Y first), not the SOS scan order — a valid stream may list the
+    # scan components in any order, which only governs the MCU
+    # interleave above, never which plane is luma
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid] + 128.0
         # replicate up to full resolution, crop to frame dims
         p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         out.append(p[:h, :w])

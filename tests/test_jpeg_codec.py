@@ -201,3 +201,129 @@ def test_multimodal_hook_decodes_jpeg_for_real():
     rgb = np.stack([img] * 3, axis=2)
     w, h, c = _decode_image_real(jpeg_encode(rgb, quality=100))
     assert (w, h, c) == (24, 16, 3)
+
+
+def test_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker code — both in the header stream (before SOF0 here) and in
+    the entropy stream before an RSTn. Spec-valid padded files must
+    decode identically to the unpadded bytes, not quarantine."""
+    vals = np.arange(6).reshape(2, 3) * 40
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    rgb = np.stack([img] * 3, axis=2)
+    good = jpeg_encode(rgb, quality=100)
+    base = jpeg_decode(good)
+
+    # pad before SOF0 (header marker loop)
+    sof = good.find(b"\xff\xc0")
+    padded = good[:sof] + b"\xff\xff\xff" + good[sof:]
+    assert np.array_equal(jpeg_decode(padded), base)
+
+    # pad before EOI (entropy-stream terminator classification)
+    assert good.endswith(b"\xff\xd9")
+    padded = good[:-2] + b"\xff" + good[-2:]
+    assert np.array_equal(jpeg_decode(padded), base)
+
+
+def test_fill_bytes_before_restart_decode():
+    """A fill byte before an RSTn inside the entropy stream is still a
+    restart, not end-of-scan (the _split_entropy classification)."""
+    from etl_sprint_2_5_spark.operators.jpeg_codec import (
+        HUFF_AC_LUMA,
+        _BitWriter,
+        _encode_block,
+        _plane_blocks,
+        _quality_tables,
+    )
+
+    vals = np.array([[10, 200], [60, 140]])
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    luma_q, _ = _quality_tables(100)
+    blocks, _, _ = _plane_blocks(img.astype(np.float64), luma_q)
+    dc_e, ac_e = _encode_codes(*HUFF_DC_LUMA), _encode_codes(*HUFF_AC_LUMA)
+    seg_bytes = []
+    order = [(0, 0), (0, 1), (1, 0), (1, 1)]
+    for half in (order[:2], order[2:]):
+        bw = _BitWriter()
+        pred = 0
+        for pos in half:
+            pred = _encode_block(bw, blocks[pos], pred, dc_e, ac_e)
+        seg_bytes.append(bw.flush())
+    # one fill byte padding the RST0 marker
+    entropy = seg_bytes[0] + b"\xff\xff\xd0" + seg_bytes[1]
+
+    head = bytearray(b"\xff\xd8")
+    head += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+    head += bytes(int(luma_q[z]) for z in ZIGZAG)
+    head += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 16, 16, 1)
+    head += bytes([1, 0x11, 0])
+    for tc, (bits, hv) in ((0, HUFF_DC_LUMA), (1, HUFF_AC_LUMA)):
+        head += b"\xff\xc4" + struct.pack(">H", 19 + len(hv))
+        head += bytes([(tc << 4), *bits, *hv])
+    head += b"\xff\xdd" + struct.pack(">HH", 4, 2)  # DRI = 2 MCUs
+    head += b"\xff\xda" + struct.pack(">HB", 8, 1) + bytes([1, 0x00])
+    head += b"\x00\x3f\x00"
+    dec = jpeg_decode(bytes(head) + entropy + b"\xff\xd9")
+    assert np.array_equal(dec[:, :, 0], img)
+
+
+def test_scan_order_differs_from_frame_order():
+    """A valid SOS may list components in any order; the MCU
+    interleave follows the SCAN order but color interpretation must
+    follow the FRAME list (JFIF: Y first). Assemble a 4:4:4 8×8
+    stream whose scan order is Cr,Cb,Y and check the planes land in
+    the right color slots."""
+    from etl_sprint_2_5_spark.operators.jpeg_codec import (
+        HUFF_AC_CHROMA,
+        HUFF_AC_LUMA,
+        HUFF_DC_CHROMA,
+        _BitWriter,
+        _encode_block,
+        _plane_blocks,
+        _quality_tables,
+    )
+
+    y_v, cb_v, cr_v = 77, 160, 100
+    luma_q, chroma_q = _quality_tables(100)  # all-ones → flat exact
+    planes = {
+        1: (np.full((8, 8), y_v, dtype=np.float64), luma_q),
+        2: (np.full((8, 8), cb_v, dtype=np.float64), chroma_q),
+        3: (np.full((8, 8), cr_v, dtype=np.float64), chroma_q),
+    }
+    enc = {
+        1: (_encode_codes(*HUFF_DC_LUMA), _encode_codes(*HUFF_AC_LUMA)),
+        2: (_encode_codes(*HUFF_DC_CHROMA), _encode_codes(*HUFF_AC_CHROMA)),
+        3: (_encode_codes(*HUFF_DC_CHROMA), _encode_codes(*HUFF_AC_CHROMA)),
+    }
+    bw = _BitWriter()
+    for cid in (3, 2, 1):  # entropy in SCAN order
+        img, q = planes[cid]
+        blocks, _, _ = _plane_blocks(img, q)
+        _encode_block(bw, blocks[(0, 0)], 0, *enc[cid])
+
+    head = bytearray(b"\xff\xd8")
+    for tq, q in ((0, luma_q), (1, chroma_q)):
+        head += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        head += bytes(int(q[z]) for z in ZIGZAG)
+    head += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, 8, 8, 3)
+    head += bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1])  # FRAME: Y,Cb,Cr
+    for tc, th, (bits, hv) in (
+        (0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_LUMA),
+        (0, 1, HUFF_DC_CHROMA), (1, 1, HUFF_AC_CHROMA),
+    ):
+        head += b"\xff\xc4" + struct.pack(">H", 19 + len(hv))
+        head += bytes([(tc << 4) | th, *bits, *hv])
+    head += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    head += bytes([3, 0x11, 2, 0x11, 1, 0x00])  # SCAN: Cr,Cb,Y
+    head += b"\x00\x3f\x00"
+    dec = jpeg_decode(bytes(head) + bw.flush() + b"\xff\xd9")
+
+    cb, cr = cb_v - 128.0, cr_v - 128.0
+    expect = np.clip(np.round([
+        y_v + 1.402 * cr,
+        y_v - 0.344136 * cb - 0.714136 * cr,
+        y_v + 1.772 * cb,
+    ]), 0, 255).astype(np.uint8)
+    assert dec.shape == (8, 8, 3)
+    assert np.array_equal(dec[0, 0], expect)
+    assert (dec == expect[None, None, :]).all()

@@ -200,6 +200,10 @@ HEADLINE = [
     # 48 block-flat images bit-exact through a LOSSY codec at q=100,
     # checksummed against a codec-free closed-form oracle
     "jpeg_decode_real",
+    # round-14: the live CDC loop with stage_threshold=0 — every
+    # affected-id restriction goes through the UNLOGGED staged-table
+    # join (the large-fan-out shape) instead of an inline IN-list
+    "ivm_staged_fanout_live",
 ]
 
 

@@ -789,6 +789,32 @@ def ivm_maintained_docs_pg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     wire cost per cycle is O(batch + affected docs) — table scans
     never leave the database, and the view lives in the manifest sink
     whose upsert is O(touched buckets)."""
+    return _run_ivm_pg_live(spark, sf_dir, stage_threshold=500)
+
+
+@query(
+    "ivm_staged_fanout_live",
+    oracle=None,  # patched below: identical to ivm_maintained_docs_pg_live
+    covers=("S2", "S4", "S7", "T2", "T3", "X-ivm-live", "X-pg-live"),
+)
+def ivm_staged_fanout_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME live-PG CDC maintenance loop as
+    ``ivm_maintained_docs_pg_live``, with ``stage_threshold=0`` so
+    EVERY affected-id restriction (dimension fan-out bridge and all
+    three rebuild reads, every cycle) goes through the
+    ``pg_copy.staged_ids`` UNLOGGED-table path instead of an inline
+    IN-list — the large-fan-out shape (COPY the id set in, hash
+    semi-join server-side; reference inlines always,
+    daemon.py:139-152). Same oracle as the IN-list twin: the two
+    restriction strategies must be result-identical, which is
+    precisely the property that makes the threshold safe to cross at
+    100 TB."""
+    return _run_ivm_pg_live(spark, sf_dir, stage_threshold=0)
+
+
+def _run_ivm_pg_live(
+    spark: SparkSession, sf_dir: str, stage_threshold: int
+) -> DataFrame:
     import os
 
     from etl_sprint_2_5_spark.sources import pg_copy
@@ -804,7 +830,7 @@ def ivm_maintained_docs_pg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     gold = f"{tmp}/gold/docs"
     try:
         with pg_copy.ephemeral_pg(f"{tmp}/cluster") as dsn:
-            env = _pg_live_env(spark, sf_dir, dsn)
+            env = _pg_live_env(spark, sf_dir, dsn, stage_threshold)
             # batch_size ≈ n/2: every pipeline needs ≥2 keyset cycles
             # for the backfill, so the cursor provably advances
             # mid-table on LIVE PG
@@ -870,6 +896,10 @@ def ivm_maintained_docs_pg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_REG["ivm_staged_fanout_live"].oracle = (
+    _REG["ivm_maintained_docs_pg_live"].oracle
+)
+
 _PG_SCHEMAS = {
     "orders": (
         "o_orderkey long, o_custkey long, o_orderpriority string, "
@@ -901,12 +931,22 @@ def _no_pg_load(name: str) -> DataFrame:
     )
 
 
-def _pg_live_env(spark: SparkSession, sf_dir: str, dsn: str) -> dict:
+def _pg_live_env(
+    spark: SparkSession, sf_dir: str, dsn: str,
+    stage_threshold: int = 500,
+) -> dict:
     """Stage the subset star schema INTO live PostgreSQL (S7 DDL
     bootstrap + partition-parallel COPY + the composite cursor index)
     and return the source-native helpers shared by the batch and
     streaming live-CDC gates: per-cycle reads all run on the PG
-    planner, only batches / affected rows cross the wire."""
+    planner, only batches / affected rows cross the wire.
+
+    ``stage_threshold``: affected-id sets larger than this are staged
+    into an UNLOGGED PG table and joined server-side instead of being
+    inlined as an IN-list (pg_copy.staged_ids — the shape that
+    survives million-row fan-outs; the reference inlines always,
+    daemon.py:139-152). 0 forces the staged path on every restriction
+    (the ivm_staged_fanout_live gate)."""
     from pyspark.sql.window import Window
 
     from etl_sprint_2_5_spark.sources import pg_copy
@@ -953,39 +993,47 @@ def _pg_live_env(spark: SparkSession, sf_dir: str, dsn: str) -> dict:
 
     def bridge_custkeys(picked: DataFrame) -> DataFrame:
         # the reference collects exactly this bounded id list into an
-        # IN clause (daemon.py:139-152)
-        ks = ",".join(str(r.id) for r in picked.collect()) or "NULL"
-        return rd(
-            "SELECT DISTINCT o_orderkey AS id FROM orders "
-            f"WHERE o_custkey IN ({ks})",
-            "id long",
-        )
-
-    def pg_rebuild(_load, ids: DataFrame) -> DataFrame:  # noqa: ANN001
-        inl = ",".join(str(r.id) for r in ids.collect()) or "NULL"
-
-        def rload(name: str) -> DataFrame:
-            if name == "orders":
-                return rd(
-                    "SELECT o_orderkey, o_custkey, o_orderpriority "
-                    f"FROM orders WHERE o_orderkey IN ({inl})",
-                    "o_orderkey long, o_custkey long, "
-                    "o_orderpriority string",
-                )
-            if name == "customer":
-                return rd(
-                    "SELECT c_custkey, c_name FROM customer "
-                    "WHERE c_custkey IN (SELECT o_custkey FROM "
-                    f"orders WHERE o_orderkey IN ({inl}))",
-                    "c_custkey long, c_name string",
-                )
+        # IN clause (daemon.py:139-152); above stage_threshold the
+        # ids go through an UNLOGGED staged table instead — the
+        # server-side hash semi-join that survives large fan-outs
+        ks = [r.id for r in picked.collect()]
+        with pg_copy.staged_ids(dsn, ks, threshold=stage_threshold) as frag:
             return rd(
-                "SELECT li_id, l_orderkey, cents FROM lineitem "
-                f"WHERE l_orderkey IN ({inl})",
-                "li_id long, l_orderkey long, cents long",
+                "SELECT DISTINCT o_orderkey AS id FROM orders "
+                f"WHERE o_custkey IN ({frag})",
+                "id long",
             )
 
-        return _rebuild_docs(rload, ids)
+    def pg_rebuild(_load, ids: DataFrame) -> DataFrame:  # noqa: ANN001
+        idl = [r.id for r in ids.collect()]
+        with pg_copy.staged_ids(
+            dsn, idl, threshold=stage_threshold
+        ) as frag:
+
+            def rload(name: str) -> DataFrame:
+                if name == "orders":
+                    return rd(
+                        "SELECT o_orderkey, o_custkey, o_orderpriority "
+                        f"FROM orders WHERE o_orderkey IN ({frag})",
+                        "o_orderkey long, o_custkey long, "
+                        "o_orderpriority string",
+                    )
+                if name == "customer":
+                    return rd(
+                        "SELECT c_custkey, c_name FROM customer "
+                        "WHERE c_custkey IN (SELECT o_custkey FROM "
+                        f"orders WHERE o_orderkey IN ({frag}))",
+                        "c_custkey long, c_name string",
+                    )
+                return rd(
+                    "SELECT li_id, l_orderkey, cents FROM lineitem "
+                    f"WHERE l_orderkey IN ({frag})",
+                    "li_id long, l_orderkey long, cents long",
+                )
+
+            # pg_copy_read is eager (the COPY runs at call time), so
+            # every read lands while the staged table is alive
+            return _rebuild_docs(rload, ids)
 
     return {
         "counts": counts, "nb": nb, "rd": rd,

@@ -185,6 +185,20 @@ class ephemeral_pg:
         _sh.rmtree(self.base, ignore_errors=True)
 
 
+def pg_ts_literal(ts) -> str:  # noqa: ANN001
+    """Validate a cursor timestamp and return the literal body for
+    ``TIMESTAMP '...'`` interpolation. Accepts a datetime or an ISO
+    string; anything else raises ValueError BEFORE it reaches SQL —
+    the internal callers only ever pass PG-emitted timestamps, but
+    the text placement means validation must be structural, not a
+    caller convention (mirrors the int() cast on cursor ids)."""
+    import datetime as _dt
+
+    if isinstance(ts, _dt.datetime):
+        return ts.isoformat(sep=" ")
+    return _dt.datetime.fromisoformat(str(ts)).isoformat(sep=" ")
+
+
 def pg_exec(dsn: str, sql: str) -> str:
     """Run one SQL statement (or psql script) over a fresh connection;
     returns stdout. Raises RuntimeError with PG's stderr on failure —
@@ -281,6 +295,53 @@ def pg_upsert_copy(
         pg_exec(dsn, f"DROP TABLE IF EXISTS {stage}")
 
 
+class staged_ids:
+    """Context manager turning a bounded affected-id set into the
+    body of a SQL ``IN (...)`` — as a literal list below
+    ``threshold``, as an UNLOGGED staged id table above it.
+
+    Why: the reference's CDC fan-out collects ids into an IN clause
+    (postgres_to_es/daemon.py:139-152), which is fine at its batch
+    sizes but degenerates at large fan-outs — the planner re-parses a
+    megabyte literal per statement and loses the hash-semi-join plan.
+    Above the threshold this COPYs the ids into an UNLOGGED table
+    (no WAL) with a PRIMARY KEY, ANALYZEs it, and yields
+    ``SELECT id FROM <stage>`` so the restriction joins server-side
+    with real statistics. The table is dropped on exit. At 100 TB the
+    id set is still bounded (it is one micro-batch's fan-out), but a
+    hot dimension key can fan to millions of facts — the staged join
+    is the shape that survives that.
+
+    Usage::
+
+        with staged_ids(dsn, ids) as frag:
+            pg_copy_read(spark, dsn,
+                         f"SELECT ... WHERE k IN ({frag})", ...)
+    """
+
+    def __init__(self, dsn: str, ids, threshold: int = 500):
+        self.dsn = dsn
+        self.ids = [int(i) for i in ids]
+        self.threshold = threshold
+        self.table: str | None = None
+
+    def __enter__(self) -> str:
+        if len(self.ids) <= self.threshold:
+            return ",".join(str(i) for i in self.ids) or "NULL"
+        self.table = f"ids_stage_{uuid.uuid4().hex[:10]}"
+        pg_exec(
+            self.dsn,
+            f"CREATE UNLOGGED TABLE {self.table} (id bigint PRIMARY KEY)",
+        )
+        _copy_in(self.dsn, self.table, ["id"], [(i,) for i in self.ids])
+        pg_exec(self.dsn, f"ANALYZE {self.table}")
+        return f"SELECT id FROM {self.table}"
+
+    def __exit__(self, *exc) -> None:
+        if self.table:
+            pg_exec(self.dsn, f"DROP TABLE IF EXISTS {self.table}")
+
+
 def pg_keyset_read(
     spark: SparkSession,
     dsn: str,
@@ -305,7 +366,7 @@ def pg_keyset_read(
     sql = (
         f"SELECT {cols} FROM {table} "
         f"WHERE ({ts_col}, {id_col}) > "
-        f"(TIMESTAMP '{cursor_ts}', {int(cursor_id)}) "
+        f"(TIMESTAMP '{pg_ts_literal(cursor_ts)}', {int(cursor_id)}) "
         f"ORDER BY {ts_col}, {id_col} LIMIT {int(batch_size)}"
     )
     return pg_copy_read(spark, dsn, sql, schema)

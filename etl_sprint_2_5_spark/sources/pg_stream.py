@@ -11,15 +11,17 @@ Shape per micro-batch:
 
 - ``latestOffset`` probes ``max(ts, id)`` driver-side (one indexed
   row: ``ORDER BY ts DESC, id DESC LIMIT 1``);
-- ``partitions(start, end)`` tiles the half-open cursor interval
-  ``(start, end]`` into N id-sliced partitions, so the batch's wire
-  transfer is N concurrent COPY streams (the S2 keyset tiling proven
-  on the live planner in tests/test_pg_live.py, here driven by the
-  streaming engine);
+- ``partitions(start, end)`` probes ``min(id), max(id)`` over the
+  cursor interval (one aggregate on the composite index) and tiles
+  ``[lo, hi]`` into N CONTIGUOUS id ranges — each slice is one PK
+  index range scan on the PG side (the sqlite_src.py min/max-probe
+  pattern), not the scattered every-Nth-row scan an ``id %% N``
+  tiling would cost;
 - ``read`` runs ON THE EXECUTOR: one ``COPY (SELECT ... WHERE
-  (ts, id) > start AND (ts, id) <= end AND id %% N = k) TO STDOUT``
-  per slice — deterministic range reads, so a replayed batch re-reads
-  exactly the same rows (the property checkpoint recovery needs).
+  (ts, id) > start AND (ts, id) <= end AND id BETWEEN lo AND hi)
+  TO STDOUT`` per slice — deterministic range reads, so a replayed
+  batch re-reads exactly the same rows (the property checkpoint
+  recovery needs).
 
 Requirements: ``psql`` on PATH wherever partitions run (executors on
 a real cluster; this container's local mode). The id column must be
@@ -62,13 +64,15 @@ def _convert(ddl: str):
 
 
 class PgKeysetPartition(InputPartition):
-    """One id-slice of a cursor interval (picklable plan unit)."""
+    """One contiguous id-range slice of a cursor interval (picklable
+    plan unit): rows with ``id_lo <= id <= id_hi`` inside the keyset
+    interval ``(start, end]``."""
 
-    def __init__(self, start: dict, end: dict, n_slices: int, k: int):
+    def __init__(self, start: dict, end: dict, id_lo: int, id_hi: int):
         self.start = start
         self.end = end
-        self.n_slices = n_slices
-        self.k = k
+        self.id_lo = id_lo
+        self.id_hi = id_hi
 
 
 class PgKeysetStreamReader(DataSourceStreamReader):
@@ -103,31 +107,54 @@ class PgKeysetStreamReader(DataSourceStreamReader):
         return {"ts": ts, "id": int(last_id)}
 
     # -- planning + execution -----------------------------------------
+    def _interval_sql(self, s: dict, e: dict) -> str:
+        from etl_sprint_2_5_spark.sources.pg_copy import pg_ts_literal
+
+        return (
+            f"({self.ts_col}, {self.id_col}) > "
+            f"(TIMESTAMP '{pg_ts_literal(s['ts'])}', {int(s['id'])}) "
+            f"AND ({self.ts_col}, {self.id_col}) <= "
+            f"(TIMESTAMP '{pg_ts_literal(e['ts'])}', {int(e['id'])})"
+        )
+
     def partitions(self, start: dict, end: dict):
+        # driver-side: probe the interval's id extent (one aggregate
+        # over the composite index), then tile [lo, hi] into
+        # contiguous ranges — each slice is ONE index range scan
+        from etl_sprint_2_5_spark.sources.pg_copy import pg_exec
+
         if (start["ts"], start["id"]) == (end["ts"], end["id"]):
             return []
+        out = pg_exec(
+            self.dsn,
+            f"SELECT min({self.id_col}), max({self.id_col}) "
+            f"FROM {self.table} WHERE {self._interval_sql(start, end)}",
+        ).strip()
+        lo_s, _, hi_s = out.partition("|")
+        if not lo_s:  # interval advanced but holds no rows
+            return []
+        lo, hi = int(lo_s), int(hi_s)
+        n = min(self.n_slices, hi - lo + 1)
+        bounds = [lo + (hi - lo + 1) * k // n for k in range(n + 1)]
         return [
-            PgKeysetPartition(start, end, self.n_slices, k)
-            for k in range(self.n_slices)
+            PgKeysetPartition(start, end, bounds[k], bounds[k + 1] - 1)
+            for k in range(n)
         ]
 
     def read(self, partition: PgKeysetPartition):
-        # executor-side: one COPY stream per id slice of the interval
-        import csv
-        import io
+        # executor-side: one COPY stream per id range of the interval
         import subprocess
 
-        s, e, n, k = (
-            partition.start, partition.end,
-            partition.n_slices, partition.k,
+        from etl_sprint_2_5_spark.sources.pg_copy import (
+            _NULL,
+            _parse_csv_raw,
         )
+
         sql = (
             f"SELECT {self.cols} FROM {self.table} "
-            f"WHERE ({self.ts_col}, {self.id_col}) > "
-            f"(TIMESTAMP '{s['ts']}', {int(s['id'])}) "
-            f"AND ({self.ts_col}, {self.id_col}) <= "
-            f"(TIMESTAMP '{e['ts']}', {int(e['id'])}) "
-            f"AND {self.id_col} % {n} = {k} "
+            f"WHERE {self._interval_sql(partition.start, partition.end)} "
+            f"AND {self.id_col} BETWEEN {int(partition.id_lo)} "
+            f"AND {int(partition.id_hi)} "
             f"ORDER BY {self.ts_col}, {self.id_col}"
         )
         proc = subprocess.run(
@@ -135,7 +162,10 @@ class PgKeysetStreamReader(DataSourceStreamReader):
                 "psql", self.dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q",
                 "-f", "-",
             ],
-            input=f"COPY ({sql}) TO STDOUT WITH (FORMAT csv)",
+            input=(
+                f"COPY ({sql}) TO STDOUT "
+                f"WITH (FORMAT csv, NULL '{_NULL}')"
+            ),
             capture_output=True, text=True,
         )
         if proc.returncode != 0:
@@ -143,11 +173,14 @@ class PgKeysetStreamReader(DataSourceStreamReader):
                 f"pg_keyset read failed: {proc.stderr.strip()}"
             )
         convs = _convert(self.ddl)
-        # plain csv.reader is safe here: this stream carries no NULL
-        # marker (COPY csv default NULL is the empty UNQUOTED string,
-        # and the CDC tables gated through this source are NOT NULL)
-        for rec in csv.reader(io.StringIO(proc.stdout)):
-            yield tuple(c(v) for c, v in zip(convs, rec))
+        # quote-aware NULL decode (pg_copy's round-trip contract):
+        # only an UNQUOTED marker is NULL, so nullable text/numeric
+        # columns survive — no NOT-NULL assumption on the CDC tables
+        for rec in _parse_csv_raw(proc.stdout):
+            yield tuple(
+                c(None if (not q and v == _NULL) else v)
+                for c, (q, v) in zip(convs, rec)
+            )
 
     def commit(self, end: dict) -> None:
         # nothing external to release: the cursor lives in Spark's

@@ -254,3 +254,94 @@ def test_pg_keyset_stream_source(spark, dsn, tmp_path):
     assert batches[1] == (5, sum(i * 2 + 1000 for i in range(0, 20, 4)))
     drain()  # idle resume: no offset movement, no batch
     assert len(batches) == 2
+
+
+def test_staged_ids_threshold_crossing(dsn):
+    """pg_copy.staged_ids: below the threshold the fragment is the
+    literal IN-list; above it the ids are COPY-staged into an
+    UNLOGGED table and joined server-side — same result either way,
+    and the stage table is dropped on exit."""
+    pg_copy.pg_exec(
+        dsn,
+        "CREATE TABLE fanout_t (k bigint PRIMARY KEY, grp bigint); "
+        "INSERT INTO fanout_t SELECT i, i % 100 "
+        "FROM generate_series(1, 2000) AS g(i)",
+    )
+    want = sorted(range(10, 1500, 3))
+
+    def probe(frag: str) -> list[int]:
+        out = pg_copy.pg_exec(
+            dsn, f"SELECT count(*), sum(k) FROM fanout_t WHERE k IN ({frag})"
+        ).strip()
+        n, s = out.split("|")
+        return [int(n), int(s or 0)]  # sum() is NULL on empty match
+
+    # literal path: under threshold, no table created
+    with pg_copy.staged_ids(dsn, want, threshold=len(want)) as frag:
+        assert frag.startswith("10,")
+        assert probe(frag) == [len(want), sum(want)]
+
+    # staged path: threshold crossed → UNLOGGED table + subselect
+    with pg_copy.staged_ids(dsn, want, threshold=len(want) - 1) as frag:
+        assert frag.startswith("SELECT id FROM ids_stage_")
+        stage = frag.split()[-1]
+        kind = pg_copy.pg_exec(
+            dsn,
+            "SELECT relpersistence FROM pg_class "
+            f"WHERE relname = '{stage}'",
+        ).strip()
+        assert kind == "u"  # unlogged
+        assert probe(frag) == [len(want), sum(want)]
+    # dropped on exit
+    left = pg_copy.pg_exec(
+        dsn,
+        "SELECT count(*) FROM pg_class WHERE relname LIKE 'ids_stage_%'",
+    ).strip()
+    assert left == "0"
+
+    # empty id set: literal NULL (matches nothing), no table
+    with pg_copy.staged_ids(dsn, [], threshold=0) as frag:
+        assert frag == "NULL"
+        assert probe(frag)[0] == 0
+
+
+def test_pg_stream_range_tiling_and_nulls(dsn):
+    """PgKeysetStreamReader.partitions tiles the cursor interval into
+    CONTIGUOUS id ranges (each slice = one PK index range scan), and
+    read() round-trips NULLs through the quote-aware COPY parse —
+    nullable CDC tables are safe (round-13 ADVICE)."""
+    from etl_sprint_2_5_spark.sources.pg_stream import PgKeysetStreamReader
+
+    pg_copy.pg_exec(
+        dsn,
+        "CREATE TABLE tile_t (id bigint PRIMARY KEY, ts timestamp, "
+        "txt text, val bigint); "
+        "INSERT INTO tile_t SELECT i, TIMESTAMP '2026-04-01 00:00:00', "
+        "CASE WHEN i % 5 = 0 THEN NULL WHEN i = 102 THEN '\\N' "
+        "     ELSE 's' || i END, "
+        "CASE WHEN i % 7 = 0 THEN NULL ELSE i * 3 END "
+        "FROM generate_series(100, 158, 2) AS g(i)",
+    )
+    r = PgKeysetStreamReader(
+        "id bigint, ts timestamp, txt string, val bigint",
+        {"dsn": dsn, "table": "tile_t", "tscol": "ts", "idcol": "id",
+         "slices": "4"},
+    )
+    start, end = r.initialOffset(), r.latestOffset()
+    assert end == {"ts": "2026-04-01 00:00:00", "id": 158}
+    parts = sorted(r.partitions(start, end), key=lambda p: p.id_lo)
+    assert len(parts) == 4
+    assert parts[0].id_lo == 100 and parts[-1].id_hi == 158
+    for a, b in zip(parts, parts[1:]):
+        assert b.id_lo == a.id_hi + 1  # contiguous + disjoint tiles
+
+    rows = [row for p in parts for row in r.read(p)]
+    assert sorted(row[0] for row in rows) == list(range(100, 160, 2))
+    by_id = {row[0]: row for row in rows}
+    assert by_id[110][2] is None          # NULL text survives
+    assert by_id[102][2] == "\\N"         # literal marker stays string
+    assert by_id[112][3] is None          # NULL bigint survives
+    assert by_id[104][3] == 312 and by_id[104][2] == "s104"
+
+    # an empty interval plans zero partitions
+    assert r.partitions(end, end) == []

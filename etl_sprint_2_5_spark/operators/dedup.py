@@ -422,6 +422,8 @@ def embedding_near_dups(
     vec_col: str,
     block_col: str,
     threshold: float,
+    max_block: int = 16384,
+    on_oversize: str = "error",
 ) -> DataFrame:
     """Blocked cosine near-dup pairs: all-pairs only WITHIN a block
     (label / IVF cell / LSH bucket), never corpus-wide.
@@ -432,17 +434,47 @@ def embedding_near_dups(
     threshold. Contrast the pair-join formulation, whose exchange
     carries BOTH vectors for every candidate pair — O(block²·dim)
     shuffle bytes vs O(block·dim) here. cos = dot/(|a||b|) rounded to
-    6 HALF_UP, identical to the expression/oracle formulation. Block
-    sizes are bounded by construction (label / IVF cell / LSH bucket);
-    corpora with unbounded blocks belong in minhash-LSH instead.
-    Output: id_a, id_b, cos (rounded)."""
+    6 HALF_UP, identical to the expression/oracle formulation.
+    Output: id_a, id_b, cos (rounded).
+
+    ``max_block`` makes the within-block quadratic term STRUCTURAL
+    instead of prose (the basket_pair_counts precedent): block sizes
+    are bounded by construction (label / IVF cell / LSH bucket), but
+    at 100 TB one degenerate key would put a B²·8-byte cosine matrix
+    in a single task — 16384 caps that at ~2 GiB, the executor-task
+    ceiling. The default ``on_oversize='error'`` raises NAMING the
+    block, its size, the cap, and the escape hatch (the gated oracle
+    computes pairs uncapped, so a silently binding cap would surface
+    as an opaque hash mismatch); ``'drop'`` skips oversize blocks for
+    corpora where a degenerate block is a data artifact — with the
+    pointer that unbounded blocks belong in minhash-LSH / SemDeDup
+    instead."""
     import numpy as np
     import pandas as pd
+
+    if on_oversize not in ("error", "drop"):
+        raise ValueError(f"on_oversize must be error|drop, got {on_oversize!r}")
 
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"id_a {id_type}, id_b {id_type}, cos double"
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_block:
+            if on_oversize == "drop":
+                return pd.DataFrame(
+                    {
+                        "id_a": pdf[id_col].iloc[:0],
+                        "id_b": pdf[id_col].iloc[:0],
+                        "cos": pd.Series([], dtype="float64"),
+                    }
+                )
+            raise ValueError(
+                f"embedding_near_dups: block {pdf['_blk'].iloc[0]!r} "
+                f"holds {len(pdf)} vectors > max_block={max_block}; "
+                "all-pairs within this block would be quadratic in one "
+                "task — raise max_block, pass on_oversize='drop', or "
+                "use minhash-LSH/SemDeDup for unbounded blocks"
+            )
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
         ids = pdf[id_col].to_numpy()[order]
         V = np.stack(pdf[vec_col].to_numpy())[order].astype("float64")

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from etl_sprint_2_5_spark.operators import dedup as D
@@ -486,3 +487,46 @@ def test_srp_lsh_finds_exactly_the_twins(spark):
     k1 = sorted(map(repr, srp_band_keys(q8, "vec_id", "qvec").collect()))
     k2 = sorted(map(repr, srp_band_keys(q8, "vec_id", "qvec").collect()))
     assert k1 == k2
+
+
+def test_embedding_near_dups_max_block_cap(spark):
+    """The within-block quadratic is structurally bounded: a block
+    over max_block raises IN-TASK naming the block and the cap
+    (default), or is dropped wholesale under on_oversize='drop' —
+    never silently truncated."""
+    from etl_sprint_2_5_spark.operators.dedup import embedding_near_dups
+
+    rows = [(i, [1.0, float(i % 3)], "big") for i in range(6)]
+    rows += [(10, [1.0, 0.0], "ok"), (11, [2.0, 0.0], "ok")]
+    df = spark.createDataFrame(
+        rows, "id long, vec array<double>, blk string"
+    )
+
+    # binding cap + error (default): loud, names block and cap
+    with pytest.raises(Exception) as ei:
+        embedding_near_dups(
+            df, "id", "vec", "blk", threshold=0.0, max_block=5
+        ).collect()
+    msg = str(ei.value)
+    assert "max_block=5" in msg and "'big'" in msg
+
+    # drop: oversize block vanishes, bounded block still pairs
+    got = embedding_near_dups(
+        df, "id", "vec", "blk", threshold=0.0, max_block=5,
+        on_oversize="drop",
+    ).collect()
+    assert [(r.id_a, r.id_b, r.cos) for r in got] == [(10, 11, 1.0)]
+
+    # non-binding cap: identical to uncapped
+    base = embedding_near_dups(df, "id", "vec", "blk", threshold=0.0)
+    capped = embedding_near_dups(
+        df, "id", "vec", "blk", threshold=0.0, max_block=6
+    )
+    assert sorted(map(tuple, base.collect())) == sorted(
+        map(tuple, capped.collect())
+    )
+
+    with pytest.raises(ValueError):
+        embedding_near_dups(
+            df, "id", "vec", "blk", threshold=0.0, on_oversize="maybe"
+        )

@@ -448,12 +448,18 @@ def sqlite_live_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: arrays with duplicated ids). Read-only input; never written.
 _REF_DB = "/root/reference/sqlite_to_postgresql/db.sqlite"
 
-#: Raw staging dir for the live gate's oracle: the query COPIES the
-#: raw sqlite tables here as parquet each run (DuckDB has no sqlite
-#: reader in this container), and the oracle re-derives the migration
-#: from these raw bytes independently. Fixed path inside the repo
-#: (gitignored) — the driver runs the Spark side before the oracle.
-_STAGE = str(Path(__file__).resolve().parents[2] / ".oracle_stage" / "ref_sqlite")
+#: Raw staging for the live gate's oracle: the query COPIES the raw
+#: sqlite tables as parquet each run (DuckDB has no sqlite reader in
+#: this container), and the oracle re-derives the migration from
+#: those raw bytes independently. The ORACLE path is a fixed symlink
+#: (the oracle SQL string is static), but each run stages into a
+#: fresh directory and repoints the link atomically — concurrent
+#: runs / oracle reads never see a half-written staging. Gitignored;
+#: the driver runs the Spark side before the oracle.
+_STAGE_ROOT = str(
+    Path(__file__).resolve().parents[2] / ".oracle_stage" / "ref_sqlite"
+)
+_STAGE = f"{_STAGE_ROOT}/current"
 
 _LIVE_ORACLE = f"""
 WITH m_raw AS (
@@ -579,14 +585,32 @@ def legacy_full_load_live(spark: SparkSession, sf_dir: str) -> DataFrame:
     writers = rd("writers", "id string, name string")
     bridge = rd("movie_actors", "movie_id string, actor_id string")
 
-    # driver-stage the raw tables for the oracle (overwrite per run —
-    # content is fixed; the oracle reads these bytes, the pipeline
-    # below never does)
+    # driver-stage the raw tables for the oracle: write into a fresh
+    # per-run directory, then atomically repoint the 'current' symlink
+    # the oracle path resolves through — a concurrent run (or an
+    # oracle read racing a rewrite) sees either the old complete
+    # staging or the new one, never a half-written mix
+    import os
+    import shutil
+    import uuid as _uuid
+
+    run_dir = f"{_STAGE_ROOT}/{_uuid.uuid4().hex[:10]}"
     for name, df in (
         ("movies", movies), ("actors", actors),
         ("writers", writers), ("movie_actors", bridge),
     ):
-        df.coalesce(1).write.mode("overwrite").parquet(f"{_STAGE}/{name}")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{run_dir}/{name}")
+    prev = os.path.realpath(_STAGE) if os.path.exists(_STAGE) else None
+    tmp_link = f"{_STAGE_ROOT}/.lnk_{_uuid.uuid4().hex[:6]}"
+    os.symlink(run_dir, tmp_link)
+    os.replace(tmp_link, _STAGE)  # atomic repoint
+    # prune stale stagings (keep the new target and the one a reader
+    # may still hold open from the previous link)
+    for entry in os.listdir(_STAGE_ROOT):
+        p = f"{_STAGE_ROOT}/{entry}"
+        if p not in (run_dir, prev, _STAGE) and os.path.isdir(p) \
+                and not os.path.islink(p):
+            shutil.rmtree(p, ignore_errors=True)
 
     t = normalize(movies, actors, writers, bridge)
     out = _gated_readback(t)

@@ -325,29 +325,53 @@ def main() -> None:
         force(q.fn(spark, SF_DIR))
         return time.time() - t0
 
-    timings: dict[str, float] = {}
+    # Batch medians (round-13 variance finding: whole bench batches
+    # inflate uniformly ~1.3x under ambient hypervisor-neighbor load
+    # with no per-query signature). SPARK_GRAFT_BENCH_BATCHES=N runs
+    # the full headline loop N times in this process; the reported
+    # per-query time is the MEDIAN across batches, so one inflated
+    # batch cannot become the committed number. Default 1 — the
+    # driver's per-round run is unchanged; the round's committed
+    # BENCH_FULL uses N=3 with batch totals recorded alongside.
+    n_batches = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_BATCHES", "1")))
+    batch_timings: list[dict[str, float]] = []
     t_start = time.time()
-    for name in HEADLINE:
-        q = plans.REGISTRY[name]
-        runs = [run_once(q)]
-        if runs[0] <= 2.0:  # median-of-5 where repeats are cheap
-            # (round-6 variance audit: median-of-3 still let single
-            # JIT/broadcast-timeout spikes swing sub-2s queries up to
-            # 3.4x between runs; two more repeats cost seconds total)
-            runs += [run_once(q) for _ in range(4)]
-            rep = sorted(runs)[2]
-        else:  # best-of-2 for EVERYTHING slower: the first run can
-            # carry a one-off codegen/JIT compile or artifact-probe
-            # cold start (observed 7x on dedup_simhash, 10x on
-            # dedup_ngram_jaccard) — a single-sample fast path would
-            # record the spike as the query's time exactly when it
-            # looks slowest
-            runs.append(run_once(q))
-            rep = min(runs)
-        timings[name] = round(rep, 3)
-        # release any cached intermediates a query left behind so one
-        # query's storage never leaks into the next one's measurement
-        spark.catalog.clearCache()
+    for _b in range(n_batches):
+        timings: dict[str, float] = {}
+        for name in HEADLINE:
+            q = plans.REGISTRY[name]
+            runs = [run_once(q)]
+            if runs[0] <= 2.0:  # median-of-5 where repeats are cheap
+                # (round-6 variance audit: median-of-3 still let single
+                # JIT/broadcast-timeout spikes swing sub-2s queries up to
+                # 3.4x between runs; two more repeats cost seconds total)
+                runs += [run_once(q) for _ in range(4)]
+                rep = sorted(runs)[2]
+            else:  # best-of-2 for EVERYTHING slower: the first run can
+                # carry a one-off codegen/JIT compile or artifact-probe
+                # cold start (observed 7x on dedup_simhash, 10x on
+                # dedup_ngram_jaccard) — a single-sample fast path would
+                # record the spike as the query's time exactly when it
+                # looks slowest
+                runs.append(run_once(q))
+                rep = min(runs)
+            timings[name] = round(rep, 3)
+            # release any cached intermediates a query left behind so one
+            # query's storage never leaks into the next one's measurement
+            spark.catalog.clearCache()
+        batch_timings.append(timings)
+    if n_batches == 1:
+        timings = batch_timings[0]
+    else:  # per-query median across batches
+        timings = {
+            name: round(
+                sorted(bt[name] for bt in batch_timings)[n_batches // 2], 3
+            )
+            for name in HEADLINE
+        }
+    batch_totals = [
+        round(sum(bt.values()), 3) for bt in batch_timings
+    ]
     total = round(sum(timings.values()), 3)
     wall = round(time.time() - t_start, 3)
 
@@ -359,6 +383,8 @@ def main() -> None:
         "prepare_sec": prepare_sec,
         "wall_sec": wall,
         "repeat_policy": "median5<=2s; best2>2s",
+        "batches": n_batches,
+        "batch_totals": batch_totals,
         "cpu_busy_before": round(busy_before, 3),
         "loadavg_end": round(os.getloadavg()[0], 2),
         "sf": sf,
@@ -386,6 +412,7 @@ def main() -> None:
                 "wall_sec": wall,
                 "cpu_busy_before": round(busy_before, 3),
                 "loadavg_end": round(os.getloadavg()[0], 2),
+                "batches": n_batches,
                 "full": os.path.basename(full_path),
             }
         ),

@@ -4,13 +4,16 @@ in round 12; operators/multimodal._decode_image_real dispatches here
 for ``FF D8 FF`` payloads).
 
 Decoder: baseline + extended-sequential DCT, 8-bit precision (SOF0 /
-SOF1), grayscale or 3-component YCbCr with arbitrary sampling factors
-(4:4:4 / 4:2:2 / 4:2:0 via per-component replication), restart
-markers, 16-bit quant tables. Progressive (SOF2) and the other coding
-processes raise ``NotImplementedError`` — a VALID stream this decoder
-does not speak routes to the deterministic-fake lane, while a
-MALFORMED stream raises ``ValueError`` and quarantines (never fake
-dims for a claimed-real payload). Chroma upsampling is pixel
+SOF1), plus progressive DCT (SOF2, T.81 Annex G: spectral selection
+and successive approximation, DC and AC first/refinement passes, EOB
+runs) since round 14; grayscale or 3-component YCbCr with arbitrary
+sampling factors (4:4:4 / 4:2:2 / 4:2:0 via per-component
+replication), restart markers, 16-bit quant tables. The remaining
+coding processes (lossless SOF3, arithmetic SOF9+, hierarchical)
+raise ``NotImplementedError`` — a VALID stream this decoder does not
+speak routes to the deterministic-fake lane, while a MALFORMED stream
+raises ``ValueError`` and quarantines (never fake dims for a
+claimed-real payload). Chroma upsampling is pixel
 replication (the T.81 sample-expansion reference shape, not libjpeg's
 fancy bilinear — decoders legitimately differ here; the exactness
 gate uses flat chroma where every convention agrees).
@@ -22,7 +25,11 @@ which makes BLOCK-FLAT images bit-exact through the whole pipeline
 (flat 8×8 → every AC coefficient is exactly 0, the DC coefficient is
 an exact multiple of 8, and R=G=B inputs put chroma at exactly 128) —
 the property the oracle-gated query exploits for a closed-form
-cross-engine checksum of a LOSSY codec.
+cross-engine checksum of a LOSSY codec. ``jpeg_encode_progressive``
+emits the same coefficients as an SOF2 scan script (interleaved DC
+scan — optionally split into two successive-approximation passes —
+then one full-band AC scan per component), so a progressive file
+decodes bit-identically to its baseline twin.
 
 Dataflow stance unchanged from png_codec: codecs run inside Arrow
 ``mapInPandas`` stages on the executors; this module is the per-blob
@@ -131,6 +138,24 @@ HUFF_AC_CHROMA = (
         0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
         0xF9, 0xFA,
     ],
+)
+
+#: AC table for PROGRESSIVE scans: the Annex K baseline tables carry
+#: only EOB (0x00) and ZRL (0xF0) among the size-0 symbols, but a
+#: progressive AC scan also needs EOBn (0x10..0xE0, T.81 G.1.2.2) to
+#: code EOB runs spanning blocks. Real encoders build optimized
+#: per-scan tables; this fixture encoder uses a flat canonical table
+#: — every run/size symbol plus all 14 EOBn codes at 8 bits (176
+#: symbols ≤ 2^8, Kraft-feasible, all-ones code unused) — trading
+#: compression for completeness, which is fine for an encoder whose
+#: job is generating spec-true test/oracle fixtures.
+HUFF_AC_PROG = (
+    [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0],
+    sorted(
+        [0x00, 0xF0]
+        + [r << 4 for r in range(1, 15)]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ),
 )
 
 # orthonormal 8x8 DCT-II basis: A[u,x] = C(u)/2 * cos((2x+1)uπ/16);
@@ -250,6 +275,8 @@ def _jpeg_decode_inner(payload: bytes) -> np.ndarray:
     qt: dict[int, np.ndarray] = {}
     huff: dict[tuple[int, int], dict] = {}
     frame = None  # (H, W, [(cid, h, v, tq)])
+    progressive = False
+    prog = None  # progressive coefficient store (after first SOS)
     restart = 0
     i = 2
     n = len(payload)
@@ -266,7 +293,9 @@ def _jpeg_decode_inner(payload: bytes) -> np.ndarray:
         i += 2
         if m == 0xD8 or (0xD0 <= m <= 0xD7):
             continue
-        if m == 0xD9:  # EOI before SOS
+        if m == 0xD9:  # EOI
+            if prog is not None and prog["nscans"]:
+                return _finish_progressive(prog, qt)
             raise ValueError("jpeg: EOI before scan data")
         if m == 0x01:
             continue
@@ -292,7 +321,7 @@ def _jpeg_decode_inner(payload: bytes) -> np.ndarray:
                 if vals.size != 64:
                     raise ValueError("jpeg: short DQT")
                 qt[tq] = vals
-        elif m in (0xC0, 0xC1):  # SOF0/SOF1: baseline/ext sequential
+        elif m in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 progressive
             if seg[0] != 8:
                 raise NotImplementedError("jpeg: 12-bit precision")
             h, w = struct.unpack(">HH", seg[1:5])
@@ -306,7 +335,8 @@ def _jpeg_decode_inner(payload: bytes) -> np.ndarray:
             if h == 0 or w == 0:
                 raise ValueError("jpeg: zero frame dimension")
             frame = (h, w, comps)
-        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = m == 0xC2
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7,
                    0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"jpeg: coding process SOF{m - 0xC0} not supported"
@@ -332,17 +362,38 @@ def _jpeg_decode_inner(payload: bytes) -> np.ndarray:
             for k in range(ns):
                 cs, tdta = seg[1 + 2 * k], seg[2 + 2 * k]
                 scan.append((cs, tdta >> 4, tdta & 15))
-            return _decode_scan(
-                payload[i + seg_len:], frame, scan, qt, huff, restart
+            if not progressive:
+                return _decode_scan(
+                    payload[i + seg_len:], frame, scan, qt, huff, restart
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if prog is None:
+                prog = _init_progressive(frame)
+            consumed = _decode_progressive_scan(
+                payload[i + seg_len:], prog, scan,
+                (ss, se, ahal >> 4, ahal & 15), huff, restart,
             )
+            i += seg_len + consumed
+            continue
         # APPn / COM / others: skip
         i += seg_len
+    if prog is not None and prog["nscans"]:
+        return _finish_progressive(prog, qt)  # tolerated missing EOI
     raise ValueError("jpeg: no scan data")
 
 
 def _split_entropy(data: bytes):
     """Entropy stream → unstuffed restart segments (split on RSTn;
-    terminated by any other marker). 0xFF runs are scanned to the
+    terminated by any other marker)."""
+    return _split_entropy_ext(data)[0]
+
+
+def _split_entropy_ext(data: bytes):
+    """Entropy stream → (unstuffed restart segments, bytes consumed).
+    ``consumed`` is the offset of the terminating marker's first
+    0xFF (or len(data)) — the progressive decoder uses it to resume
+    header parsing after each scan. 0xFF runs are scanned to the
     first non-0xFF byte before classifying (T.81 B.1.1.2 allows fill
     bytes before a marker, so 0xFF 0xFF 0xD0 is still a restart)."""
     segs, cur = [], bytearray()
@@ -367,7 +418,236 @@ def _split_entropy(data: bytes):
         else:  # EOI or next header
             break
     segs.append(bytes(cur))
-    return segs
+    return segs, i
+
+
+# ------------------------------------------------------- progressive decode
+
+
+def _init_progressive(frame) -> dict:
+    """Per-component coefficient store for a SOF2 frame: zigzag-order
+    int64 arrays sized to the MCU-padded block grid (interleaved DC
+    scans code padding blocks too); non-interleaved scans iterate
+    only the true grid (T.81 A.1.1 ceil dims)."""
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    info = {}
+    for cid, ch, cv, tq in comps:
+        cw = -(-(w * ch) // hmax)
+        chh = -(-(h * cv) // vmax)
+        info[cid] = {
+            "coef": np.zeros((mcuy * cv, mcux * ch, 64), dtype=np.int64),
+            "nbw": -(-cw // 8), "nbh": -(-chh // 8),
+            "ch": ch, "cv": cv, "tq": tq,
+        }
+    return {
+        "frame": frame, "hmax": hmax, "vmax": vmax,
+        "mcux": mcux, "mcuy": mcuy, "c": info, "nscans": 0,
+    }
+
+
+def _decode_progressive_scan(
+    data: bytes, prog: dict, scan, band, huff, restart: int
+) -> int:
+    """One progressive scan (T.81 Annex G): updates the coefficient
+    store in place, returns the entropy bytes consumed so the marker
+    loop resumes at the next header."""
+    ss, se, ah, al = band
+    segs, consumed = _split_entropy_ext(data)
+    if ss == 0:
+        if se != 0:
+            raise ValueError("jpeg: progressive DC scan must have Se=0")
+        _prog_dc_scan(segs, prog, scan, ah, al, huff, restart)
+    else:
+        if len(scan) != 1:
+            raise ValueError(
+                "jpeg: progressive AC scan must be single-component"
+            )
+        if se > 63 or ss > se:
+            raise ValueError("jpeg: bad spectral band")
+        _prog_ac_scan(segs, prog, scan[0], ss, se, ah, al, huff, restart)
+    prog["nscans"] += 1
+    return consumed
+
+
+def _next_seg(segs, seg_i: int) -> "_BitReader":
+    if seg_i >= len(segs):
+        raise ValueError("jpeg: missing restart segment")
+    return _BitReader(segs[seg_i])
+
+
+def _prog_dc_scan(segs, prog, scan, ah, al, huff, restart) -> None:
+    info = prog["c"]
+    tabs = {}
+    for cs, td, _ta in scan:
+        if cs not in info:
+            raise ValueError("jpeg: scan references unknown component")
+        if ah == 0:  # first pass needs the DC table; refinement is raw bits
+            if (0, td) not in huff:
+                raise ValueError("jpeg: missing Huffman table")
+            tabs[cs] = huff[(0, td)]
+
+    def one(r, block, cs, pred) -> None:
+        if ah == 0:
+            t = r.read_huff(tabs[cs])
+            pred[cs] += _extend(r.read_bits(t), t)
+            block[0] = pred[cs] << al
+        elif r.read_bit():
+            block[0] |= 1 << al
+
+    seg_i = 0
+    r = _next_seg(segs, 0)
+    pred = {cs: 0 for cs, *_ in scan}
+    if len(scan) == 1:  # non-interleaved: true block grid, raster
+        cs = scan[0][0]
+        ci = info[cs]
+        for bi in range(ci["nbh"] * ci["nbw"]):
+            if restart and bi and bi % restart == 0:
+                seg_i += 1
+                r = _next_seg(segs, seg_i)
+                pred = {cs: 0}
+            by, bx = divmod(bi, ci["nbw"])
+            one(r, ci["coef"][by, bx], cs, pred)
+        return
+    for mcu in range(prog["mcux"] * prog["mcuy"]):  # interleaved
+        if restart and mcu and mcu % restart == 0:
+            seg_i += 1
+            r = _next_seg(segs, seg_i)
+            pred = {cs: 0 for cs in pred}
+        my, mx = divmod(mcu, prog["mcux"])
+        for cs, _td, _ta in scan:
+            ci = info[cs]
+            for v in range(ci["cv"]):
+                for hh in range(ci["ch"]):
+                    one(
+                        r,
+                        ci["coef"][my * ci["cv"] + v, mx * ci["ch"] + hh],
+                        cs, pred,
+                    )
+
+
+def _prog_ac_scan(segs, prog, scomp, ss, se, ah, al, huff, restart) -> None:
+    cs, _td, ta = scomp
+    info = prog["c"]
+    if cs not in info:
+        raise ValueError("jpeg: scan references unknown component")
+    if (1, ta) not in huff:
+        raise ValueError("jpeg: missing Huffman table")
+    ac_tab = huff[(1, ta)]
+    ci = info[cs]
+    seg_i = 0
+    r = _next_seg(segs, 0)
+    eobrun = 0
+    decode = _ac_first if ah == 0 else _ac_refine
+    for bi in range(ci["nbh"] * ci["nbw"]):
+        if restart and bi and bi % restart == 0:
+            seg_i += 1
+            r = _next_seg(segs, seg_i)
+            eobrun = 0
+        by, bx = divmod(bi, ci["nbw"])
+        eobrun = decode(r, ci["coef"][by, bx], ss, se, al, ac_tab, eobrun)
+
+
+def _ac_first(r, block, ss, se, al, ac_tab, eobrun: int) -> int:
+    """T.81 G.2.2: first AC pass over the band — runs, EXTEND values
+    shifted to the approximation bit, EOB runs spanning blocks."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = r.read_huff(ac_tab)
+        run, size = rs >> 4, rs & 15
+        if size == 0:
+            if run == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << run) - 1  # EOBn: this block + eobrun more
+            if run:
+                eobrun += r.read_bits(run)
+            return eobrun
+        k += run
+        if k > se:
+            raise ValueError("jpeg: AC run past band end")
+        block[k] = _extend(r.read_bits(size), size) << al
+        k += 1
+    return 0
+
+
+def _ac_refine(r, block, ss, se, al, ac_tab, eobrun: int) -> int:
+    """T.81 G.2.3 (libjpeg decode_mcu_AC_refine shape): one
+    approximation bit per already-nonzero coefficient, newly-nonzero
+    insertions at ±2^Al, EOB runs still carrying correction bits."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = r.read_huff(ac_tab)
+            run, size = rs >> 4, rs & 15
+            val = 0
+            if size == 0:
+                if run != 15:  # EOBn
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += r.read_bits(run)
+                    break
+                # ZRL: advance past 16 zero-history coefficients
+            else:
+                if size != 1:
+                    raise ValueError("jpeg: refinement size must be 1")
+                val = p1 if r.read_bit() else m1
+            while k <= se:
+                c = int(block[k])
+                if c != 0:
+                    # correction bit for an already-nonzero coefficient
+                    if r.read_bit() and (c & p1) == 0:
+                        block[k] = c + (p1 if c > 0 else m1)
+                else:
+                    if run == 0:
+                        break
+                    run -= 1
+                k += 1
+            if size and k <= se:
+                block[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:  # EOB interval: correction bits only
+            c = int(block[k])
+            if c != 0 and r.read_bit() and (c & p1) == 0:
+                block[k] = c + (p1 if c > 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _finish_progressive(prog: dict, qt: dict) -> np.ndarray:
+    """Dequantize + IDCT the accumulated coefficient store (one
+    vectorized einsum per component), then the shared upsample/color
+    path."""
+    h, w, comps = prog["frame"]
+    planes = {}
+    deq = np.zeros(64, dtype=np.int64)
+    for cid, _ch, _cv, tq in comps:
+        if tq not in qt:
+            raise ValueError("jpeg: missing quant table")
+        coef = prog["c"][cid]["coef"]
+        bh, bw = coef.shape[:2]
+        plane = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+        # per-block two-matmul IDCT in the SAME evaluation order as
+        # the sequential path — a progressive file reconstructs
+        # bit-identically to a baseline file with equal coefficients
+        for by in range(bh):
+            for bx in range(bw):
+                deq[ZIGZAG] = coef[by, bx] * qt[tq]
+                plane[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = (
+                    _A.T @ deq.reshape(8, 8).astype(np.float64) @ _A
+                )
+        planes[cid] = plane
+    return _compose_image(
+        planes, comps, h, w, prog["hmax"], prog["vmax"]
+    )
 
 
 def _decode_scan(data, frame, scan, qt, huff, restart) -> np.ndarray:
@@ -420,11 +700,17 @@ def _decode_scan(data, frame, scan, qt, huff, restart) -> np.ndarray:
                     y0 = (my * cv + v) * 8
                     x0 = (mx * ch + hh) * 8
                     planes[cs][y0:y0 + 8, x0:x0 + 8] = block
+    return _compose_image(planes, comps, h, w, hmax, vmax)
+
+
+def _compose_image(planes, comps, h, w, hmax, vmax) -> np.ndarray:
+    """Upsample per-component sample planes (keyed by component id,
+    values level-shift-pending) and color-convert → (H, W, C) uint8.
+    Color interpretation follows the FRAME component list (JFIF: Y
+    first), not the SOS scan order — a valid stream may list the scan
+    components in any order, which only governs the MCU interleave,
+    never which plane is luma."""
     out = []
-    # color interpretation follows the FRAME component list (JFIF:
-    # Y first), not the SOS scan order — a valid stream may list the
-    # scan components in any order, which only governs the MCU
-    # interleave above, never which plane is luma
     for cid, ch, cv, _tq in comps:
         p = planes[cid] + 128.0
         # replicate up to full resolution, crop to frame dims
@@ -530,11 +816,10 @@ def _plane_blocks(plane: np.ndarray, q: np.ndarray):
     return out, ph // 8, pw // 8
 
 
-def jpeg_encode(
-    arr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0"
-) -> bytes:
-    """Encode (H, W, 1|3) uint8 → baseline JFIF bytes. 3-channel input
-    is RGB; ``subsampling`` is '4:4:4' or '4:2:0' (ignored for gray)."""
+def _frame_components(arr: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder prep: RGB→YCbCr, chroma subsample, per-component
+    (cid, h, v, tq, plane, qtable, kind) list. Returns
+    (h, w, nc, comps, luma_q, chroma_q)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -571,6 +856,36 @@ def jpeg_encode(
         ]
     else:
         comps = [(1, 1, 1, 0, a[..., 0], luma_q, "l")]
+    return h, w, nc, comps, luma_q, chroma_q
+
+
+def _component_blocks(comps, h: int, w: int):
+    """DCT+quantize every component against the MCU-padded grid.
+    Returns (blocks[cid] dict keyed (by,bx) → zigzag coefs,
+    mcux, mcuy)."""
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    blocks = {}
+    for cid, ch, cv, _tq, plane, q, _kind in comps:
+        need_h, need_w = mcuy * cv * 8, mcux * ch * 8
+        p = np.pad(
+            plane,
+            ((0, need_h - plane.shape[0]), (0, need_w - plane.shape[1])),
+            mode="edge",
+        )
+        blocks[cid] = _plane_blocks(p, q)[0]
+    return blocks, mcux, mcuy
+
+
+def jpeg_encode(
+    arr: np.ndarray, quality: int = 90, subsampling: str = "4:2:0"
+) -> bytes:
+    """Encode (H, W, 1|3) uint8 → baseline JFIF bytes. 3-channel input
+    is RGB; ``subsampling`` is '4:4:4' or '4:2:0' (ignored for gray)."""
+    h, w, nc, comps, luma_q, chroma_q = _frame_components(
+        arr, quality, subsampling
+    )
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
@@ -593,24 +908,12 @@ def jpeg_encode(
         out += bytes([cid, td_ta])
     out += b"\x00\x3f\x00"  # Ss/Se/Ah-Al (baseline fixed)
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     dc_l, ac_l = _encode_codes(*HUFF_DC_LUMA), _encode_codes(*HUFF_AC_LUMA)
     dc_c, ac_c = (
         _encode_codes(*HUFF_DC_CHROMA), _encode_codes(*HUFF_AC_CHROMA),
     )
-    blocks, pred = {}, {}
-    for cid, ch, cv, _, plane, q, kind in comps:
-        # pad the plane so every MCU is covered (edge replication)
-        need_h, need_w = mcuy * cv * 8, mcux * ch * 8
-        p = np.pad(
-            plane,
-            ((0, need_h - plane.shape[0]), (0, need_w - plane.shape[1])),
-            mode="edge",
-        )
-        blocks[cid] = _plane_blocks(p, q)[0]
-        pred[cid] = 0
+    blocks, mcux, mcuy = _component_blocks(comps, h, w)
+    pred = {cid: 0 for cid, *_ in comps}
     bw = _BitWriter()
     for mcu in range(mcux * mcuy):
         my, mx = divmod(mcu, mcux)
@@ -623,5 +926,148 @@ def jpeg_encode(
                         pred[cid], dce, ace,
                     )
     out += bw.flush()
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def jpeg_encode_progressive(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:2:0",
+    dc_sa: bool = False,
+) -> bytes:
+    """Encode (H, W, 1|3) uint8 → progressive (SOF2) JFIF bytes.
+
+    Scan script: one interleaved DC scan over all components, then
+    one full-band (Ss=1..Se=63) AC scan per component — progressive
+    by spectral selection (T.81 Annex G). With ``dc_sa=True`` the DC
+    band is sent in two successive-approximation passes instead
+    (Al=1 point transform + a 1-bit refinement scan), exercising the
+    Ah/Al machinery end-to-end. Coefficients are computed by the same
+    DCT/quantize path as ``jpeg_encode``, so a progressive file
+    decodes bit-identically to its baseline twin."""
+    h, w, nc, comps, luma_q, chroma_q = _frame_components(
+        arr, quality, subsampling
+    )
+    blocks, mcux, mcuy = _component_blocks(comps, h, w)
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    dc_l, dc_c = _encode_codes(*HUFF_DC_LUMA), _encode_codes(*HUFF_DC_CHROMA)
+    ac_prog = _encode_codes(*HUFF_AC_PROG)  # EOBn-capable, see table note
+    meta = [(cid, ch, cv, kind) for cid, ch, cv, _t, _p, _q, kind in comps]
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    for tq_id, q in ((0, luma_q), (1, chroma_q))[: 1 if nc == 1 else 2]:
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq_id])
+        out += bytes(int(q[z]) for z in ZIGZAG)
+    out += b"\xff\xc2" + struct.pack(  # SOF2: progressive DCT
+        ">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps)
+    )
+    for cid, sh_, sv_, tq_id, *_ in comps:
+        out += bytes([cid, (sh_ << 4) | sv_, tq_id])
+    tables = [
+        (0, 0, HUFF_DC_LUMA), (1, 0, HUFF_AC_PROG),
+    ] + ([(0, 1, HUFF_DC_CHROMA)] if nc == 3 else [])
+    for tc, th, (bits, vals) in tables:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(vals))
+        out += bytes([(tc << 4) | th, *bits, *vals])
+
+    def sos(scan_comps, ss, se, ah, al) -> bytes:
+        seg = bytearray(
+            b"\xff\xda" + struct.pack(
+                ">HB", 6 + 2 * len(scan_comps), len(scan_comps)
+            )
+        )
+        for cid, td, ta in scan_comps:
+            seg += bytes([cid, (td << 4) | ta])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return bytes(seg)
+
+    def dc_blocks_mcu_order():
+        """(cid, kind, zigzag-coef-array) in interleaved MCU order."""
+        for mcu in range(mcux * mcuy):
+            my, mx = divmod(mcu, mcux)
+            for cid, ch, cv, kind in meta:
+                for v in range(cv):
+                    for hh in range(ch):
+                        yield cid, kind, blocks[cid][
+                            (my * cv + v, mx * ch + hh)
+                        ]
+
+    # --- DC first scan (interleaved, Ah=0) -----------------------------
+    al0 = 1 if dc_sa else 0
+    out += sos(
+        [(cid, 0 if kind == "l" else 1, 0) for cid, _c, _v, kind in meta],
+        0, 0, 0, al0,
+    )
+    bw = _BitWriter()
+    pred = {cid: 0 for cid, *_ in meta}
+    for cid, kind, coef in dc_blocks_mcu_order():
+        dce = dc_l if kind == "l" else dc_c
+        dc = int(coef[0]) >> al0  # point transform (arithmetic shift)
+        diff = dc - pred[cid]
+        pred[cid] = dc
+        t = _encode_size(diff)
+        bw.write(*dce[t])
+        if t:
+            bw.write(diff if diff > 0 else diff + (1 << t) - 1, t)
+    out += bw.flush()
+
+    if dc_sa:  # --- DC refinement scan (Ah=1, Al=0): raw low bits ------
+        out += sos([(cid, 0, 0) for cid, _c, _v, _k in meta], 0, 0, 1, 0)
+        bw = _BitWriter()
+        for _cid, _kind, coef in dc_blocks_mcu_order():
+            bw.write(int(coef[0]) & 1, 1)
+        out += bw.flush()
+
+    # --- AC scans: full band per component, non-interleaved ------------
+    for cid, ch, cv, kind in meta:
+        ace = ac_prog
+        out += sos([(cid, 0, 0)], 1, 63, 0, 0)
+        bw = _BitWriter()
+        # true (non-MCU-padded) block grid, T.81 A.1.1 ceil dims
+        cw = -(-(w * ch) // hmax)
+        chh = -(-(h * cv) // vmax)
+        nbw, nbh = -(-cw // 8), -(-chh // 8)
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if eobrun:
+                nb = eobrun.bit_length() - 1
+                bw.write(*ace[nb << 4])
+                if nb:
+                    bw.write(eobrun - (1 << nb), nb)
+                eobrun = 0
+
+        for bi in range(nbh * nbw):
+            coef = blocks[cid][(bi // nbw, bi % nbw)]
+            nz = np.nonzero(coef[1:64])[0]
+            if nz.size == 0:
+                eobrun += 1
+                if eobrun == 0x7FFF:  # G.1.2.2 EOB-run ceiling
+                    flush_eob()
+                continue
+            flush_eob()
+            last = int(nz[-1]) + 1  # zigzag index of last nonzero
+            run = 0
+            for k in range(1, last + 1):
+                v = int(coef[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.write(*ace[0xF0])  # ZRL
+                    run -= 16
+                s = _encode_size(v)
+                bw.write(*ace[(run << 4) | s])
+                bw.write(v if v > 0 else v + (1 << s) - 1, s)
+                run = 0
+            if last < 63:
+                eobrun += 1  # trailing zeros: this block joins an EOB run
+        flush_eob()
+        out += bw.flush()
+
     out += b"\xff\xd9"  # EOI
     return bytes(out)

@@ -27,6 +27,7 @@ from etl_sprint_2_5_spark.operators.jpeg_codec import (
     _extend,
     jpeg_decode,
     jpeg_encode,
+    jpeg_encode_progressive,
 )
 
 
@@ -184,12 +185,19 @@ def test_loud_failures():
         jpeg_decode(good[:20])
     with pytest.raises(ValueError):
         jpeg_decode(good[:-12])  # entropy stream truncated
-    # progressive (SOF2) is VALID jpeg this decoder does not speak →
-    # NotImplementedError (deterministic-fake lane, not quarantine)
-    prog = bytearray(good)
-    sof = prog.find(b"\xff\xc0")
-    prog[sof + 1] = 0xC2
+    # lossless (SOF3) is VALID jpeg this decoder does not speak →
+    # NotImplementedError (deterministic-fake lane, not quarantine).
+    # (SOF2 progressive decodes for real since round 14.)
+    lossless = bytearray(good)
+    sof = lossless.find(b"\xff\xc0")
+    lossless[sof + 1] = 0xC3
     with pytest.raises(NotImplementedError):
+        jpeg_decode(bytes(lossless))
+    # a PROGRESSIVE frame whose scan claims the baseline full band
+    # (Ss=0, Se=63) is malformed, not merely unsupported → ValueError
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2
+    with pytest.raises(ValueError):
         jpeg_decode(bytes(prog))
 
 
@@ -327,3 +335,68 @@ def test_scan_order_differs_from_frame_order():
     assert dec.shape == (8, 8, 3)
     assert np.array_equal(dec[0, 0], expect)
     assert (dec == expect[None, None, :]).all()
+
+
+# ------------------------------------------------------------- progressive
+
+
+def test_progressive_bit_identical_to_baseline_twin():
+    """jpeg_encode_progressive emits the SAME quantized coefficients
+    as jpeg_encode in an SOF2 scan script (T.81 Annex G spectral
+    selection), so decoding the progressive file must reproduce the
+    baseline decode BIT-EXACTLY — 4:2:0 and 4:4:4, odd (crop-path)
+    dims, random worst-case content."""
+    rng = np.random.RandomState(14)
+    img = rng.randint(0, 256, size=(29, 43, 3)).astype(np.uint8)
+    for sub in ("4:2:0", "4:4:4"):
+        base = jpeg_decode(jpeg_encode(img, quality=85, subsampling=sub))
+        prog = jpeg_decode(
+            jpeg_encode_progressive(img, quality=85, subsampling=sub)
+        )
+        assert np.array_equal(prog, base), sub
+
+
+def test_progressive_dc_successive_approximation():
+    """dc_sa=True sends the DC band as an Al=1 first pass plus a 1-bit
+    refinement scan (Ah=1, Al=0) — the successive-approximation
+    machinery must reassemble the exact DC values, so the decode still
+    matches the baseline twin bit-for-bit."""
+    rng = np.random.RandomState(41)
+    img = rng.randint(0, 256, size=(24, 16, 3)).astype(np.uint8)
+    base = jpeg_decode(jpeg_encode(img, quality=90))
+    prog = jpeg_decode(jpeg_encode_progressive(img, quality=90, dc_sa=True))
+    assert np.array_equal(prog, base)
+
+
+def test_progressive_grayscale_and_blockflat_exact():
+    """Grayscale SOF2 (single component, non-interleaved DC scan too)
+    and the closed-form gate property: block-flat R=G=B at quality=100
+    survives the PROGRESSIVE pipeline exactly, same as baseline."""
+    x, y = np.arange(24)[None, :], np.arange(16)[:, None]
+    g = ((x * 5 + y * 7) % 256).astype(np.uint8)[:, :, None]
+    assert np.array_equal(
+        jpeg_decode(jpeg_encode_progressive(g, quality=90)),
+        jpeg_decode(jpeg_encode(g, quality=90)),
+    )
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 256, size=(3, 5))
+    flat = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    rgb = np.stack([flat] * 3, axis=2)
+    dec = jpeg_decode(
+        jpeg_encode_progressive(rgb, quality=100, subsampling="4:2:0")
+    )
+    assert np.array_equal(dec, rgb)
+
+
+def test_progressive_eob_runs_span_blocks():
+    """A mostly-flat image makes most blocks all-zero in the AC band →
+    the encoder emits EOBn runs spanning many blocks (G.1.2.2) and the
+    decoder's eobrun carry must skip exactly those blocks. One bright
+    block in a sea of flatness pins the alignment."""
+    img = np.full((40, 40, 3), 128, dtype=np.uint8)
+    img[17:23, 17:23] = [250, 10, 60]  # off-grid feature → AC energy
+    base = jpeg_decode(jpeg_encode(img, quality=80, subsampling="4:2:0"))
+    prog = jpeg_decode(
+        jpeg_encode_progressive(img, quality=80, subsampling="4:2:0")
+    )
+    assert np.array_equal(prog, base)

@@ -204,6 +204,11 @@ HEADLINE = [
     # affected-id restriction goes through the UNLOGGED staged-table
     # join (the large-fan-out shape) instead of an inline IN-list
     "ivm_staged_fanout_live",
+    # round-14: progressive JPEG (SOF2 Annex G) made REAL — both scan
+    # scripts (spectral selection + DC successive approximation)
+    # bit-exact through the lossy pipeline at q=100, checksummed
+    # against the same codec-free closed-form oracle class
+    "jpeg_decode_progressive",
 ]
 
 

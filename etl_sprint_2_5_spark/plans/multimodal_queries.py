@@ -443,7 +443,7 @@ def jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lossy-path behavior (bounded error on arbitrary images, smooth
     4:2:0, grayscale), spec-level Huffman/EXTEND decisions, restart
     markers, CPython's real shipped JPEGs, and the corrupt →
-    ValueError / progressive → NotImplementedError lanes are
+    ValueError / lossless-SOF3 → NotImplementedError lanes are
     pytest-pinned in tests/test_jpeg_codec.py."""
     import numpy as np
     import pandas as pd
@@ -474,6 +474,128 @@ def jpeg_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                 arr = np.stack([plane] * 3, axis=2)
                 rows.append(
                     (d, jpeg_encode(arr, quality=100, subsampling="4:2:0"))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = ids.mapInPandas(gen, "doc_id long, payload binary")
+
+    dims = M.decode_images(
+        blobs.select(
+            F.col("doc_id").cast("string").alias("doc_id"), "payload"
+        ),
+        "doc_id",
+        "payload",
+    ).select(
+        F.col("id").cast("long").alias("doc_id"),
+        "width", "height", "channels", "decode_ok",
+    )
+
+    def pixsum(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = [
+                (int(d), int(jpeg_decode(bytes(p)).astype(np.int64).sum()))
+                for d, p in zip(pdf["doc_id"], pdf["payload"])
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "pix_sum"])
+
+    sums = blobs.mapInPandas(pixsum, "doc_id long, pix_sum long")
+    out = (
+        dims.join(sums, "doc_id")
+        .select(
+            "doc_id", "width", "height", "channels", "pix_sum", "decode_ok"
+        )
+        .orderBy("doc_id")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "jpeg_decode_progressive",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+    dims AS (
+      SELECT doc_id,
+             16 * (1 + doc_id % 3) AS w,
+             16 * (1 + (doc_id * 5) % 3) AS h
+      FROM ids
+    ),
+    blocks AS (
+      SELECT d.doc_id, d.w, d.h,
+             (19 * bx.range + 23 * by.range + 11 * d.doc_id) % 256 AS v
+      FROM dims d
+      JOIN range(0, 6) bx ON bx.range < d.w // 8
+      JOIN range(0, 6) by ON by.range < d.h // 8
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(192 * sum(v) AS BIGINT) AS pix_sum,
+           'real' AS decode_ok
+    FROM blocks
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+    covers=("X-multimodal-decode", "X-jpeg-codec-progressive"),
+)
+def jpeg_decode_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PROGRESSIVE JPEG (SOF2, T.81 Annex G) under the oracle gate —
+    round 14 makes the last in-scope JPEG coding process real
+    (operators/jpeg_codec.py: spectral-selection + successive-
+    approximation scans, DC/AC first and refinement passes, EOB runs
+    spanning blocks; baseline went real in round 13).
+
+    Same closed-form-exactness fixture class as `jpeg_decode_real`
+    (block-flat R=G=B at quality=100 → every coefficient survives the
+    lossy pipeline bit-exactly), but the executors emit SOF2 files via
+    `jpeg_encode_progressive`: an interleaved DC scan, then one
+    full-band AC scan per component — and for ODD doc_ids the DC band
+    is split into two successive-approximation passes (Al=1 point
+    transform + 1-bit refinement scan), so BOTH Annex G scan scripts
+    cross the gate. The production decode stage
+    (operators/multimodal.decode_images) must classify these blobs
+    'real' with the formula's exact dims, and the decoded pixel
+    checksum must equal DuckDB's codec-free evaluation of the block
+    formula (pix_sum = 3·64·Σv). Progressive-vs-baseline bit-equality
+    on arbitrary content (4:2:0/4:4:4, grayscale, odd dims, EOB-run
+    alignment) is pytest-pinned in tests/test_jpeg_codec.py."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.jpeg_codec import (
+        jpeg_decode,
+        jpeg_encode_progressive,
+    )
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+
+    def gen(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 16 * (1 + d % 3), 16 * (1 + (d * 5) % 3)
+                bx = np.arange(w // 8, dtype=np.int64)[None, :]
+                by = np.arange(h // 8, dtype=np.int64)[:, None]
+                vals = (19 * bx + 23 * by + 11 * d) % 256
+                plane = np.repeat(
+                    np.repeat(vals, 8, axis=0), 8, axis=1
+                ).astype(np.uint8)
+                arr = np.stack([plane] * 3, axis=2)
+                rows.append(
+                    (
+                        d,
+                        jpeg_encode_progressive(
+                            arr,
+                            quality=100,
+                            subsampling="4:2:0",
+                            dc_sa=bool(d % 2),
+                        ),
+                    )
                 )
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])
 

@@ -7,8 +7,11 @@ bit-exact round-trip of block-flat images at quality=100 (the
 closed-form property the gated query rides); bounded error on
 arbitrary images; 4:2:0 vs 4:4:4; grayscale; odd (crop-path) dims;
 restart-marker decode; CPython's own shipped JPEGs; loud failures
-(corrupt → ValueError, progressive → NotImplementedError); the
-multimodal dispatch routing FF D8 FF payloads to the real codec.
+(corrupt → ValueError, lossless SOF3 → NotImplementedError); the
+multimodal dispatch routing FF D8 FF payloads to the real codec;
+progressive (SOF2) decode bit-identical to the baseline twin across
+scan scripts (spectral selection, DC successive approximation,
+EOB-run spanning) — real since round 14.
 """
 
 from __future__ import annotations

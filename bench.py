@@ -209,6 +209,13 @@ HEADLINE = [
     # bit-exact through the lossy pipeline at q=100, checksummed
     # against the same codec-free closed-form oracle class
     "jpeg_decode_progressive",
+    # round-14: ingest front door — WARC/1.1 gzip-member shards
+    # packed AND parsed in executor-side Arrow stages (the
+    # CommonCrawl container), value-lossless vs the source table
+    "warc_ingest_roundtrip",
+    # round-14: sharded JSONL.gz out via executor gzip, back via the
+    # native JVM JSON source with an explicit schema
+    "jsonl_gz_ingest",
 ]
 
 

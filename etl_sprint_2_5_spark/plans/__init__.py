@@ -9,6 +9,7 @@ def load_all() -> None:
     import etl_sprint_2_5_spark.plans.events_queries  # noqa: F401
     import etl_sprint_2_5_spark.plans.gold_queries  # noqa: F401
     import etl_sprint_2_5_spark.plans.graph_queries  # noqa: F401
+    import etl_sprint_2_5_spark.plans.ingest_queries  # noqa: F401
     import etl_sprint_2_5_spark.plans.ivm_queries  # noqa: F401
     import etl_sprint_2_5_spark.plans.legacy_queries  # noqa: F401
     import etl_sprint_2_5_spark.plans.multimodal_queries  # noqa: F401

@@ -1,0 +1,221 @@
+"""Training-corpus ingest front door: the file/container formats a
+100-TB text pipeline actually receives data in, each gated as a full
+round-trip against the documents table.
+
+- ``jsonl_gz_ingest`` — sharded JSONL.gz (the dominant LLM-corpus
+  exchange format): executors WRITE shards with stdlib gzip+json,
+  Spark's native JSON source reads them back (JVM/Jackson parse with
+  an EXPLICIT schema — at corpus scale you never pay an inference
+  pass). Gzip is not splittable, so parallelism = shard count; the
+  scale story is many bounded shards (like input splits), not one
+  big file.
+- ``warc_ingest_roundtrip`` — WARC/1.1 gzip-member shards (the
+  CommonCrawl layout, operators/warc.py): pack and parse both run as
+  Arrow ``mapInPandas`` stages over binary rows, so the container
+  codec never leaves the executors and no shared filesystem is
+  assumed.
+- ``orc_interchange_roundtrip`` — columnar interchange via Spark's
+  native ORC source, with the readback filter + projection pushed
+  into the scan (searchArgument pushdown + column pruning), which is
+  what makes selective reads over a 100-TB archive cheap.
+
+All three oracles are the documents table itself — the round trip
+must be LOSSLESS, proven by the driver's value-hash over every
+column, not by a summary statistic.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.sources.parquet import load_table
+
+_DOC_COLS = ("doc_id", "text", "lang", "source", "n_chars")
+_DOC_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+_DOC_ORACLE = """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents
+    ORDER BY doc_id
+    """
+
+
+@query(
+    "jsonl_gz_ingest",
+    oracle=_DOC_ORACLE,
+    covers=("X-ingest-jsonl",),
+)
+def jsonl_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the documents table through sharded JSONL.gz.
+
+    Write side: 8 hash-partitioned shards, each an executor-side
+    ``mapInPandas`` task streaming ``json.dumps`` lines into a gzip
+    file named by partition id (local mode shares the filesystem; on
+    a cluster the same code points at shared storage, which is the
+    real shape). The manifest (path, rows, bytes) is materialized
+    BEFORE the read so the files provably exist. Read side: Spark's
+    native JSON source with an explicit schema — JVM-side Jackson
+    parse, no Python in the loop, no schema-inference scan. JSON
+    escaping (quotes, newlines, non-ASCII) is owned by json.dumps on
+    the way out and Jackson on the way back, so the value hash gates
+    the full escape surface."""
+    import gzip
+    import json
+    import os
+
+    import pandas as pd
+
+    tmp = tempfile.mkdtemp(prefix="jsonl_ingest_")
+    try:
+        docs = load_table(spark, "documents", sf_dir).select(*_DOC_COLS)
+
+        def write_shard(batches):  # noqa: ANN001 - Arrow iterator
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(tmp, f"part-{pid:05d}.jsonl.gz")
+            rows = 0
+            with gzip.open(path, "wt", encoding="utf-8") as fh:
+                for pdf in batches:
+                    for rec in pdf.to_dict("records"):
+                        fh.write(json.dumps(rec, ensure_ascii=False))
+                        fh.write("\n")
+                        rows += 1
+            yield pd.DataFrame(
+                [(path, rows, os.path.getsize(path))],
+                columns=["path", "rows", "bytes"],
+            )
+
+        manifest = (
+            docs.repartition(8, "doc_id")
+            .mapInPandas(write_shard, "path string, rows long, bytes long")
+            .collect()
+        )
+        assert sum(m.rows for m in manifest) == docs.count()
+
+        back = (
+            spark.read.schema(_DOC_SCHEMA)
+            .json(tmp)  # .gz handled by the Hadoop codec, per-file tasks
+            .select(*_DOC_COLS)
+            .orderBy("doc_id")
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "warc_ingest_roundtrip",
+    oracle=_DOC_ORACLE,
+    covers=("X-ingest-warc",),
+)
+def warc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the documents table through WARC/1.1 gzip-member
+    shards (operators/warc.py — the CommonCrawl container).
+
+    Pack stage: each of 8 hash partitions concatenates its documents
+    into one shard of independent gzip members (uri carries doc_id;
+    lang/source/n_chars ride as extension headers; the text is the
+    record block). Parse stage: a second ``mapInPandas`` splits
+    members, parses framing, and re-derives every column — both
+    stages are executor-side Arrow batches over binary rows, the
+    plan a 100-TB CommonCrawl ingest runs (shard rows in, typed
+    columns out, no driver loop, no shared-FS assumption). Framing
+    violations raise (three-mode codec contract), so a silent
+    truncation cannot pass the value hash."""
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.warc import (
+        warc_pack_record,
+        warc_parse_record,
+        warc_split_members,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(*_DOC_COLS)
+
+    def pack(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            shard = b"".join(
+                warc_pack_record(
+                    f"http://corpus.local/docs/{int(r.doc_id)}",
+                    str(r.text).encode("utf-8"),
+                    extra_headers={
+                        "X-Doc-Lang": str(r.lang),
+                        "X-Doc-Source": str(r.source),
+                        "X-Doc-NChars": str(int(r.n_chars)),
+                    },
+                )
+                for r in pdf.itertuples()
+            )
+            yield pd.DataFrame({"shard": [shard]})
+
+    shards = docs.repartition(8, "doc_id").mapInPandas(pack, "shard binary")
+
+    def parse(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = []
+            for shard in pdf["shard"]:
+                for raw in warc_split_members(bytes(shard)):
+                    hdr, block = warc_parse_record(raw)
+                    uri = hdr["warc-target-uri"]
+                    rows.append(
+                        (
+                            int(uri.rsplit("/", 1)[1]),
+                            block.decode("utf-8"),
+                            hdr["x-doc-lang"],
+                            hdr["x-doc-source"],
+                            int(hdr["x-doc-nchars"]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+            )
+
+    out = shards.mapInPandas(parse, _DOC_SCHEMA).orderBy("doc_id")
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "orc_interchange_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE doc_id > 100 AND doc_id <= 350 AND lang IS NOT NULL
+    ORDER BY doc_id
+    """,
+    covers=("X-ingest-orc",),
+)
+def orc_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar interchange through Spark's native ORC source: write
+    the documents table as ORC (zlib, the archival default), read it
+    back with a selective RANGE filter + 3-column projection. Range
+    and null predicates push into the ORC scan as searchArguments and
+    the projection prunes ReadSchema to 3 columns (verified in
+    tests/test_ingest.py against the formatted plan) — the properties
+    that make a selective read over a 100-TB ORC archive touch only
+    matching stripes and requested columns; values gate against
+    DuckDB evaluating the same predicate on the original parquet, so
+    the ORC round trip is value-lossless."""
+    tmp = tempfile.mkdtemp(prefix="orc_ingest_")
+    try:
+        docs = load_table(spark, "documents", sf_dir).select(*_DOC_COLS)
+        docs.write.mode("overwrite").option("compression", "zlib").orc(tmp)
+        back = (
+            spark.read.orc(tmp)
+            .where(
+                (F.col("doc_id") > 100)
+                & (F.col("doc_id") <= 350)
+                & F.col("lang").isNotNull()
+            )
+            .select("doc_id", "lang", "n_chars")
+            .orderBy("doc_id")
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

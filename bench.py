@@ -216,6 +216,10 @@ HEADLINE = [
     # round-14: sharded JSONL.gz out via executor gzip, back via the
     # native JVM JSON source with an explicit schema
     "jsonl_gz_ingest",
+    # round-14: the composed streaming crawl-ingest loop — file-source
+    # discovery, executor-side WARC parse, exactly-once manifest
+    # upsert, two-wave checkpoint resume
+    "streaming_warc_ingest",
 ]
 
 

@@ -182,6 +182,169 @@ def warc_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_warc_ingest",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST((SELECT count(*) FROM documents
+                 WHERE doc_id < (SELECT count(*) // 2 FROM documents))
+                AS BIGINT) AS phase_a_rows,
+           CAST((SELECT count(*) FROM documents
+                 WHERE doc_id >= (SELECT count(*) // 2 FROM documents))
+                AS BIGINT) AS phase_b_rows
+    FROM documents
+    ORDER BY doc_id
+    """,
+    covers=("X-ingest-warc-stream",),
+)
+def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CommonCrawl-shaped STREAMING ingest loop, end to end:
+    WARC shards land in a directory, Structured Streaming's file
+    source discovers them, an Arrow stage parses records on the
+    executors, and an idempotent keyed manifest upsert commits each
+    micro-batch exactly-once.
+
+    Two waves prove the checkpoint discipline: wave A (doc_id below
+    half the corpus) is staged and drained with ``availableNow``
+    (maxFilesPerTrigger=2 forces multiple micro-batches through the
+    same commit path); the view must then hold exactly wave A's row
+    count — stamped into the gated
+    ``phase_a_rows`` column, so a stream that under- or over-read
+    wave A fails the hash. Wave B stages the remaining shards and a
+    SECOND stream resumes from the same checkpoint: the file-source
+    offset log must skip every wave-A file and ingest only the new
+    ones — proven by ``phase_b_rows``, the rows that actually crossed
+    wave B's ``foreachBatch`` (a re-read of wave-A files would be
+    masked by the idempotent upsert but inflates this count and fails
+    the hash). Exactly-once is the sink's: file-source offsets commit
+    after ``foreachBatch`` returns, and a redelivered batch re-runs
+    the same idempotent bucket merge (streaming/sink.py CAS
+    manifest). This is the composition a 100-TB crawl ingest runs —
+    shard discovery scales with new files per trigger, parse is
+    executor-side per shard, and upsert cost tracks the CHANGE via
+    bucket pruning, not the corpus."""
+    import os
+
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.warc import (
+        warc_pack_record,
+        warc_parse_record,
+        warc_split_members,
+    )
+    from etl_sprint_2_5_spark.streaming.sink import (
+        read_bucketed_view,
+        upsert_keyed_parquet_bucketed,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(*_DOC_COLS)
+    tmp = tempfile.mkdtemp(prefix="warc_stream_")
+    inbox, ckpt, view = f"{tmp}/inbox", f"{tmp}/ckpt", f"{tmp}/view"
+    os.makedirs(inbox)
+
+    def stage_wave(wave: str, part: DataFrame) -> None:
+        def write_shard(batches):  # noqa: ANN001 - Arrow iterator
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(inbox, f"{wave}-{pid:04d}.warc.gz")
+            n = 0
+            with open(path, "wb") as fh:
+                for pdf in batches:
+                    for r in pdf.itertuples():
+                        fh.write(
+                            warc_pack_record(
+                                f"http://corpus.local/docs/{int(r.doc_id)}",
+                                str(r.text).encode("utf-8"),
+                                extra_headers={
+                                    "X-Doc-Lang": str(r.lang),
+                                    "X-Doc-Source": str(r.source),
+                                    "X-Doc-NChars": str(int(r.n_chars)),
+                                },
+                            )
+                        )
+                        n += 1
+            yield pd.DataFrame({"path": [path], "rows": [n]})
+
+        part.repartition(4, "doc_id").mapInPandas(
+            write_shard, "path string, rows long"
+        ).collect()
+
+    def parse(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = []
+            for shard in pdf["content"]:
+                for raw in warc_split_members(bytes(shard)):
+                    hdr, block = warc_parse_record(raw)
+                    rows.append(
+                        (
+                            int(hdr["warc-target-uri"].rsplit("/", 1)[1]),
+                            block.decode("utf-8"),
+                            hdr["x-doc-lang"],
+                            hdr["x-doc-source"],
+                            int(hdr["x-doc-nchars"]),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+            )
+
+    def drain_once(tag: str) -> int:
+        stream = (
+            spark.readStream.format("binaryFile")
+            # the source's fixed schema, stated explicitly — streaming
+            # sources refuse inference by design
+            .schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            .option("pathGlobFilter", "*.warc.gz")
+            .option("maxFilesPerTrigger", 2)
+            .load(inbox)
+            .select("content")
+            .mapInPandas(parse, _DOC_SCHEMA)
+        )
+        seen = []
+
+        def commit(b, _eid) -> None:  # noqa: ANN001 - micro-batch DF
+            b.persist()
+            seen.append(b.count())
+            upsert_keyed_parquet_bucketed(spark, b, view, "doc_id",
+                                          n_buckets=8)
+            b.unpersist()
+
+        q = (
+            stream.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"streaming_warc_ingest {tag} did not drain")
+        return sum(seen)
+
+    try:
+        half = docs.count() // 2  # SF-independent wave split
+        stage_wave("wave_a", docs.where(F.col("doc_id") < half))
+        drain_once("wave A")
+        phase_a = read_bucketed_view(spark, view).count()
+
+        stage_wave("wave_b", docs.where(F.col("doc_id") >= half))
+        phase_b = drain_once("wave B")
+
+        out = (
+            read_bucketed_view(spark, view)
+            .select(*_DOC_COLS)
+            .withColumn("phase_a_rows", F.lit(phase_a).cast("bigint"))
+            .withColumn("phase_b_rows", F.lit(phase_b).cast("bigint"))
+            .orderBy("doc_id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
     "orc_interchange_roundtrip",
     oracle="""
     SELECT doc_id, lang, n_chars

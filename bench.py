@@ -220,6 +220,9 @@ HEADLINE = [
     # discovery, executor-side WARC parse, exactly-once manifest
     # upsert, two-wave checkpoint resume
     "streaming_warc_ingest",
+    # round-14: real DSP features (energy / peak / zero-crossings in
+    # exact int64) over real WAV bytes, closed-form oracle
+    "wav_features_real",
 ]
 
 

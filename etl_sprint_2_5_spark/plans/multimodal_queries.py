@@ -733,6 +733,114 @@ def wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wav_features_real",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),
+    spec AS (
+      SELECT doc_id,
+             8000 + 100 * (doc_id % 8) AS rate,
+             400 + 16 * (doc_id % 16) AS n
+      FROM ids
+    ),
+    pcm AS (
+      SELECT s.doc_id, s.rate, s.n, k.range AS k,
+             50 * ((3 * k.range + s.doc_id) % 200 - 100) AS v
+      FROM spec s
+      JOIN range(0, 1024) k ON k.range < s.n
+    ),
+    lagged AS (
+      SELECT doc_id, rate, n, v,
+             lag(v) OVER (PARTITION BY doc_id ORDER BY k) AS pv
+      FROM pcm
+    )
+    SELECT doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(n AS BIGINT) AS n_frames,
+           CAST(sum(v * v) AS BIGINT) AS energy,
+           CAST(max(abs(v)) AS INTEGER) AS peak,
+           CAST(sum(CASE WHEN pv IS NOT NULL AND v * pv < 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+    FROM lagged
+    GROUP BY doc_id, rate, n
+    ORDER BY doc_id
+    """,
+    covers=("X-multimodal-audio", "X-audio-features"),
+)
+def wav_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction over real WAV bytes — the
+    feature-extract half of the audio stage family (decode went real
+    in round 12 via wav_decode_real; this closes the signal-analysis
+    step with an actual DSP kernel, not a blob-hash fake).
+
+    Per doc_id < 48 a SIGNED 16-bit PCM waveform is generated from an
+    integer formula (s_k = 50·((3k+d) mod 200 − 100) — a sawtooth
+    crossing zero ~3 times per 200-sample period), WAV-encoded on the
+    executors, then a second Arrow stage DECODES the blobs and
+    computes the three classic clip-level features in exact integer
+    arithmetic: total energy Σs², peak |s|max, and the zero-crossing
+    rate's numerator (count of strict sign flips between consecutive
+    frames — the standard voiced/unvoiced and noisiness signal).
+    int64 accumulation makes every value bit-comparable to DuckDB's
+    closed-form evaluation of the same formula (lag window for the
+    flips), so the gate proves encode→wire→decode→DSP end-to-end with
+    no codec on the oracle side. At corpus scale this is the shape of
+    any executor-side feature pass: blobs stay in Arrow batches,
+    per-clip numpy kernels, only (id, features) leave the stage."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.wav_codec import (
+        wav_decode,
+        wav_encode,
+    )
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < 48)
+        .select("doc_id")
+    )
+
+    def gen(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rate = 8000 + 100 * (d % 8)
+                n = 400 + 16 * (d % 16)
+                k = np.arange(n, dtype=np.int64)
+                s = (50 * ((3 * k + d) % 200 - 100)).astype(np.int16)
+                rows.append((d, wav_encode(s, rate)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = ids.mapInPandas(gen, "doc_id long, payload binary")
+
+    def feats(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                pcm, rate = wav_decode(bytes(p))
+                s = pcm[:, 0].astype(np.int64)  # mono fixture
+                energy = int((s * s).sum())
+                peak = int(np.abs(s).max())
+                zc = int(((s[1:] * s[:-1]) < 0).sum())
+                rows.append((int(d), rate, len(s), energy, peak, zc))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "n_frames",
+                    "energy", "peak", "zero_crossings",
+                ],
+            )
+
+    out = blobs.mapInPandas(
+        feats,
+        "doc_id long, sample_rate int, n_frames long, "
+        "energy long, peak int, zero_crossings long",
+    ).orderBy("doc_id")
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
     "png_resize_real",
     oracle="""
     WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 48),

@@ -135,3 +135,36 @@ def test_orc_readback_pushdown_and_pruning(spark, tmp_path):
     assert "GreaterThan(doc_id,10)" in plan
     assert "IsNotNull(lang)" in plan
     assert "struct<doc_id:bigint,lang:string,n_chars:bigint>" in plan
+
+
+def test_jsonl_escape_surface_spark(spark, tmp_path):
+    """The gate's documents are ASCII word-soup, so the JSON escape
+    surface needs its own adversarial pin: quotes, newlines, tabs,
+    backslashes, unicode (incl. astral plane), JSON-lookalike text,
+    and NULLs must survive json.dumps → gzip → native JSON readback
+    byte-for-byte."""
+    import gzip
+    import json
+
+    nasty = [
+        (0, 'plain'),
+        (1, 'quote " inside'),
+        (2, 'newline\nand\r\ncrlf'),
+        (3, 'tab\tbackslash\\ slash/'),
+        (4, 'unicode: päragraph — 中文 🚀   '),
+        (5, '{"looks": "like json", "n": [1,2]}'),
+        (6, ''),
+        (7, None),
+    ]
+    path = tmp_path / "shard.jsonl.gz"
+    with gzip.open(path, "wt", encoding="utf-8") as fh:
+        for i, t in nasty:
+            fh.write(json.dumps({"doc_id": i, "text": t},
+                                ensure_ascii=False) + "\n")
+    back = (
+        spark.read.schema("doc_id long, text string")
+        .json(str(tmp_path))
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert [(r.doc_id, r.text) for r in back] == nasty

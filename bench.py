@@ -223,6 +223,10 @@ HEADLINE = [
     # round-14: real DSP features (energy / peak / zero-crossings in
     # exact int64) over real WAV bytes, closed-form oracle
     "wav_features_real",
+    # round-14: the pretraining cleanup pass (NFKC + control strip +
+    # whitespace collapse) gated against the Unicode standard's own
+    # confusable mappings
+    "text_unicode_normalize",
 ]
 
 

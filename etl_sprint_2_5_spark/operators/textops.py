@@ -424,3 +424,21 @@ def unigram_nll(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
         "total_nll_ppm",
         F.expr("total_nll_ppm div n_tokens").alias("avg_nll_ppm"),
     )
+
+
+def nfkc_clean(s: str) -> str:
+    """The standard pretraining text-cleanup kernel (the step C4 /
+    FineWeb / GPT-2-style pipelines run before tokenization): Unicode
+    NFKC normalization (fullwidth forms, ligatures, compatibility
+    digits/units, combining-sequence composition), control-character
+    strip (category Cc — this is the aggressive single-line variant;
+    a newline-preserving pipeline would exempt the newline), and
+    unicode-whitespace collapse to single ASCII spaces with outer
+    trim. Pure per-string CPU — run inside Arrow-batched pandas UDFs
+    on the executors (the stemmer precedent: Python only touches the
+    string payload, Spark owns the distribution)."""
+    import unicodedata
+
+    s = unicodedata.normalize("NFKC", s)
+    s = "".join(ch for ch in s if unicodedata.category(ch) != "Cc")
+    return " ".join(s.split())

@@ -1415,3 +1415,85 @@ def gopher_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "text_unicode_normalize",
+    oracle="""
+    WITH ids AS (SELECT doc_id, text FROM documents WHERE doc_id < 200),
+    m AS (SELECT ['A','b','7','fi','ffl','XII','km','2','ff','Z','0',
+                  chr(233)] AS L)
+    SELECT doc_id,
+           text || ' ' ||
+           list_extract(L, (doc_id + 0) % 12 + 1) || ' ' ||
+           list_extract(L, (doc_id + 1) % 12 + 1) || ' ' ||
+           list_extract(L, (doc_id + 2) % 12 + 1) || ' ' ||
+           list_extract(L, (doc_id + 3) % 12 + 1) AS norm_text,
+           CAST(length(text) + 4
+                + length(list_extract(L, (doc_id + 0) % 12 + 1))
+                + length(list_extract(L, (doc_id + 1) % 12 + 1))
+                + length(list_extract(L, (doc_id + 2) % 12 + 1))
+                + length(list_extract(L, (doc_id + 3) % 12 + 1))
+                AS BIGINT) AS n_chars_norm
+    FROM ids, m
+    ORDER BY doc_id
+    """,
+    covers=("X-text-nfkc",),
+)
+def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode text normalization — the cleanup pass every pretraining
+    pipeline runs before tokenization (operators/textops.nfkc_clean:
+    NFKC + control-char strip + unicode-whitespace collapse), gated
+    against the UNICODE STANDARD's own mappings rather than a
+    reimplementation: each document's clean ASCII text gets a
+    deterministic dirty suffix drawn from a 12-entry confusable
+    alphabet (fullwidth letters/digits, fi/ffl/ff ligatures, the Ⅻ
+    roman numeral, the ㎞ square unit, a superscript ², and a
+    COMBINING-ACUTE e sequence), joined by BEL + NBSP + THIN SPACE.
+    The oracle reconstructs the expected output closed-form — the
+    original text untouched, each confusable replaced by its standard
+    NFKC image (the combining sequence COMPOSED to one code point,
+    pinned by the length column), every joiner collapsed to one
+    space — so a normalizer that misses a mapping class, leaks a
+    control char, or fails to compose diacritics bends either the
+    string or the code-point count. Arrow-batched per-string kernel,
+    the stemmer's execution model."""
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.textops import nfkc_clean
+
+    raw = [
+        "\uFF21", "\uFF42", "\uFF17",  # fullwidth A b 7
+        "\uFB01", "\uFB04",             # fi / ffl ligatures
+        "\u216B",                        # roman numeral twelve
+        "\u339E",                        # square km unit
+        "\u00B2",                        # superscript two
+        "\uFB00",                        # ff ligature
+        "\uFF3A", "\uFF10",             # fullwidth Z 0
+        "e\u0301",                       # e + COMBINING ACUTE (2 cp)
+    ]
+    joiner = "\u0007\u00A0\u2009"  # BEL + NBSP + THIN SPACE
+
+    docs = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < 200)
+        .select("doc_id", "text")
+    )
+
+    def stage(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            out = []
+            for d, t in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                dirty = str(t) + joiner + joiner.join(
+                    raw[(d + k) % 12] for k in range(4)
+                )
+                norm = nfkc_clean(dirty)
+                out.append((d, norm, len(norm)))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "norm_text", "n_chars_norm"]
+            )
+
+    return docs.mapInPandas(
+        stage, "doc_id long, norm_text string, n_chars_norm long"
+    ).orderBy("doc_id")

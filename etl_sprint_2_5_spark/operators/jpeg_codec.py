@@ -408,7 +408,13 @@ def _split_entropy_ext(data: bytes):
         while j < n and data[j] == 0xFF:  # fill bytes
             j += 1
         m = data[j] if j < n else 0xD9
-        if m == 0x00:  # stuffed data byte (trailing 0xFF 0x00 pair)
+        if m == 0x00:  # stuffed data byte (exactly one 0xFF 0x00 pair)
+            if j != i + 1:
+                # T.81 B.1.1.2: fill bytes precede MARKERS only, and
+                # FF 00 is not a marker — an FF-run ending in 0x00
+                # (e.g. FF FF 00) has no conformant encoding, so it is
+                # corruption, not data; refuse rather than guess.
+                raise ValueError("jpeg: 0xFF fill run before stuffed byte")
             cur.append(0xFF)
             i = j + 1
         elif 0xD0 <= m <= 0xD7:  # restart
@@ -653,7 +659,13 @@ def _finish_progressive(prog: dict, qt: dict) -> np.ndarray:
 def _decode_scan(data, frame, scan, qt, huff, restart) -> np.ndarray:
     h, w, comps = frame
     if len(scan) != len(comps):
-        raise NotImplementedError("jpeg: multi-scan (non-interleaved)")
+        # A scan over a strict subset of frame components is a VALID
+        # multi-scan (non-interleaved) sequential stream per T.81 —
+        # unsupported here, so route to the deterministic-fake lane,
+        # not the quarantine lane.
+        raise NotImplementedError(
+            "jpeg: multi-scan sequential not supported"
+        )
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux = -(-w // (8 * hmax))
@@ -673,8 +685,12 @@ def _decode_scan(data, frame, scan, qt, huff, restart) -> np.ndarray:
         )
         meta.append((cs, ch, cv, qt[tq_id], huff[(0, td)], huff[(1, ta)]))
 
-    if set(planes) != set(by_id):
-        raise ValueError("jpeg: scan does not cover the frame components")
+    if len(planes) != len(scan):
+        # T.81 B.2.3: component selectors within one SOS must be
+        # distinct — a duplicate is a malformed stream (quarantine).
+        # (Given the length check above and the known-component check
+        # in the loop, distinct selectors always cover the frame.)
+        raise ValueError("jpeg: duplicate component in scan")
 
     segs = _split_entropy(data)
     r = _BitReader(segs[0])

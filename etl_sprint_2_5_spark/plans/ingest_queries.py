@@ -95,7 +95,7 @@ def jsonl_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .mapInPandas(write_shard, "path string, rows long, bytes long")
             .collect()
         )
-        assert sum(m.rows for m in manifest) == docs.count()
+        written = sum(m.rows for m in manifest)
 
         back = (
             spark.read.schema(_DOC_SCHEMA)
@@ -103,7 +103,19 @@ def jsonl_gz_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(*_DOC_COLS)
             .orderBy("doc_id")
         )
-        return spark.createDataFrame(back.collect(), back.schema)
+        rows = back.collect()
+        # manifest-vs-readback invariant: every row the writers
+        # counted must parse back (a silent Jackson drop or codec
+        # truncation shows here before the hash even runs). Explicit
+        # raise — an assert is stripped under python -O — and it
+        # reuses counts already materialized, no extra scan.
+        # Source completeness is owned by the oracle value hash.
+        if len(rows) != written:
+            raise ValueError(
+                f"jsonl ingest row-count mismatch: wrote {written}, "
+                f"read back {len(rows)}"
+            )
+        return spark.createDataFrame(rows, back.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -221,7 +233,18 @@ def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     manifest). This is the composition a 100-TB crawl ingest runs —
     shard discovery scales with new files per trigger, parse is
     executor-side per shard, and upsert cost tracks the CHANGE via
-    bucket pruning, not the corpus."""
+    bucket pruning, not the corpus.
+
+    Deployment root: inbox/checkpoint/view live under ONE root that
+    every executor and the driver must reach. On a cluster that root
+    is object storage or a shared filesystem (``s3a://bucket/ingest``
+    / HDFS / NFS) — the file source lists the inbox remotely, the
+    checkpoint's offset log needs durable shared storage to survive
+    driver failover, and the writers here address the inbox by the
+    same URI. Injectable via ``SPARK_GRAFT_INGEST_ROOT`` (a fresh
+    subdirectory is created per run and removed afterward); the
+    default — a driver-local mkdtemp — is exactly as portable as
+    local[*], where driver and executors share one filesystem."""
     import os
 
     import pandas as pd
@@ -237,7 +260,8 @@ def streaming_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, "documents", sf_dir).select(*_DOC_COLS)
-    tmp = tempfile.mkdtemp(prefix="warc_stream_")
+    root = os.environ.get("SPARK_GRAFT_INGEST_ROOT")
+    tmp = tempfile.mkdtemp(prefix="warc_stream_", dir=root or None)
     inbox, ckpt, view = f"{tmp}/inbox", f"{tmp}/ckpt", f"{tmp}/view"
     os.makedirs(inbox)
 

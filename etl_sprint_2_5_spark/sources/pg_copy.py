@@ -333,8 +333,15 @@ class staged_ids:
             self.dsn,
             f"CREATE UNLOGGED TABLE {self.table} (id bigint PRIMARY KEY)",
         )
-        _copy_in(self.dsn, self.table, ["id"], [(i,) for i in self.ids])
-        pg_exec(self.dsn, f"ANALYZE {self.table}")
+        try:
+            _copy_in(self.dsn, self.table, ["id"], [(i,) for i in self.ids])
+            pg_exec(self.dsn, f"ANALYZE {self.table}")
+        except BaseException:
+            # a COPY/ANALYZE failure means the with-body is never
+            # entered and __exit__ never runs — drop here or the
+            # stage table leaks for the life of the PG instance
+            self.__exit__()
+            raise
         return f"SELECT id FROM {self.table}"
 
     def __exit__(self, *exc) -> None:

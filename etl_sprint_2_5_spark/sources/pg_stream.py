@@ -27,6 +27,18 @@ Requirements: ``psql`` on PATH wherever partitions run (executors on
 a real cluster; this container's local mode). The id column must be
 integral and unique; ``(ts_col, id_col)`` should be indexed — the
 same contract the reference's cursor query has.
+
+Balance assumption: the contiguous tiling divides the interval's id
+RANGE, not its row count — even slices assume DENSE ids (serial PK,
+few deletes), which is the reference CDC table's contract
+(postgres_init.sql: serial ids). If ids were sparse or clustered
+(bulk deletes, id gaps from sequence caching), one slice could
+receive most rows; the fix at that point is a percentile probe
+(``percentile_disc`` over the interval, or repeated ntile bounds)
+feeding the same BETWEEN pushdown — deliberately NOT paid here
+because it costs an extra per-batch sort-aggregate on the hot poll
+path that dense serial ids never need. Correctness is unaffected
+either way: slices partition [lo, hi] exactly, only balance shifts.
 """
 
 from __future__ import annotations

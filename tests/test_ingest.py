@@ -168,3 +168,33 @@ def test_jsonl_escape_surface_spark(spark, tmp_path):
         .collect()
     )
     assert [(r.doc_id, r.text) for r in back] == nasty
+
+
+def test_streaming_warc_inbox_root_injectable(spark, tmp_path, monkeypatch):
+    """SPARK_GRAFT_INGEST_ROOT relocates the streaming inbox/
+    checkpoint/view root (the cluster deployment passes shared
+    storage here); the gate itself is unchanged and the staging dir
+    is removed on exit."""
+    import os
+
+    from etl_sprint_2_5_spark.plans import REGISTRY, load_all
+
+    load_all()
+    root = tmp_path / "ingest_root"
+    root.mkdir()
+    monkeypatch.setenv("SPARK_GRAFT_INGEST_ROOT", str(root))
+    seen = []
+    real_makedirs = os.makedirs
+
+    def spy(path, *a, **k):
+        seen.append(str(path))
+        return real_makedirs(path, *a, **k)
+
+    monkeypatch.setattr(os, "makedirs", spy)
+    out = REGISTRY["streaming_warc_ingest"].fn(
+        spark, "/root/testdata/sf0.001"
+    )
+    assert out.count() > 0
+    inboxes = [p for p in seen if p.endswith("/inbox")]
+    assert inboxes and inboxes[0].startswith(str(root))
+    assert os.listdir(root) == []  # staging removed on exit

@@ -403,3 +403,62 @@ def test_progressive_eob_runs_span_blocks():
         jpeg_encode_progressive(img, quality=80, subsampling="4:2:0")
     )
     assert np.array_equal(prog, base)
+
+
+def test_ff_run_before_stuffed_byte_quarantines():
+    """T.81 B.1.1.2 allows fill bytes before MARKERS only; FF 00 is a
+    stuffed data byte, not a marker, so the sequence FF FF 00 has no
+    conformant encoding — it must quarantine (ValueError), never be
+    silently collapsed to a single data 0xFF."""
+    from etl_sprint_2_5_spark.operators.jpeg_codec import (
+        _split_entropy_ext,
+    )
+
+    # exactly one FF before 00 is the normal stuffed byte
+    segs, used = _split_entropy_ext(b"\x12\xff\x00\x34")
+    assert segs == [b"\x12\xff\x34"] and used == 4
+    with pytest.raises(ValueError):
+        _split_entropy_ext(b"\x12\xff\xff\x00\x34")
+
+
+def _color_jpeg_and_sos():
+    vals = np.arange(6).reshape(2, 3) * 40
+    img = np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1).astype(np.uint8)
+    rgb = np.stack([img, img[::-1], img[:, ::-1]], axis=2)
+    data = jpeg_encode(rgb, quality=100)
+    sos = data.find(b"\xff\xda")
+    assert sos > 0
+    ns = data[sos + 4]
+    assert ns == 3  # Ns, then Ns × (Cs, TdTa), then Ss Se AhAl
+    return data, sos
+
+
+def test_subset_scan_routes_to_fake_lane():
+    """A sequential SOS covering a strict subset of frame components
+    is a VALID multi-scan sequential stream per T.81 — unsupported,
+    so it must raise NotImplementedError (deterministic-fake lane),
+    not ValueError (quarantine lane)."""
+    data, sos = _color_jpeg_and_sos()
+    comp1 = data[sos + 5:sos + 7]
+    band = data[sos + 11:sos + 14]
+    tail = data[sos + 14:]
+    single = (
+        data[:sos]
+        + b"\xff\xda"
+        + struct.pack(">HB", 8, 1)
+        + comp1
+        + band
+        + tail
+    )
+    with pytest.raises(NotImplementedError, match="multi-scan sequential"):
+        jpeg_decode(single)
+
+
+def test_duplicate_component_in_scan_quarantines():
+    """Duplicate component selectors within one SOS violate T.81
+    B.2.3 — malformed, so quarantine (ValueError)."""
+    data, sos = _color_jpeg_and_sos()
+    dup = bytearray(data)
+    dup[sos + 9] = dup[sos + 5]  # third selector := first's id
+    with pytest.raises(ValueError, match="duplicate component"):
+        jpeg_decode(bytes(dup))

@@ -305,6 +305,26 @@ def test_staged_ids_threshold_crossing(dsn):
         assert probe(frag)[0] == 0
 
 
+def test_staged_ids_enter_failure_drops_stage(dsn, monkeypatch):
+    """If COPY (or ANALYZE) fails inside __enter__, the with-body is
+    never entered and __exit__ never runs — the stage table must be
+    dropped before the error propagates, or it leaks for the life of
+    the PG instance."""
+
+    def boom(*a, **k):
+        raise RuntimeError("copy blew up")
+
+    monkeypatch.setattr(pg_copy, "_copy_in", boom)
+    with pytest.raises(RuntimeError, match="copy blew up"):
+        with pg_copy.staged_ids(dsn, list(range(50)), threshold=10):
+            raise AssertionError("with-body must not be entered")
+    left = pg_copy.pg_exec(
+        dsn,
+        "SELECT count(*) FROM pg_class WHERE relname LIKE 'ids_stage_%'",
+    ).strip()
+    assert left == "0"
+
+
 def test_pg_stream_range_tiling_and_nulls(dsn):
     """PgKeysetStreamReader.partitions tiles the cursor interval into
     CONTIGUOUS id ranges (each slice = one PK index range scan), and

@@ -338,6 +338,16 @@ def hll_estimate(
 # range.
 
 
+def dd_bucket_expr(value_col: str):
+    """The bucket id of a non-negative integer value as a Column:
+    identity below 4, else (bitlength << 2) | top-2-sub-bits."""
+    return F.expr(
+        f"CASE WHEN {value_col} < 4 THEN {value_col} "
+        f"ELSE (length(bin({value_col})) << 2) "
+        f"| ((shiftright({value_col}, length(bin({value_col})) - 3)) & 3) END"
+    ).cast("long")
+
+
 def dd_build(
     df: DataFrame,
     value_col: str,
@@ -346,11 +356,7 @@ def dd_build(
     """Build the histogram: (*group_cols, bucket_id, n). One
     map-side-combinable groupBy; ≤ ~256 rows per group ever cross the
     shuffle per task regardless of scan size."""
-    bid = F.expr(
-        f"CASE WHEN {value_col} < 4 THEN {value_col} "
-        f"ELSE (length(bin({value_col})) << 2) "
-        f"| ((shiftright({value_col}, length(bin({value_col})) - 3)) & 3) END"
-    ).cast("long")
+    bid = dd_bucket_expr(value_col)
     return (
         df.select(*group_cols, bid.alias("bucket_id"))
         .groupBy(*group_cols, "bucket_id")
@@ -419,6 +425,73 @@ def dd_quantile(
         (lower.cast("long") * F.lit(1000) + width.cast("long") * F.lit(500))
         .cast("long")
         .alias("est_milli"),
+    )
+
+
+def dd_exact_rank(
+    df: DataFrame,
+    value_col: str,
+    est: DataFrame,
+    sketch: DataFrame,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The EXACT order statistic at each ``est`` row's ``rank_k``,
+    computed bucket-narrowed instead of by a full-table sort.
+
+    Why: the naive audit (``row_number().over(partitionBy(g)
+    .orderBy(v))``) sorts the ENTIRE column in one task per group —
+    at 3 groups that is a third of the fact table per task, the
+    single superlinear term in an otherwise counter-sized plan. But
+    the sketch already knows WHICH bucket the rank-k value sits in
+    and HOW MANY rows precede that bucket (the cumulative histogram),
+    so the exact value only needs an in-bucket order statistic:
+
+    1. ``base_n`` = rows strictly below the hit bucket — a window
+       over the ≤ ~256-row-per-group histogram, not the data;
+    2. scan-filter the data to the ≤ (groups × quantiles) hit
+       buckets via a broadcast semi-join (one scan, no shuffle of
+       misses);
+    3. groupBy value WITHIN the hit bucket (map-side combinable) and
+       take the first value whose in-bucket cumulative count reaches
+       ``rank_k - base_n``. The in-bucket window's input is DISTINCT
+       values, bounded by the bucket's integer width (width =
+       lower/4) — a constant independent of row count, so the audit
+       stays flat while the data grows.
+
+    Output: the ``est`` columns plus ``exact`` (the rank_k-th
+    smallest value of ``value_col`` per group)."""
+    from pyspark.sql import Window
+
+    keys = [*group_cols, "bucket_id"]
+    gw = Window.partitionBy(*group_cols).orderBy("bucket_id")
+    cum = sketch.select(
+        *keys, "n", F.sum("n").over(gw).alias("cum_n")
+    )
+    base = (
+        est.join(cum, on=keys)
+        .withColumn("base_n", F.col("cum_n") - F.col("n"))
+        .drop("n", "cum_n")
+    )
+    targets = base.select(*keys).distinct()
+    in_bucket = df.select(
+        *group_cols,
+        F.col(value_col).alias("_v"),
+        dd_bucket_expr(value_col).alias("bucket_id"),
+    ).join(F.broadcast(targets), on=keys)
+    vw = Window.partitionBy(*keys).orderBy("_v")
+    vc = (
+        in_bucket.groupBy(*keys, "_v")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("cum_in", F.sum("cnt").over(vw))
+    )
+    need = F.col("rank_k") - F.col("base_n")
+    return (
+        vc.join(F.broadcast(base), on=keys)
+        .where(
+            (F.col("cum_in") >= need) & (F.col("cum_in") - F.col("cnt") < need)
+        )
+        .drop("cnt", "cum_in", "base_n")
+        .withColumnRenamed("_v", "exact")
     )
 
 

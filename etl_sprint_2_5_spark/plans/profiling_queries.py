@@ -799,11 +799,20 @@ def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the sketch is ONE map-side-combinable groupBy to
     ≤ ~256 cells per group — the p50/p90/p99 of a 100 TB fact column
     costs a counter histogram, not a sort. The exact order-statistic
-    audit column (rank-k via row_number) is the O(n log n) path the
-    sketch replaces, kept here to gate the error; merge-by-addition
-    (fold per-day histograms) is proven in tests/test_sketch.py."""
-    from etl_sprint_2_5_spark.operators.sketch import dd_build, dd_quantile
-    from pyspark.sql import Window
+    audit column is kept to gate the error, but computed
+    BUCKET-NARROWED (dd_exact_rank): the sketch's own cumulative
+    histogram locates each rank's bucket, a broadcast semi-join
+    filters the scan to those ≤ 9 buckets, and the in-bucket window
+    runs over distinct values — bounded by the bucket's integer
+    width, independent of row count (the r14 full-table row_number
+    audit was the one superlinear term in this plan; LINEARITY_r14
+    row 2). Merge-by-addition (fold per-day histograms) is proven in
+    tests/test_sketch.py."""
+    from etl_sprint_2_5_spark.operators.sketch import (
+        dd_build,
+        dd_exact_rank,
+        dd_quantile,
+    )
 
     li = load_table(spark, "lineitem", sf_dir)
     cents = li.select(
@@ -814,22 +823,14 @@ def ddsketch_price_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sk = dd_build(cents, "c", group_cols=("g",))
     est = dd_quantile(sk, _DD_QS, group_cols=("g",))
-    numbered = cents.select(
-        "g",
-        "c",
-        F.row_number().over(Window.partitionBy("g").orderBy("c")).alias("rn"),
-    )
-    out = est.join(
-        numbered,
-        (F.col("rn") == F.col("rank_k")) & (numbered["g"] == est["g"]),
-    ).select(
-        est["g"].alias("l_returnflag"),
+    out = dd_exact_rank(cents, "c", est, sk, group_cols=("g",)).select(
+        F.col("g").alias("l_returnflag"),
         "q_milli",
         "rank_k",
         "bucket_id",
         "est_milli",
-        F.col("c").alias("exact_cents"),
-        F.expr("(abs(est_milli - c * 1000) * 1000000) div (c * 1000)")
+        F.col("exact").alias("exact_cents"),
+        F.expr("(abs(est_milli - exact * 1000) * 1000000) div (exact * 1000)")
         .cast("long")
         .alias("rel_err_ppm"),
     )
@@ -851,15 +852,18 @@ def streaming_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity) prove counts fold across triggers; the drained histogram
     runs through the SAME dd_quantile evaluation and gates against
     the SAME oracle as the batch query — including the exact
-    order-statistic audit (computed batch-side; it exists to show the
+    order-statistic audit (computed batch-side and bucket-narrowed
+    via dd_exact_rank, like the batch twin; it exists to show the
     error, not to stream)."""
     import os
     import shutil
     import tempfile
 
-    from etl_sprint_2_5_spark.operators.sketch import dd_quantile
+    from etl_sprint_2_5_spark.operators.sketch import (
+        dd_exact_rank,
+        dd_quantile,
+    )
     from etl_sprint_2_5_spark.plans.events_queries import _drain_or_raise
-    from pyspark.sql import Window
 
     li = load_table(spark, "lineitem", sf_dir).select(
         "l_orderkey", "l_returnflag", "l_extendedprice"
@@ -904,31 +908,29 @@ def streaming_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         _drain_or_raise(q, "streaming_dd_quantiles")
-        est = dd_quantile(spark.table(sink), _DD_QS, group_cols=("g",))
+        drained = spark.createDataFrame(
+            spark.table(sink).collect(), spark.table(sink).schema
+        )
+        est = dd_quantile(drained, _DD_QS, group_cols=("g",))
         cents = li.select(
             F.col("l_returnflag").alias("g"),
             F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
             .cast("long")
             .alias("c"),
         )
-        numbered = cents.select(
-            "g",
-            "c",
-            F.row_number()
-            .over(Window.partitionBy("g").orderBy("c"))
-            .alias("rn"),
-        )
-        out = est.join(
-            numbered,
-            (F.col("rn") == F.col("rank_k")) & (numbered["g"] == est["g"]),
+        out = dd_exact_rank(
+            cents, "c", est, drained, group_cols=("g",)
         ).select(
-            est["g"].alias("l_returnflag"),
+            F.col("g").alias("l_returnflag"),
             "q_milli",
             "rank_k",
             "bucket_id",
             "est_milli",
-            F.col("c").alias("exact_cents"),
-            F.expr("(abs(est_milli - c * 1000) * 1000000) div (c * 1000)")
+            F.col("exact").alias("exact_cents"),
+            F.expr(
+                "(abs(est_milli - exact * 1000) * 1000000) "
+                "div (exact * 1000)"
+            )
             .cast("long")
             .alias("rel_err_ppm"),
         ).orderBy("l_returnflag", "q_milli")

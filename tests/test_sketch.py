@@ -360,3 +360,57 @@ def test_kmv_empty_inputs_anchor_row(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r.theta == _KMV_M and r.a_est_milli == 0 and r.union_est_milli == 0
+
+
+def test_dd_exact_rank_matches_full_sort_audit(spark):
+    """dd_exact_rank (bucket-narrowed order statistic) must agree with
+    the naive row_number audit for every quantile — on data designed
+    to stress the seams: duplicate values straddling bucket
+    boundaries, sub-4 identity buckets, single-value groups, and a
+    rank that lands exactly on a bucket's first/last row."""
+    import random
+
+    from pyspark.sql import Window
+
+    from etl_sprint_2_5_spark.operators.sketch import (
+        dd_build,
+        dd_exact_rank,
+        dd_quantile,
+    )
+
+    rng = random.Random(41)
+    rows = []
+    # group a: heavy duplicates around powers of two (bucket edges)
+    for _ in range(400):
+        base = rng.choice([1, 2, 3, 4, 7, 8, 31, 32, 33, 1023, 1024])
+        rows.append(("a", base))
+    # group b: smooth spread
+    rows += [("b", rng.randrange(1, 100_000)) for _ in range(500)]
+    # group c: a single value (every quantile = that value)
+    rows += [("c", 42)] * 7
+    df = spark.createDataFrame(rows, "g string, c long")
+
+    qs = (1, 250, 500, 900, 990, 1000)
+    sk = dd_build(df, "c", group_cols=("g",))
+    est = dd_quantile(sk, qs, group_cols=("g",))
+
+    naive = df.select(
+        "g",
+        "c",
+        F.row_number().over(Window.partitionBy("g").orderBy("c")).alias("rn"),
+    )
+    want = {
+        (r.g, r.q_milli): r.c
+        for r in est.join(
+            naive,
+            (F.col("rn") == F.col("rank_k")) & (naive["g"] == est["g"]),
+        )
+        .select(est["g"], "q_milli", "c")
+        .collect()
+    }
+    got = {
+        (r.g, r.q_milli): r.exact
+        for r in dd_exact_rank(df, "c", est, sk, group_cols=("g",)).collect()
+    }
+    assert got == want
+    assert len(got) == 3 * len(qs)

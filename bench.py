@@ -227,6 +227,10 @@ HEADLINE = [
     # whitespace collapse) gated against the Unicode standard's own
     # confusable mappings
     "text_unicode_normalize",
+    # round-15: NULL + empty-string fidelity through the LIVE
+    # streaming CDC path (COPY framing, typed conversion, manifest
+    # merge), with live UPDATEs writing NULLs in both directions
+    "streaming_pg_nulls_live",
 ]
 
 

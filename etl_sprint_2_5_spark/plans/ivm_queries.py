@@ -1176,3 +1176,151 @@ def streaming_ivm_pg_live(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _REG["streaming_ivm_pg_live"].oracle = _REG["ivm_maintained_docs_pg_live"].oracle
+
+
+@query(
+    "streaming_pg_nulls_live",
+    oracle="""
+    WITH final AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 3 THEN NULL
+                  WHEN doc_id % 5 = 0 THEN NULL
+                  WHEN doc_id % 5 = 1 THEN ''
+                  ELSE text END AS txt,
+             CASE WHEN doc_id % 10 = 6 THEN 'xx'
+                  WHEN doc_id % 7 = 0 THEN NULL
+                  ELSE lang END AS lang_n,
+             CASE WHEN doc_id % 10 = 3 THEN NULL
+                  WHEN doc_id % 11 = 0 THEN NULL
+                  ELSE n_chars END AS n_chars_n
+      FROM documents
+    )
+    SELECT doc_id, txt, lang_n, n_chars_n,
+           CAST((SELECT count(*) FROM documents) AS BIGINT)
+               AS phase_a_rows,
+           CAST((SELECT count(*) FROM documents WHERE doc_id % 10 IN (3, 6))
+                AS BIGINT) AS phase_b_rows
+    FROM final
+    ORDER BY doc_id
+    """,
+    covers=("X-pg-stream-nulls",),
+)
+def streaming_pg_nulls_live(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL fidelity through the LIVE streaming CDC path, end to end:
+    stage the documents table into live PostgreSQL with deterministic
+    NULL *and empty-string* cells (txt: every 5th NULL, every
+    5th+1 '' — the seam COPY csv must keep apart), drain it through
+    sources/pg_stream.PgKeysetDataSource into the keyed manifest
+    sink, then apply LIVE UPDATEs that CREATE new NULLs (txt/
+    n_chars_n := NULL) and OVERWRITE staged NULLs with values
+    (lang_n := 'xx') — the resumed stream must carry both directions.
+
+    What the hash gates that the unit test
+    (test_pg_stream_range_tiling_and_nulls) cannot: the full
+    composition — COPY-out text framing (``\\N`` vs ``""``), the
+    executor-side typed conversion (NULL bigint next to NULL text),
+    Arrow batch assembly, the manifest sink's parquet round-trip and
+    bucket merge — against a DuckDB oracle computing the same final
+    state from the parquet source. ``phase_a_rows``/``phase_b_rows``
+    pin the offset discipline (reference rows with nullable columns:
+    postgres_init.sql:15,18 — creation_date/rating)."""
+    import os
+
+    from etl_sprint_2_5_spark.sources import pg_copy
+    from etl_sprint_2_5_spark.sources.pg_stream import PgKeysetDataSource
+    from etl_sprint_2_5_spark.streaming.sink import (
+        upsert_keyed_parquet_bucketed,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="pg_nulls_stream_")
+    os.chmod(tmp, 0o755)  # the nobody-owned cluster must traverse it
+    view, ckpt = f"{tmp}/view", f"{tmp}/ckpt"
+    spark.dataSource.register(PgKeysetDataSource)
+    try:
+        with pg_copy.ephemeral_pg(f"{tmp}/cluster") as dsn:
+            pg_copy.pg_exec(
+                dsn,
+                "CREATE TABLE docs_n (doc_id bigint PRIMARY KEY, "
+                "txt text, lang_n text, n_chars_n bigint, "
+                "updated_at timestamp)",
+            )
+            pg_copy.pg_exec(
+                dsn, "CREATE INDEX ON docs_n (updated_at, doc_id)"
+            )
+            staged = load_table(spark, "documents", sf_dir).select(
+                "doc_id",
+                F.when(F.col("doc_id") % 5 == 0, F.lit(None))
+                .when(F.col("doc_id") % 5 == 1, F.lit(""))
+                .otherwise(F.col("text"))
+                .alias("txt"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+                .otherwise(F.col("lang"))
+                .alias("lang_n"),
+                F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+                .otherwise(F.col("n_chars"))
+                .alias("n_chars_n"),
+                _ts(F.lit(_T0) + (F.col("doc_id") % 3) * 60)
+                .alias("updated_at"),
+            )
+            pg_copy.pg_copy_load(staged, dsn, "docs_n")
+
+            counters: list[int] = []
+
+            def drain() -> None:
+                stream = (
+                    spark.readStream.format("pg_keyset")
+                    .option("dsn", dsn)
+                    .option("table", "docs_n")
+                    .option("tscol", "updated_at")
+                    .option("idcol", "doc_id")
+                    .option(
+                        "readschema",
+                        "doc_id long, txt string, lang_n string, "
+                        "n_chars_n long, updated_at timestamp",
+                    )
+                    .option("slices", "2")
+                    .load()
+                )
+
+                def commit(b, _eid) -> None:  # noqa: ANN001
+                    b = b.drop("updated_at").persist()
+                    counters.append(b.count())
+                    upsert_keyed_parquet_bucketed(
+                        spark, b, view, "doc_id", n_buckets=8
+                    )
+                    b.unpersist()
+
+                q = (
+                    stream.writeStream.foreachBatch(commit)
+                    .option("checkpointLocation", ckpt)
+                    .start()
+                )
+                q.processAllAvailable()
+                q.stop()
+                q.awaitTermination()
+
+            drain()  # phase A: full backfill through the stream
+            phase_a = sum(counters)
+            t1 = dt.datetime.fromtimestamp(
+                _T1, dt.timezone.utc
+            ).strftime("%Y-%m-%d %H:%M:%S")
+            pg_copy.pg_exec(  # live CDC writes, both NULL directions
+                dsn,
+                "UPDATE docs_n SET txt = NULL, n_chars_n = NULL, "
+                f"updated_at = TIMESTAMP '{t1}' WHERE doc_id % 10 = 3; "
+                "UPDATE docs_n SET lang_n = 'xx', "
+                f"updated_at = TIMESTAMP '{t1}' WHERE doc_id % 10 = 6",
+            )
+            drain()  # phase B: resumed from checkpoint
+            phase_b = sum(counters) - phase_a
+
+            out = (
+                read_bucketed_view(spark, view)
+                .select("doc_id", "txt", "lang_n", "n_chars_n")
+                .withColumn("phase_a_rows", F.lit(phase_a).cast("bigint"))
+                .withColumn("phase_b_rows", F.lit(phase_b).cast("bigint"))
+                .orderBy("doc_id")
+            )
+            return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -231,6 +231,11 @@ HEADLINE = [
     # streaming CDC path (COPY framing, typed conversion, manifest
     # merge), with live UPDATEs writing NULLs in both directions
     "streaming_pg_nulls_live",
+    # round-15: MP4 sample tables made REAL — stts/stsc/stsz/stco/
+    # stss walk + byte extraction at absolute offsets, closed-form
+    # checksum oracle (frame ADDRESSING, the shuffle unit of video
+    # pipelines)
+    "mp4_sample_table_real",
 ]
 
 

@@ -416,6 +416,81 @@ def probe_video(df: DataFrame, id_col: str, blob_col: str) -> DataFrame:
     return df.select(id_col, blob_col).mapInPandas(run, VIDEO_SCHEMA)
 
 
+SAMPLES_SCHEMA = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("sample_i", IntegerType()),
+        StructField("dts", LongType()),
+        StructField("dur_ticks", LongType()),
+        StructField("size_bytes", LongType()),
+        StructField("chunk_i", IntegerType()),
+        StructField("keyframe", IntegerType()),
+        StructField("abs_offset", LongType()),
+        StructField("byte_sum", LongType()),
+        StructField("decode_ok", StringType()),
+    ]
+)
+
+
+def _fake_samples(payload: bytes) -> list[tuple]:
+    """DETERMINISTIC FAKE sample rows (md5-derived) for non-BMFF
+    containers — 3 'frames', stable per payload."""
+    h = hashlib.md5(payload).digest()
+    rows, off = [], 0
+    for i in range(3):
+        size = 64 + h[i]
+        rows.append((i, i * 100, 100, size, 0, int(i == 0), off,
+                     size * h[i + 3], "fake"))
+        off += size
+    return rows
+
+
+def video_sample_table(
+    df: DataFrame, id_col: str, blob_col: str
+) -> DataFrame:
+    """Frame/sample-table stage: (id, blob) → one row per media
+    sample with decode timestamp, duration, byte size, chunk
+    membership, keyframe flag, the ABSOLUTE byte offset inside the
+    container, and the byte sum of the sample's payload EXTRACTED at
+    that offset (operators/mp4_probe.mp4_sample_table — the
+    stts/stsc/stsz/stco/stss walk). This is the half of "video
+    decode" that is pure container math, made REAL: a frame-sampling
+    or clip-extraction pipeline addresses frames by exactly these
+    (offset, size, keyframe) rows. Pixel decode still needs a codec
+    library. Non-BMFF → deterministic fake; malformed BMFF →
+    quarantined as one 'corrupt' row with zeroed facts."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, payload in zip(pdf[id_col], pdf[blob_col]):
+                payload = bytes(payload)
+                try:
+                    if len(payload) < 12 or payload[4:8] != b"ftyp":
+                        raise NotImplementedError(
+                            "non-BMFF sample tables not installed"
+                        )
+                    from etl_sprint_2_5_spark.operators.mp4_probe import (
+                        mp4_sample_table,
+                    )
+
+                    st = mp4_sample_table(payload)
+                    for (si, dts, dur, size, ci, off, sy) in st["samples"]:
+                        rows.append((
+                            i, si, dts, dur, size, ci, int(sy), off,
+                            sum(payload[off:off + size]), "real",
+                        ))
+                except NotImplementedError:
+                    rows.extend((i, *r[:-1], r[-1])
+                                for r in _fake_samples(payload))
+                except ValueError:  # dirty claimed-BMFF — quarantine
+                    rows.append((i, -1, 0, 0, 0, -1, 0, 0, 0, "corrupt"))
+            yield pd.DataFrame(rows, columns=[f.name for f in
+                                              SAMPLES_SCHEMA.fields])
+
+    return df.select(id_col, blob_col).mapInPandas(run, SAMPLES_SCHEMA)
+
+
 FEATURES_SCHEMA = StructType(
     [
         StructField("id", StringType()),

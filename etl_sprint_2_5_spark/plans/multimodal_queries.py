@@ -1025,3 +1025,122 @@ def mp4_probe_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "mp4_sample_table_real",
+    oracle="""
+    WITH ids AS (SELECT doc_id AS d FROM documents WHERE doc_id < 48),
+    ks AS (
+      SELECT d, g.k FROM ids CROSS JOIN generate_series(0, 11) g(k)
+      WHERE g.k < 8 + d % 5
+    ),
+    spec AS (
+      SELECT d, k,
+             CASE WHEN k < 4 THEN 100 ELSE 150 END AS dur,
+             CASE WHEN k < 4 THEN 100 * k
+                  ELSE 400 + 150 * (k - 4) END AS dts,
+             16 + ((d * 7 + k * 13) % 32) AS sz,
+             (d * 31 + k * 17) % 251 AS v,
+             CASE WHEN k < 3 THEN 0 ELSE 1 + (k - 3) // 2 END AS ci
+      FROM ks
+    ),
+    cum AS (
+      SELECT *,
+             COALESCE(SUM(sz) OVER (
+               PARTITION BY d ORDER BY k
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cumsz
+      FROM spec
+    )
+    SELECT d AS doc_id,
+           CAST(k AS BIGINT) AS sample_i,
+           CAST(dts AS BIGINT) AS dts,
+           CAST(dur AS BIGINT) AS dur_ticks,
+           CAST(sz AS BIGINT) AS size_bytes,
+           CAST(ci AS BIGINT) AS chunk_i,
+           CAST(CASE WHEN k % 4 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS keyframe,
+           CAST(cumsz + 4 * ci AS BIGINT) AS rel_off,
+           CAST(sz * v AS BIGINT) AS byte_sum,
+           'real' AS decode_ok
+    FROM cum
+    ORDER BY doc_id, sample_i
+    """,
+    covers=("X-mp4-samples",),
+)
+def mp4_sample_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MP4 SAMPLE TABLES made real (operators/mp4_probe.
+    mp4_sample_table — ISO 14496-12 stts/stsc/stsz/stco/stss walk):
+    per doc_id < 48 a single-track container is built from closed-form
+    parameters (n = 8+d%5 samples; two stts runs 100→150 ticks; a
+    3-then-2 samples-per-chunk stsc plan whose LAST chunk runs short;
+    per-sample sizes 16+((7d+13k)%32); every 4th sample a sync frame;
+    4 pad bytes before EVERY chunk so stco offsets are load-bearing;
+    mdhd/mvhd v0 and v1 alternating by doc). The production stage
+    (operators/multimodal.video_sample_table) walks the tables and
+    EXTRACTS each sample's bytes at its absolute offset — ``byte_sum``
+    gates that the offsets address the real payload (constant-fill
+    v = (31d+17k)%251 ⇒ sum = size·v closed-form), ``rel_off``
+    (offset − the track's first offset) gates the chunk/pad layout,
+    dts/dur gate the stts expansion, chunk_i/keyframe gate stsc/stss.
+    A walk that concatenates instead of honoring stco reads a pad
+    byte and bends byte_sum; an stsc expansion off by one bends
+    chunk_i and rel_off. Frame-pixel decode stays behind the
+    documented fake (needs a codec library); frame ADDRESSING — what
+    sampling/clipping pipelines actually shuffle at 100 TB — is now
+    fully real and value-gated."""
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.mp4_probe import mp4_build_sampled
+    from pyspark.sql import Window
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < 48)
+        .select(F.col("doc_id").cast("string").alias("doc_id"))
+    )
+
+    def gen(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = []
+            for ds in pdf["doc_id"]:
+                d = int(ds)
+                n = 8 + d % 5
+                sizes = [16 + ((d * 7 + k * 13) % 32) for k in range(n)]
+                durs = [100 if k < 4 else 150 for k in range(n)]
+                nch = 1 + (n - 3 + 1) // 2
+                blob = mp4_build_sampled(
+                    "isom", 600, durs, sizes,
+                    chunking=[3] + [2] * (nch - 1),
+                    sync=[k for k in range(n) if k % 4 == 0],
+                    payload=lambda k, d=d, sz=sizes: (
+                        bytes([(d * 31 + k * 17) % 251]) * sz[k]
+                    ),
+                    chunk_pad=bytes([d % 7]) * 4,
+                    version=d % 2,
+                )
+                rows.append((ds, blob))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = ids.mapInPandas(gen, "doc_id string, payload binary")
+    st = M.video_sample_table(blobs, "doc_id", "payload")
+    w = Window.partitionBy("id")
+    out = (
+        st.select(
+            F.col("id").cast("long").alias("doc_id"),
+            F.col("sample_i").cast("long").alias("sample_i"),
+            "dts",
+            "dur_ticks",
+            "size_bytes",
+            F.col("chunk_i").cast("long").alias("chunk_i"),
+            F.col("keyframe").cast("long").alias("keyframe"),
+            (F.col("abs_offset") - F.min("abs_offset").over(w))
+            .cast("long")
+            .alias("rel_off"),
+            "byte_sum",
+            "decode_ok",
+        )
+        .orderBy("doc_id", "sample_i")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)

@@ -74,3 +74,105 @@ def test_video_stage_modes(spark):
     assert got["corrupt"]["decode_ok"] == "corrupt"
     assert got["corrupt"]["duration_ms"] == 0
     assert got["other"]["decode_ok"] == "fake"
+
+
+def _sampled(**kw):
+    from etl_sprint_2_5_spark.operators.mp4_probe import mp4_build_sampled
+
+    args = dict(
+        brand="isom",
+        timescale=600,
+        durs=[100] * 4 + [150] * 4,
+        sizes=[16, 17, 18, 19, 20, 21, 22, 23],
+        chunking=[3, 2, 2, 1],
+        sync=[0, 4],
+        payload=lambda i: bytes([i + 1]) * (16 + i),
+        chunk_pad=b"PPPP",
+    )
+    args.update(kw)
+    return mp4_build_sampled(**args)
+
+
+def test_sample_table_walk_against_builder():
+    """stts expansion (two runs), stsc 3-then-2 plan with a SHORT
+    last chunk, per-sample stsz, pad-separated stco offsets, stss
+    sync flags — and extraction at the absolute offsets returns the
+    exact payload bytes."""
+    from etl_sprint_2_5_spark.operators.mp4_probe import mp4_sample_table
+
+    data = _sampled()
+    st = mp4_sample_table(data)
+    assert st["timescale"] == 600
+    s = st["samples"]
+    assert [r[0] for r in s] == list(range(8))
+    assert [r[1] for r in s] == [0, 100, 200, 300, 400, 550, 700, 850]
+    assert [r[2] for r in s] == [100] * 4 + [150] * 4
+    assert [r[4] for r in s] == [0, 0, 0, 1, 1, 2, 2, 3]  # chunks
+    assert [r[6] for r in s] == [True, False, False, False,
+                                 True, False, False, False]
+    for i, _, _, size, _, off, _ in s:
+        assert data[off:off + size] == bytes([i + 1]) * size
+    # offsets skip the 4-byte pad before every chunk
+    assert s[3][5] - (s[2][5] + s[2][3]) == 4
+
+
+def test_sample_table_v1_and_no_stss():
+    """mdhd v1 parses; absent stss ⇒ every sample is a sync sample."""
+    from etl_sprint_2_5_spark.operators.mp4_probe import mp4_sample_table
+
+    st = mp4_sample_table(_sampled(version=1, sync=None))
+    assert all(r[6] for r in st["samples"])
+    assert st["timescale"] == 600
+
+
+def test_sample_table_malformed_quarantines():
+    from etl_sprint_2_5_spark.operators.mp4_probe import mp4_sample_table
+
+    good = _sampled()
+
+    # stsz count lies (says 9 samples, stts covers 8)
+    stsz_at = good.find(b"stsz")
+    bad = bytearray(good)
+    bad[stsz_at + 12:stsz_at + 16] = struct.pack(">I", 9)
+    with pytest.raises(ValueError):
+        mp4_sample_table(bytes(bad))
+
+    # last sample overruns the file
+    with pytest.raises(ValueError, match="overruns"):
+        mp4_sample_table(good[:-4])
+
+    # stsc first_chunk not ascending
+    stsc_at = good.find(b"stsc")
+    bad = bytearray(good)
+    bad[stsc_at + 12:stsc_at + 16] = struct.pack(">I", 7)
+    with pytest.raises(ValueError, match="ascending"):
+        mp4_sample_table(bytes(bad))
+
+
+def test_video_sample_table_stage_lanes(spark):
+    """The stage routes: real BMFF → per-sample rows with extracted
+    byte sums; non-BMFF → deterministic fake; corrupt BMFF →
+    quarantined single row."""
+    from etl_sprint_2_5_spark.operators.multimodal import (
+        video_sample_table,
+    )
+
+    good = _sampled()
+    df = spark.createDataFrame(
+        [("ok", bytearray(good)),
+         ("webm", bytearray(b"\x1aE\xdf\xa3 not bmff")),
+         ("bad", bytearray(good[:40]))],
+        "id string, payload binary",
+    )
+    out = video_sample_table(df, "id", "payload").collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.id, []).append(r)
+    assert len(by["ok"]) == 8
+    assert all(r.decode_ok == "real" for r in by["ok"])
+    assert [r.byte_sum for r in sorted(by["ok"], key=lambda r: r.sample_i)] \
+        == [(i + 1) * (16 + i) for i in range(8)]
+    assert all(r.decode_ok == "fake" for r in by["webm"])
+    assert len(by["webm"]) == 3
+    assert [r.decode_ok for r in by["bad"]] == ["corrupt"]
+    assert by["bad"][0].sample_i == -1

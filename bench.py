@@ -236,6 +236,11 @@ HEADLINE = [
     # checksum oracle (frame ADDRESSING, the shuffle unit of video
     # pipelines)
     "mp4_sample_table_real",
+    # round-15: RFC-4180 CSV interchange with every classic landmine
+    # on the gated rows (quotes/commas, LF+CRLF in quotes, raw
+    # backslash, NULL-vs-empty) and the separator pinned against
+    # univocity's detection trap
+    "csv_ingest_roundtrip",
 ]
 
 

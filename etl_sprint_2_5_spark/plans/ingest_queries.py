@@ -406,3 +406,100 @@ def orc_interchange_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(back.collect(), back.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "csv_ingest_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 6 = 0 THEN NULL
+                WHEN doc_id % 6 = 1 THEN ''
+                WHEN doc_id % 6 = 2 THEN text || '"q,uo"te'
+                WHEN doc_id % 6 = 3 THEN text || chr(10) || 'line2'
+                WHEN doc_id % 6 = 4 THEN text || chr(92) || 'back'
+                ELSE text || chr(13) || chr(10) || 'crlf' END AS txt,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang_n,
+           source,
+           CASE WHEN doc_id % 11 = 0 THEN NULL
+                ELSE n_chars END AS n_chars_n
+    FROM documents
+    ORDER BY doc_id
+    """,
+    covers=("X-ingest-csv",),
+)
+def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFC-4180 CSV interchange through Spark's native source, with
+    every classic CSV landmine ON the gated rows: embedded quotes +
+    commas (quote-doubling, not backslash escape — ``escape='"'``
+    pinned on both sides), embedded LF and CRLF (``multiLine`` read),
+    a raw backslash (corrupts silently under Spark's DEFAULT
+    backslash escape — the option pin is load-bearing), and the
+    NULL-vs-empty-string seam (``nullValue='\\\\N'`` so '' and NULL
+    survive as distinct values, which default CSV conflates). The
+    record separator is PINNED (``lineSep='\\n'``) because univocity's
+    auto-detection reads the first separator-looking bytes in the
+    stream — if a shard's first record carries a quoted CRLF, the
+    parser locks onto ``\\r\\n``, never finds the real record ends,
+    and one column swallows the file (reproduced at sf1; invisible at
+    sf0.01 where no shard led with the CRLF case).
+    Deterministic hostile suffixes + NULL cells are derived per
+    doc_id so the DuckDB oracle states the expected final content
+    closed-form — a quoting/escaping/null-marker drift on either leg
+    bends a string and fails the value hash.
+
+    Scale shape: written as gzip shards (one per hash partition) —
+    the same whole-file-per-task parallelism the JSONL.gz path has;
+    ``multiLine`` makes a single file non-splittable, so the 100-TB
+    deployment keeps shards at ~128 MB and parallelism rides the
+    shard count, not intra-file splits (the tradeoff for honest
+    embedded newlines; single-line CSV would split but cannot carry
+    real text)."""
+    tmp = tempfile.mkdtemp(prefix="csv_ingest_")
+    try:
+        txt = (
+            F.when(F.col("doc_id") % 6 == 0, F.lit(None))
+            .when(F.col("doc_id") % 6 == 1, F.lit(""))
+            .when(F.col("doc_id") % 6 == 2,
+                  F.concat(F.col("text"), F.lit('"q,uo"te')))
+            .when(F.col("doc_id") % 6 == 3,
+                  F.concat(F.col("text"), F.lit("\nline2")))
+            .when(F.col("doc_id") % 6 == 4,
+                  F.concat(F.col("text"), F.lit("\\back")))
+            .otherwise(F.concat(F.col("text"), F.lit("\r\ncrlf")))
+        )
+        docs = load_table(spark, "documents", sf_dir).select(
+            "doc_id",
+            txt.alias("txt"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(None))
+            .otherwise(F.col("lang"))
+            .alias("lang_n"),
+            "source",
+            F.when(F.col("doc_id") % 11 == 0, F.lit(None))
+            .otherwise(F.col("n_chars"))
+            .alias("n_chars_n"),
+        )
+        (
+            docs.repartition(8, "doc_id")
+            .write.mode("overwrite")
+            .option("compression", "gzip")
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("nullValue", "\\N")
+            .csv(tmp)
+        )
+        back = (
+            spark.read.schema(
+                "doc_id long, txt string, lang_n string, "
+                "source string, n_chars_n long"
+            )
+            .option("multiLine", True)
+            .option("lineSep", "\n")
+            .option("quote", '"')
+            .option("escape", '"')
+            .option("nullValue", "\\N")
+            .csv(tmp)
+            .orderBy("doc_id")
+        )
+        return spark.createDataFrame(back.collect(), back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -198,3 +198,43 @@ def test_streaming_warc_inbox_root_injectable(spark, tmp_path, monkeypatch):
     inboxes = [p for p in seen if p.endswith("/inbox")]
     assert inboxes and inboxes[0].startswith(str(root))
     assert os.listdir(root) == []  # staging removed on exit
+
+
+def test_csv_linesep_pin_against_detection_trap(spark, tmp_path):
+    """univocity's line-separator auto-detection locks onto the first
+    separator-looking bytes — if record 1 holds a QUOTED CRLF, an
+    unpinned multiLine read detects '\\r\\n', never finds the real
+    '\\n' record ends, and one column swallows the file. The engine
+    pins lineSep='\\n'; this reproduces the trap and proves the pin."""
+    import gzip
+
+    p = tmp_path / "t.csv.gz"
+    rows = b'1,"a\r\nb"\n2,"plain"\n3,"c,d"\n'
+    with gzip.open(p, "wb") as fh:
+        fh.write(rows)
+
+    def read(**extra):
+        r = (
+            spark.read.schema("id long, s string")
+            .option("multiLine", True)
+            .option("quote", '"')
+            .option("escape", '"')
+        )
+        for k, v in extra.items():
+            r = r.option(k, v)
+        return r.csv(str(tmp_path)).orderBy("id").collect()
+
+    pinned = read(lineSep="\n")
+    assert [(r.id, r.s) for r in pinned] == [
+        (1, "a\r\nb"), (2, "plain"), (3, "c,d")
+    ]
+    # the unpinned read must NOT return the same three records — it
+    # either errors or mangles (if a Spark upgrade fixes detection,
+    # this assert flags the pin for removal)
+    try:
+        unpinned = read()
+        assert [(r.id, r.s) for r in unpinned] != [
+            (1, "a\r\nb"), (2, "plain"), (3, "c,d")
+        ]
+    except Exception:
+        pass

@@ -269,6 +269,7 @@ def mp4_build_sampled(
     payload,
     chunk_pad: bytes = b"",
     version: int = 0,
+    use_co64: bool = False,
 ) -> bytes:
     """Build a well-formed single-track container WITH sample tables
     and a real ``mdat``: per-sample durations/sizes, an explicit
@@ -338,12 +339,16 @@ def mp4_build_sampled(
         chunks.append(list(range(si, si + take)))
         si += take
     nch = len(chunks)
-    stco_body_len = 4 + 4 * nch
 
     def build_moov(offs: list[int]) -> bytes:
-        stco = full(b"stco", struct.pack(">I", nch) + b"".join(
-            struct.pack(">I", o) for o in offs
-        ))
+        if use_co64:
+            stco = full(b"co64", struct.pack(">I", nch) + b"".join(
+                struct.pack(">Q", o) for o in offs
+            ))
+        else:
+            stco = full(b"stco", struct.pack(">I", nch) + b"".join(
+                struct.pack(">I", o) for o in offs
+            ))
         stbl = box(b"stbl", stts + stsc + stsz + stco + stss)
         minf = box(b"minf", stbl)
         mdia = box(b"mdia", mdhd + hdlr + minf)

@@ -1119,6 +1119,9 @@ def mp4_sample_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ),
                     chunk_pad=bytes([d % 7]) * 4,
                     version=d % 2,
+                    use_co64=d % 3 == 0,  # 64-bit offsets ride the
+                    # same gate: moov grows but rel_off/byte_sum are
+                    # layout-relative, so the oracle is unchanged
                 )
                 rows.append((ds, blob))
             yield pd.DataFrame(rows, columns=["doc_id", "payload"])

@@ -125,6 +125,24 @@ def test_sample_table_v1_and_no_stss():
     assert st["timescale"] == 600
 
 
+def test_sample_table_co64_matches_stco():
+    """co64 (64-bit chunk offsets) yields the identical sample rows
+    up to the constant moov-size shift — extraction still lands on
+    the exact payload bytes."""
+    from etl_sprint_2_5_spark.operators.mp4_probe import mp4_sample_table
+
+    a = _sampled()
+    b = _sampled(use_co64=True)
+    sa = mp4_sample_table(a)["samples"]
+    sb = mp4_sample_table(b)["samples"]
+    assert [r[:5] + (r[6],) for r in sa] == [r[:5] + (r[6],) for r in sb]
+    shift = sb[0][5] - sa[0][5]
+    assert shift == 4 * 4  # four chunks × 4 extra bytes per offset
+    assert all(rb[5] - ra[5] == shift for ra, rb in zip(sa, sb))
+    for i, _, _, size, _, off, _ in sb:
+        assert b[off:off + size] == bytes([i + 1]) * size
+
+
 def test_sample_table_malformed_quarantines():
     from etl_sprint_2_5_spark.operators.mp4_probe import mp4_sample_table
 

@@ -241,6 +241,11 @@ HEADLINE = [
     # backslash, NULL-vs-empty) and the separator pinned against
     # univocity's detection trap
     "csv_ingest_roundtrip",
+    # round-15: Avro OCF implemented from the public spec (no
+    # spark-avro jar here), readback via byte-range SPLITS cut
+    # mid-block — sync-marker splittability under the hash gate;
+    # conformance pinned vs the Apache Java reader both directions
+    "avro_ingest_roundtrip",
 ]
 
 

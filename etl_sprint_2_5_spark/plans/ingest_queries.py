@@ -503,3 +503,107 @@ def csv_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(back.collect(), back.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "avro_ingest_roundtrip",
+    oracle=_DOC_ORACLE,
+    covers=("X-ingest-avro",),
+)
+def avro_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the documents table through Avro Object Container
+    Files — WITH the split-read path as the readback plan, so OCF's
+    sync-marker splittability itself sits under the value-hash gate.
+
+    No spark-avro datasource jar ships in this container (external
+    module since Spark 2.4; verified AnalysisException), so the
+    format is implemented from the public Avro 1.12 spec in
+    operators/avro_ocf.py and conformance-pinned both directions
+    against the Apache Java implementation on the session classpath
+    (tests/test_avro_ocf.py). Write side: 8 hash partitions, each an
+    executor task encoding its rows into one deflate-codec .avro
+    shard (bounded 64-row blocks — the split granularity). Read
+    side: every shard is read as TWO byte-range splits cut at
+    bytes//2 — almost always mid-block — via ``read_ocf_range``,
+    the Hadoop input-split contract (scan to sync, decode blocks
+    whose preceding sync starts in-range). A duplicated or dropped
+    row at any split boundary breaks the driver's value hash. At
+    100 TB this is the shape that matters: parallelism from byte
+    ranges of large archive files, not from file count, with
+    nullable unions carrying NULLs losslessly."""
+    import os
+
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.avro_ocf import (
+        avro_schema_of,
+        read_ocf_range,
+    )
+    from etl_sprint_2_5_spark.operators.avro_ocf import (
+        write_ocf_stream,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="avro_ingest_")
+    try:
+        docs = load_table(spark, "documents", sf_dir).select(*_DOC_COLS)
+        avro_schema = avro_schema_of(docs.schema, name="document")
+
+        def write_shard(batches):  # noqa: ANN001 - Arrow iterator
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(tmp, f"part-{pid:05d}.avro")
+            recs = (
+                rec
+                for pdf in batches
+                for rec in pdf.to_dict("records")
+            )
+            rows = write_ocf_stream(
+                path, recs, avro_schema, codec="deflate", block_rows=64
+            )
+            yield pd.DataFrame(
+                [(path, rows, os.path.getsize(path))],
+                columns=["path", "rows", "bytes"],
+            )
+
+        manifest = (
+            docs.repartition(8, "doc_id")
+            .mapInPandas(write_shard, "path string, rows long, bytes long")
+            .collect()
+        )
+        written = sum(m.rows for m in manifest)
+
+        # two byte-range splits per shard, cut mid-file (mid-block in
+        # practice) — the union must reproduce the table exactly
+        splits = [
+            (m.path, int(lo), int(hi))
+            for m in manifest
+            for lo, hi in ((0, m.bytes // 2), (m.bytes // 2, m.bytes))
+        ]
+        ranges = spark.createDataFrame(
+            splits, "path string, start long, end long"
+        ).repartition(len(splits))
+
+        def decode_split(batches):  # noqa: ANN001 - Arrow iterator
+            cols = list(_DOC_COLS)
+            for pdf in batches:
+                for r in pdf.itertuples():
+                    with open(r.path, "rb") as fh:
+                        data = fh.read()
+                    rows = read_ocf_range(data, int(r.start), int(r.end))
+                    yield pd.DataFrame(rows, columns=cols)
+
+        back = (
+            ranges.mapInPandas(decode_split, _DOC_SCHEMA)
+            .select(*_DOC_COLS)
+            .orderBy("doc_id")
+        )
+        rows = back.collect()
+        if len(rows) != written:
+            raise ValueError(
+                f"avro ingest row-count mismatch: wrote {written}, "
+                f"split-read back {len(rows)}"
+            )
+        return spark.createDataFrame(rows, back.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

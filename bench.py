@@ -246,6 +246,11 @@ HEADLINE = [
     # mid-block — sync-marker splittability under the hash gate;
     # conformance pinned vs the Apache Java reader both directions
     "avro_ingest_roundtrip",
+    # round-15: two-pass Misra-Gries heavy hitters — no-shuffle pass-1
+    # summaries (deterministic superset guarantee), exact pass-2 over
+    # candidates only; equals full GROUP BY..HAVING while shuffling
+    # only candidate rows
+    "heavy_hitters_mg",
 ]
 
 

@@ -672,3 +672,72 @@ def kmv_estimate(
         .cast("long")
         .alias(name),
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (mergeable frequent-items summary)
+
+
+def mg_candidates(
+    items: DataFrame, item_col: str, capacity: int
+) -> tuple[list, int]:
+    """Per-partition Misra-Gries summaries → ``(candidates, n)``: the
+    UNION of surviving items — a guaranteed SUPERSET of every item
+    with global count > n/(capacity+1) — plus the exact global row
+    count n, both from ONE scan with NO shuffle (each task emits its
+    ≤ capacity survivors tagged with its partition id and row count).
+
+    Classic MG (Misra & Gries 1982) with the batched merge rule from
+    Agarwal et al., "Mergeable Summaries" (PODS 2012): fold each
+    Arrow batch's value_counts into the counter table; when it
+    exceeds ``capacity``, subtract the (capacity+1)-th largest count
+    from every counter and drop the non-positive ones. Each
+    subtraction of m is witnessed by ≥ capacity+1 counters, so total
+    decrement per partition ≤ N_p/(capacity+1); an item with true
+    partition count above that bound cannot reach zero. If global
+    count(x) > N/(capacity+1) = Σ N_p/(capacity+1), then some
+    partition has count_p(x) > N_p/(capacity+1) (averaging), so x
+    survives there — no false negatives, ever, deterministically
+    (unlike CMS there is no hash-collision error term).
+
+    The driver-side result is BOUNDED by capacity × n_partitions
+    regardless of data size (the whole point: at 100 TB the first
+    pass returns ≤ a few thousand strings with no shuffle, and the
+    exact second pass — a broadcast-semi filter + one aggregation —
+    turns the superset into the exact heavy-hitter set).
+    """
+    def mg(batches):  # noqa: ANN001 - Arrow iterator
+        import pandas as pd
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        counters: dict = {}
+        n_rows = 0
+        for pdf in batches:
+            n_rows += len(pdf)
+            vc = pdf[item_col].value_counts()
+            for val, cnt in vc.items():
+                counters[val] = counters.get(val, 0) + int(cnt)
+            if len(counters) > capacity:
+                # (capacity+1)-th largest value; subtract from all
+                cut = sorted(counters.values(), reverse=True)[capacity]
+                counters = {
+                    k: v - cut for k, v in counters.items() if v - cut > 0
+                }
+        # survivors tagged with this partition's exact row count; a
+        # no-candidate partition still reports its count via NULL item
+        vals = list(counters.keys()) or [None]
+        yield pd.DataFrame(
+            {
+                "pid": [pid] * len(vals),
+                item_col: vals,
+                "part_rows": [n_rows] * len(vals),
+            }
+        )
+
+    rows = items.mapInPandas(
+        mg, f"pid int, {item_col} string, part_rows long"
+    ).collect()
+    total = sum({r.pid: r.part_rows for r in rows}.values())
+    cands = sorted({r[1] for r in rows if r[1] is not None})
+    return cands, total

@@ -2383,3 +2383,65 @@ def _pg_live_scenario(spark, c, base):  # noqa: ANN001 - helper
             "nation bigint, n_cust bigint, bal_cents bigint",
         ).withColumn("live_pg", F.lit(True)).orderBy("nation")
         return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "heavy_hitters_mg",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(text), ' ')) AS word
+      FROM documents
+    ),
+    tok2 AS (SELECT word FROM tok WHERE word <> ''),
+    tot AS (SELECT count(*) AS n FROM tok2)
+    SELECT t.word,
+           count(*) AS freq,
+           (SELECT n FROM tot) AS total_tokens
+    FROM tok2 t
+    GROUP BY t.word
+    HAVING count(*) * 65 > (SELECT n FROM tot)
+    ORDER BY freq DESC, word
+    """,
+    covers=("X-sketch-misra-gries",),
+)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Guaranteed-exact heavy hitters via the canonical two-pass
+    Misra-Gries shape (operators/sketch.py mg_candidates — Misra &
+    Gries 1982; merge rule per Agarwal et al., Mergeable Summaries,
+    PODS 2012): the frequent-items face the CMS family cannot give
+    exactly (CMS answers point queries with hash-collision error;
+    MG's superset guarantee is DETERMINISTIC — no false negatives).
+
+    Pass 1 (no shuffle): every scan task keeps a 64-counter MG
+    summary of the token stream it read in place, emitting ≤ 64
+    survivors + its exact row count — a few KB to the driver no
+    matter the corpus size. Any token with global count > N/65 is
+    guaranteed among the survivors of at least one task (averaging
+    argument over the decrement bound). Pass 2 (one aggregation):
+    exact counts for the candidate superset only — the IN-filter
+    prunes the shuffle to ≤ capacity × n_tasks distinct keys — then
+    the exact integer threshold freq·65 > N keeps precisely the true
+    heavy hitters, so the result equals the oracle's full GROUP BY …
+    HAVING on every run, for every partitioning. At 100 TB the full
+    GROUP BY shuffles billions of distinct tokens; this plan
+    shuffles only candidate rows. total_tokens rides every row so
+    the threshold base itself is value-hashed."""
+    from etl_sprint_2_5_spark.operators.sketch import mg_candidates
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).where(F.col("word") != "")
+
+    cands, total = mg_candidates(tok, "word", capacity=64)
+    out = (
+        tok.where(F.col("word").isin(cands))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") * 65 > F.lit(total))
+        .select(
+            "word", "freq", F.lit(total).cast("long").alias("total_tokens")
+        )
+        .orderBy(F.desc("freq"), F.asc("word"))
+    )
+    return materialize_release(out)

@@ -414,3 +414,58 @@ def test_dd_exact_rank_matches_full_sort_audit(spark):
     }
     assert got == want
     assert len(got) == 3 * len(qs)
+
+
+# ---------------------------------------------------------------- Misra-Gries
+
+
+def test_mg_candidates_superset_guarantee_and_exact_total(spark):
+    """Any item with global count > n/(capacity+1) MUST appear in the
+    candidate set, for every partitioning (the deterministic MG
+    guarantee — no false negatives); the piggybacked row count is
+    exact; the candidate set stays bounded by capacity x tasks."""
+    import random
+
+    from etl_sprint_2_5_spark.operators.sketch import mg_candidates
+
+    rng = random.Random(42)
+    # Zipf-ish: item i appears ~ 3000/i times, plus a noise tail
+    items = []
+    for i in range(1, 40):
+        items += [f"hh{i:02d}"] * (3000 // i)
+    items += [f"tail{j}" for j in range(5000)]
+    rng.shuffle(items)
+    exact = {}
+    for it in items:
+        exact[it] = exact.get(it, 0) + 1
+
+    df = spark.createDataFrame([(x,) for x in items], "word string")
+    capacity = 16
+    for parts in (1, 3, 8):
+        cands, total = mg_candidates(
+            df.repartition(parts), "word", capacity
+        )
+        assert total == len(items)
+        heavy = {
+            k for k, v in exact.items() if v * (capacity + 1) > total
+        }
+        assert heavy, "fixture must contain true heavy hitters"
+        assert heavy <= set(cands), f"missed heavy hitters at {parts} parts"
+        assert len(cands) <= capacity * parts
+
+
+def test_mg_candidates_empty_and_all_distinct(spark):
+    from etl_sprint_2_5_spark.operators.sketch import mg_candidates
+
+    empty = spark.createDataFrame([], "word string")
+    cands, total = mg_candidates(empty, "word", 8)
+    assert cands == [] and total == 0
+
+    distinct = spark.createDataFrame(
+        [(f"w{i}",) for i in range(100)], "word string"
+    ).repartition(4)
+    cands, total = mg_candidates(distinct, "word", 8)
+    assert total == 100
+    # nothing exceeds n/9 -> guarantee is vacuous, but survivors stay
+    # bounded and the exact pass-2 filter would return an empty set
+    assert len(cands) <= 8 * 4

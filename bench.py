@@ -251,6 +251,10 @@ HEADLINE = [
     # candidates only; equals full GROUP BY..HAVING while shuffling
     # only candidate rows
     "heavy_hitters_mg",
+    # round-15: REAL GIF decode (LZW, interlace, color tables) under
+    # a closed-form double-checksum oracle; position-weighted sum
+    # makes the interlace row-reorder load-bearing; ImageIO-conformant
+    "gif_decode_real",
 ]
 
 

@@ -197,9 +197,11 @@ def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
     failure, never garbage dims); a VALID stream in a dialect the
     codec does not speak (progressive JPEG, 12-bit) raises
     NotImplementedError → the documented deterministic-fake lane, as
-    do the remaining library-less formats (webp/gif/tiff) — which
+    do the remaining library-less formats (webp/tiff) — which
     also keeps the pre-round-12 gated multimodal queries byte-stable
-    (their synthetic blobs carry neither signature)."""
+    (their synthetic blobs carry none of these signatures). GIF
+    decodes for REAL since round 15 (operators/gif_codec.py — LZW,
+    interlace, local color tables; ImageIO-conformance-pinned)."""
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         from etl_sprint_2_5_spark.operators.png_codec import png_decode
 
@@ -210,8 +212,13 @@ def _decode_image_real(payload: bytes) -> tuple[int, int, int]:
 
         h, w, c = jpeg_decode(payload).shape
         return w, h, c
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from etl_sprint_2_5_spark.operators.gif_codec import gif_decode
+
+        h, w, c = gif_decode(payload).shape
+        return w, h, c
     raise NotImplementedError(
-        "non-PNG/JPEG codec not installed — deterministic fake in use"
+        "non-PNG/JPEG/GIF codec not installed — deterministic fake in use"
     )
 
 

@@ -1147,3 +1147,138 @@ def mp4_sample_table_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "sample_i")
     )
     return spark.createDataFrame(out.collect(), out.schema)
+
+
+@query(
+    "gif_decode_real",
+    oracle="""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 64),
+    dims AS (
+      SELECT doc_id,
+             8 + doc_id % 24 AS w,
+             8 + (doc_id * 5) % 24 AS h
+      FROM ids
+    ),
+    pix AS (
+      SELECT d.doc_id, d.w, d.h,
+             ((7 * ((3 * x.range + 5 * y.range + d.doc_id) % 256) + d.doc_id) % 256)
+           + ((11 * ((3 * x.range + 5 * y.range + d.doc_id) % 256)) % 256)
+           + ((13 * ((3 * x.range + 5 * y.range + d.doc_id) % 256) + 2 * d.doc_id) % 256)
+               AS v,
+             y.range * d.w + x.range + 1 AS pos
+      FROM dims d
+      JOIN range(0, 32) x ON x.range < d.w
+      JOIN range(0, 32) y ON y.range < d.h
+    )
+    SELECT doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           CAST(sum(v) AS BIGINT) AS pix_sum,
+           CAST(sum(v * pos) AS BIGINT) AS pos_sum,
+           'real' AS decode_ok
+    FROM pix
+    GROUP BY doc_id, w, h
+    ORDER BY doc_id
+    """,
+    covers=("X-multimodal-decode", "X-gif-codec"),
+)
+def gif_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF decode under the oracle gate (operators/gif_codec.py —
+    round 15 closes another slice of the non-PNG/JPEG fake lane:
+    real LZW with variable code width, interlace, color tables;
+    conformance pinned both directions against the JVM's own
+    javax.imageio GIF codec in tests/test_gif_codec.py).
+
+    Per doc_id < 64 a deterministic palette image is generated from
+    integer formulas (W=8+d%24, H=8+5d%24; index at (x,y) =
+    (3x+5y+d) mod 256; palette entry i = ((7i+d)%256, (11i)%256,
+    (13i+2d)%256)), GIF-encoded on the executors — ODD doc_ids
+    INTERLACED — then:
+    - the production decode stage (operators/multimodal.decode_images)
+      must report mode 'real' with the formula's exact dims: the GIF
+      branch of the real-codec dispatch handled these blobs;
+    - a second Arrow stage decodes back to RGB and emits BOTH the
+      plain pixel-value checksum and a POSITION-WEIGHTED one
+      (Σ v·(y·W+x+1)) — the weighted sum is what makes the
+      interlace row-reorder load-bearing: a decoder that ignored the
+      interlace flag would permute rows, keep pix_sum, and bend
+      pos_sum. DuckDB evaluates the same formulas closed-form,
+      never touching a codec."""
+    import numpy as np
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.gif_codec import (
+        gif_decode,
+        gif_encode,
+    )
+
+    ids = (
+        load_table(spark, "documents", sf_dir)
+        .where(F.col("doc_id") < 64)
+        .select("doc_id")
+    )
+
+    def _image(d: int) -> tuple[np.ndarray, np.ndarray]:
+        w, h = 8 + d % 24, 8 + (d * 5) % 24
+        x = np.arange(w, dtype=np.int64)[None, :]
+        y = np.arange(h, dtype=np.int64)[:, None]
+        idx = ((3 * x + 5 * y + d) % 256).astype(np.uint8)
+        i = np.arange(256, dtype=np.int64)
+        pal = np.stack(
+            [(7 * i + d) % 256, (11 * i) % 256, (13 * i + 2 * d) % 256],
+            axis=1,
+        ).astype(np.uint8)
+        return idx, pal
+
+    def gen(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                idx, pal = _image(d)
+                rows.append(
+                    (d, gif_encode(idx, pal, interlace=bool(d % 2)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    blobs = ids.mapInPandas(gen, "doc_id long, payload binary")
+
+    dims = M.decode_images(
+        blobs.select(
+            F.col("doc_id").cast("string").alias("doc_id"), "payload"
+        ),
+        "doc_id",
+        "payload",
+    ).select(
+        F.col("id").cast("long").alias("doc_id"),
+        "width", "height", "channels", "decode_ok",
+    )
+
+    def sums(batches):  # noqa: ANN001 - Arrow iterator
+        for pdf in batches:
+            rows = []
+            for d, p in zip(pdf["doc_id"], pdf["payload"]):
+                rgb = gif_decode(bytes(p)).astype(np.int64)
+                h, w, _ = rgb.shape
+                v = rgb.sum(axis=2)
+                pos = (
+                    np.arange(h, dtype=np.int64)[:, None] * w
+                    + np.arange(w, dtype=np.int64)[None, :]
+                    + 1
+                )
+                rows.append((int(d), int(v.sum()), int((v * pos).sum())))
+            yield pd.DataFrame(rows, columns=["doc_id", "pix_sum", "pos_sum"])
+
+    checks = blobs.mapInPandas(
+        sums, "doc_id long, pix_sum long, pos_sum long"
+    )
+    out = (
+        dims.join(checks, "doc_id")
+        .select(
+            "doc_id", "width", "height", "channels",
+            "pix_sum", "pos_sum", "decode_ok",
+        )
+        .orderBy("doc_id")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)

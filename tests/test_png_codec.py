@@ -164,6 +164,10 @@ def test_multimodal_hook_decodes_png_for_real():
     # which rejects this garbage as malformed — quarantine lane
     with pytest.raises(ValueError):
         _decode_image_real(b"\xff\xd8\xff\xe0 not a png")
+    # a GIF signature now routes to the REAL gif codec (round 15),
+    # which rejects this garbage as malformed — quarantine lane
+    with pytest.raises(ValueError):
+        _decode_image_real(b"GIF89a not supported")
     # signature-less payloads keep the deterministic-fake lane
     with pytest.raises(NotImplementedError):
-        _decode_image_real(b"GIF89a not supported")
+        _decode_image_real(b"RIFFxxxxWEBP not supported")

@@ -255,6 +255,10 @@ HEADLINE = [
     # a closed-form double-checksum oracle; position-weighted sum
     # makes the interlace row-reorder load-bearing; ImageIO-conformant
     "gif_decode_real",
+    # round-15: Hilbert-curve clustering key beside z-order, with the
+    # measured locality win (total bbox area per non-aligned key
+    # range) crossing the gate as data
+    "hilbert_layout",
 ]
 
 

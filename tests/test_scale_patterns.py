@@ -522,3 +522,75 @@ def test_basket_pair_cap_binds_loudly_not_silently(spark):
     # drop mode: oversize baskets silently excluded, query completes
     dropped = basket_pair_counts(li, max_basket=2, on_oversize="drop")
     assert dropped.count() >= 0
+
+
+# ---------------------------------------------------------------- Hilbert
+
+
+def test_hilbert_frame_matches_reference_walk(spark):
+    """hilbert_frame's chained projections reproduce the classic
+    xy2d walk exactly (bijection + reflect/swap arithmetic)."""
+    from etl_sprint_2_5_spark.operators.layout import hilbert_frame
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.hkey
+        for r in hilbert_frame(df, "x", "y", bits=4).collect()
+    }
+    exp = {(x, y): xy2d(16, x, y) for x, y in pts}
+    assert got == exp
+    assert sorted(got.values()) == list(range(256))  # bijection
+
+
+def test_hilbert_unit_step_adjacency(spark):
+    """Consecutive curve positions are Manhattan-adjacent — the
+    property that makes range-partitioned files tight in (x, y)."""
+    from etl_sprint_2_5_spark.operators.layout import hilbert_frame
+
+    pts = [(x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    inv = {
+        r.hkey: (r.x, r.y)
+        for r in hilbert_frame(df, "x", "y", bits=5).collect()
+    }
+    for d in range(len(pts) - 1):
+        (x1, y1), (x2, y2) = inv[d], inv[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1
+
+
+def test_hilbert_sql_mirror_agrees_with_frame(spark):
+    import duckdb
+
+    from etl_sprint_2_5_spark.operators.layout import (
+        hilbert_frame,
+        hilbert_sql,
+    )
+
+    pts = [(x * 37 % 64, x * 11 % 64) for x in range(200)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = sorted(
+        (r.x, r.y, r.hkey)
+        for r in hilbert_frame(df, "x", "y", bits=6).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE pts AS SELECT * FROM (VALUES "
+        + ",".join(f"({x},{y})" for x, y in pts)
+        + ") t(x,y)"
+    )
+    sql = "WITH " + hilbert_sql("x", "y", 6, "pts") + " SELECT x, y, hd FROM h0"
+    assert sorted(map(tuple, con.execute(sql).fetchall())) == got

@@ -259,6 +259,10 @@ HEADLINE = [
     # measured locality win (total bbox area per non-aligned key
     # range) crossing the gate as data
     "hilbert_layout",
+    # round-15: interpolated Kneser-Ney trigram LM (continuation
+    # counts, D=0.75) — the production n-gram smoothing completing
+    # the LM ladder; four vocab-sized count shuffles + broadcast
+    "kneser_ney_trigram",
 ]
 
 

@@ -1497,3 +1497,180 @@ def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         stage, "doc_id long, norm_text string, n_chars_norm long"
     ).orderBy("doc_id")
+
+
+@query(
+    "kneser_ney_trigram",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_DUCK_TOKS} AS tk FROM documents
+    ), tg AS (
+      SELECT doc_id, tgram FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 generate_series(0, greatest(len(tk) - 3, 0)),
+                 i -> array_to_string(tk[i+1:i+3], ' '))) AS tgram
+        FROM toks)
+      WHERE len(string_split(tgram, ' ')) = 3
+    ), tric AS (
+      SELECT string_split(tgram, ' ')[1] AS w1,
+             string_split(tgram, ' ')[2] AS w2,
+             string_split(tgram, ' ')[3] AS w3,
+             count(*) AS c3
+      FROM tg GROUP BY 1, 2, 3
+    ), ctx2 AS (
+      SELECT w1, w2, sum(c3) AS c12, count(*) AS nf12
+      FROM tric GROUP BY w1, w2
+    ), ctypes AS (
+      SELECT w2, w3, count(*) AS np23 FROM tric GROUP BY w2, w3
+    ), mid AS (
+      SELECT w2, sum(np23) AS nmid, count(*) AS nf2
+      FROM ctypes GROUP BY w2
+    ), bg AS (
+      SELECT bgram FROM (
+        SELECT unnest(list_transform(
+                 generate_series(0, greatest(len(tk) - 2, 0)),
+                 i -> array_to_string(tk[i+1:i+2], ' '))) AS bgram
+        FROM toks)
+      WHERE len(string_split(bgram, ' ')) = 2
+    ), bgt AS (
+      SELECT DISTINCT string_split(bgram, ' ')[1] AS wa,
+                      string_split(bgram, ' ')[2] AS wb
+      FROM bg
+    ), contu AS (
+      SELECT wb AS w3, count(*) AS npu FROM bgt GROUP BY wb
+    ), tbt AS (SELECT count(*) AS t FROM bgt
+    ), costs AS (
+      SELECT t.w1 || ' ' || t.w2 || ' ' || t.w3 AS tgram,
+             CAST(floor(-ln(
+               (greatest(t.c3 - 0.75e0, 0.0e0)
+                + 0.75e0 * x.nf12 *
+                  ((greatest(ct.np23 - 0.75e0, 0.0e0)
+                    + 0.75e0 * m.nf2 *
+                      (cu.npu / CAST((SELECT t FROM tbt) AS DOUBLE)))
+                   / CAST(m.nmid AS DOUBLE)))
+               / CAST(x.c12 AS DOUBLE)
+             ) * 1e6 + 0.5e0) AS BIGINT) AS cost_ppm
+      FROM tric t
+      JOIN ctx2 x ON t.w1 = x.w1 AND t.w2 = x.w2
+      JOIN ctypes ct ON t.w2 = ct.w2 AND t.w3 = ct.w3
+      JOIN mid m ON t.w2 = m.w2
+      JOIN contu cu ON t.w3 = cu.w3
+    ), scored AS (
+      SELECT g.doc_id,
+             count(*) AS n_trigrams,
+             CAST(sum(c.cost_ppm) AS BIGINT) AS total_nll_ppm
+      FROM tg g JOIN costs c USING (tgram)
+      GROUP BY g.doc_id
+    )
+    SELECT doc_id, n_trigrams, total_nll_ppm,
+           total_nll_ppm // n_trigrams AS avg_nll_ppm
+    FROM scored
+    ORDER BY avg_nll_ppm DESC, doc_id
+    LIMIT 20
+    """,
+    covers=("X-text-kneser-ney",),
+)
+def kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney trigram LM surprisal per document —
+    the production n-gram smoothing (Kneser & Ney 1995; Chen &
+    Goodman 1999's interpolated form, fixed discount D=0.75), the
+    family KenLM-style corpus filtering actually uses, completing
+    the LM ladder above the add-one unigram/bigram queries:
+
+      P(w3|w1w2) = (max(c(w1w2w3)-D,0) + D·N1+(w1w2·)·P(w3|w2)) / c(w1w2·)
+      P(w3|w2)   = (max(N1+(·w2w3)-D,0) + D·N1+(w2·)·Pc(w3)) / N1+(·w2·)
+      Pc(w3)     = N1+(·w3) / |bigram types|
+
+    — continuation counts (how many DISTINCT contexts a word
+    follows), not raw frequencies, drive the lower orders: the
+    classic "san francisco" effect where raw-frequency backoff
+    overrates "francisco" in fresh contexts. Every scored trigram
+    occurs in the corpus, so each backoff denominator is ≥ 1 and
+    the recursion needs no unseen-context branch.
+
+    Scale shape: four count tables (trigram types, bigram contexts,
+    middle-word continuation, bigram types), each one shuffle over
+    the gram stream, all vocab-sized; the cost table broadcasts
+    back onto the per-doc stream; costs are ppm fixed-point BIGINTs
+    so per-doc sums are order-independent across engines. The
+    oracle rebuilds every continuation table from scratch in SQL —
+    identical arithmetic tree, one hash."""
+    from etl_sprint_2_5_spark.functions.text import word_shingles
+
+    d = load_documents_spread(spark, sf_dir)
+    tg = (
+        d.select("doc_id", F.explode(word_shingles("text", 3)).alias("tgram"))
+        .where(F.size(F.split("tgram", " ")) == 3)
+    )
+    sp = F.split("tgram", " ")
+    tric = (
+        tg.select(
+            F.element_at(sp, 1).alias("w1"),
+            F.element_at(sp, 2).alias("w2"),
+            F.element_at(sp, 3).alias("w3"),
+        )
+        .groupBy("w1", "w2", "w3")
+        .agg(F.count(F.lit(1)).alias("c3"))
+    )
+    ctx2 = tric.groupBy("w1", "w2").agg(
+        F.sum("c3").alias("c12"), F.count(F.lit(1)).alias("nf12")
+    )
+    ctypes = tric.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("np23"))
+    mid = ctypes.groupBy("w2").agg(
+        F.sum("np23").alias("nmid"), F.count(F.lit(1)).alias("nf2")
+    )
+    bsp = F.split("bgram", " ")
+    bgt = (
+        d.select(F.explode(word_shingles("text", 2)).alias("bgram"))
+        .where(F.size(bsp) == 2)
+        .select(
+            F.element_at(bsp, 1).alias("wa"), F.element_at(bsp, 2).alias("wb")
+        )
+        .distinct()
+    )
+    contu = bgt.groupBy(F.col("wb").alias("w3")).agg(
+        F.count(F.lit(1)).alias("npu")
+    )
+    tbt = bgt.agg(F.count(F.lit(1)).alias("t"))
+
+    D = F.lit(0.75)
+    pc = F.col("npu") / F.col("t").cast("double")
+    p2 = (
+        F.greatest(F.col("np23") - D, F.lit(0.0))
+        + D * F.col("nf2") * pc
+    ) / F.col("nmid").cast("double")
+    p3 = (
+        F.greatest(F.col("c3") - D, F.lit(0.0)) + D * F.col("nf12") * p2
+    ) / F.col("c12").cast("double")
+    costs = (
+        tric.join(ctx2, ["w1", "w2"])
+        .join(ctypes, ["w2", "w3"])
+        .join(mid, "w2")
+        .join(contu, "w3")
+        .crossJoin(F.broadcast(tbt))
+        .select(
+            F.concat_ws(" ", "w1", "w2", "w3").alias("tgram"),
+            F.floor(-F.log(p3) * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cost_ppm"),
+        )
+    )
+    scored = (
+        tg.join(F.broadcast(costs), "tgram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum("cost_ppm").alias("total_nll_ppm"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "n_trigrams",
+            "total_nll_ppm",
+            F.expr("total_nll_ppm div n_trigrams").alias("avg_nll_ppm"),
+        )
+        .orderBy(F.desc("avg_nll_ppm"), F.asc("doc_id"))
+        .limit(20)
+    )

@@ -210,3 +210,69 @@ def test_gopher_gate_rule_boundaries(spark, tmp_path):
         r["fail_stopwords"],
         r["n_pass_all"],
     ) == (5, 1, 1, 1, 1, 2, 1), dict(r.asDict())
+
+
+def test_kneser_ney_formula_normalizes_to_one():
+    """Pure-python evaluation of the exact formula the gated
+    kneser_ney_trigram query implements (same tables, same D): on a
+    corpus where every word occurs in both bigram positions, the
+    trigram distribution must sum to 1 over the vocabulary for every
+    observed context — the property that distinguishes a correctly
+    interpolated KN from an unnormalized backoff hack."""
+    import itertools
+
+    docs = [
+        "a b c a b d a c d b",
+        "b a c b d a d c a b",
+        "c d a b a b c d b a",
+    ]
+    toks = [d.split() for d in docs]
+    vocab = sorted({w for t in toks for w in t})
+    tris = [tuple(t[i : i + 3]) for t in toks for i in range(len(t) - 2)]
+    bis = [tuple(t[i : i + 2]) for t in toks for i in range(len(t) - 1)]
+    c3: dict = {}
+    for g in tris:
+        c3[g] = c3.get(g, 0) + 1
+    ctx2: dict = {}
+    nf12: dict = {}
+    for (w1, w2, w3), c in c3.items():
+        ctx2[(w1, w2)] = ctx2.get((w1, w2), 0) + c
+        nf12[(w1, w2)] = nf12.get((w1, w2), 0) + 1
+    np23: dict = {}
+    for (w1, w2, w3) in c3:
+        np23[(w2, w3)] = np23.get((w2, w3), 0) + 1
+    nmid: dict = {}
+    nf2: dict = {}
+    for (w2, w3), c in np23.items():
+        nmid[w2] = nmid.get(w2, 0) + c
+        nf2[w2] = nf2.get(w2, 0) + 1
+    bgt = set(bis)
+    npu: dict = {}
+    for _, wb in bgt:
+        npu[wb] = npu.get(wb, 0) + 1
+    T = len(bgt)
+    # every vocab word must be a continuation somewhere, else mass leaks
+    assert set(npu) == set(vocab)
+    D = 0.75
+
+    def pc(w3):
+        return npu.get(w3, 0) / T
+
+    def p2(w2, w3):
+        return (
+            max(np23.get((w2, w3), 0) - D, 0.0) + D * nf2[w2] * pc(w3)
+        ) / nmid[w2]
+
+    def p3(w1, w2, w3):
+        return (
+            max(c3.get((w1, w2, w3), 0) - D, 0.0)
+            + D * nf12[(w1, w2)] * p2(w2, w3)
+        ) / ctx2[(w1, w2)]
+
+    for (w1, w2) in sorted(ctx2):
+        s2 = sum(p2(w2, w3) for w3 in vocab)
+        s3 = sum(p3(w1, w2, w3) for w3 in vocab)
+        assert abs(s2 - 1.0) < 1e-9, (w2, s2)
+        assert abs(s3 - 1.0) < 1e-9, ((w1, w2), s3)
+    # and all probabilities are strictly positive (interpolation floor)
+    assert min(p3(w1, w2, w3) for (w1, w2) in ctx2 for w3 in vocab) > 0

@@ -263,6 +263,10 @@ HEADLINE = [
     # counts, D=0.75) — the production n-gram smoothing completing
     # the LM ladder; four vocab-sized count shuffles + broadcast
     "kneser_ney_trigram",
+    # round-15: the Avro streaming twin — file-source discovery +
+    # executor OCF decode + exactly-once manifest upsert, two-wave
+    # checkpoint gate with phase counters
+    "streaming_avro_ingest",
 ]
 
 

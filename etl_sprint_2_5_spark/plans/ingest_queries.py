@@ -607,3 +607,140 @@ def avro_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, back.schema)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+@query(
+    "streaming_avro_ingest",
+    oracle="""
+    SELECT doc_id, text, lang, source, n_chars,
+           CAST((SELECT count(*) FROM documents
+                 WHERE doc_id < (SELECT count(*) // 2 FROM documents))
+                AS BIGINT) AS phase_a_rows,
+           CAST((SELECT count(*) FROM documents
+                 WHERE doc_id >= (SELECT count(*) // 2 FROM documents))
+                AS BIGINT) AS phase_b_rows
+    FROM documents
+    ORDER BY doc_id
+    """,
+    covers=("X-ingest-avro-stream",),
+)
+def streaming_avro_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kafka-archive-shaped STREAMING ingest loop for Avro OCF —
+    the same two-wave checkpoint-discipline gate as
+    ``streaming_warc_ingest``, composed with the spec-implemented
+    codec (operators/avro_ocf.py): .avro shards land in an inbox,
+    the file source discovers them, an Arrow stage decodes whole
+    containers on the executors, and the idempotent keyed manifest
+    upsert commits each micro-batch exactly-once.
+
+    Wave A (doc_id below half) drains under ``availableNow`` with
+    maxFilesPerTrigger=2; ``phase_a_rows`` gates the view's exact
+    row count. Wave B stages the rest and a SECOND stream resumes
+    from the same checkpoint — ``phase_b_rows`` counts rows that
+    actually crossed wave B's ``foreachBatch``, so a file-source
+    offset log that re-read wave-A shards (masked by the idempotent
+    sink) still fails the hash. Deployment root injectable via
+    ``SPARK_GRAFT_INGEST_ROOT`` (cluster shape: object-store inbox +
+    durable shared checkpoint), same contract as the WARC twin.
+    Within a micro-batch each task decodes whole shards; the
+    byte-range split path is gated separately by
+    ``avro_ingest_roundtrip`` (a streaming trigger's unit of work is
+    the discovered FILE)."""
+    import os
+
+    import pandas as pd
+
+    from etl_sprint_2_5_spark.operators.avro_ocf import (
+        avro_schema_of,
+        read_ocf,
+        write_ocf_stream,
+    )
+    from etl_sprint_2_5_spark.streaming.sink import (
+        read_bucketed_view,
+        upsert_keyed_parquet_bucketed,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select(*_DOC_COLS)
+    avro_schema = avro_schema_of(docs.schema, name="document")
+    root = os.environ.get("SPARK_GRAFT_INGEST_ROOT")
+    tmp = tempfile.mkdtemp(prefix="avro_stream_", dir=root or None)
+    inbox, ckpt, view = f"{tmp}/inbox", f"{tmp}/ckpt", f"{tmp}/view"
+    os.makedirs(inbox)
+
+    def stage_wave(wave: str, part: DataFrame) -> None:
+        def write_shard(batches):  # noqa: ANN001 - Arrow iterator
+            from pyspark import TaskContext
+
+            pid = TaskContext.get().partitionId()
+            path = os.path.join(inbox, f"{wave}-{pid:04d}.avro")
+            recs = (
+                rec for pdf in batches for rec in pdf.to_dict("records")
+            )
+            n = write_ocf_stream(
+                path, recs, avro_schema, codec="deflate", block_rows=64
+            )
+            yield pd.DataFrame({"path": [path], "rows": [n]})
+
+        part.repartition(4, "doc_id").mapInPandas(
+            write_shard, "path string, rows long"
+        ).collect()
+
+    def parse(batches):  # noqa: ANN001 - Arrow iterator
+        cols = list(_DOC_COLS)
+        for pdf in batches:
+            for blob in pdf["content"]:
+                _, rows = read_ocf(bytes(blob))
+                yield pd.DataFrame(rows, columns=cols)
+
+    def drain_once(tag: str) -> int:
+        stream = (
+            spark.readStream.format("binaryFile")
+            .schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary"
+            )
+            .option("pathGlobFilter", "*.avro")
+            .option("maxFilesPerTrigger", 2)
+            .load(inbox)
+            .select("content")
+            .mapInPandas(parse, _DOC_SCHEMA)
+        )
+        seen = []
+
+        def commit(b, _eid) -> None:  # noqa: ANN001 - micro-batch DF
+            b.persist()
+            seen.append(b.count())
+            upsert_keyed_parquet_bucketed(spark, b, view, "doc_id",
+                                          n_buckets=8)
+            b.unpersist()
+
+        q = (
+            stream.writeStream.foreachBatch(commit)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError(f"streaming_avro_ingest {tag} did not drain")
+        return sum(seen)
+
+    try:
+        half = docs.count() // 2  # SF-independent wave split
+        stage_wave("wave_a", docs.where(F.col("doc_id") < half))
+        drain_once("wave A")
+        phase_a = read_bucketed_view(spark, view).count()
+
+        stage_wave("wave_b", docs.where(F.col("doc_id") >= half))
+        phase_b = drain_once("wave B")
+
+        out = (
+            read_bucketed_view(spark, view)
+            .select(*_DOC_COLS)
+            .withColumn("phase_a_rows", F.lit(phase_a).cast("bigint"))
+            .withColumn("phase_b_rows", F.lit(phase_b).cast("bigint"))
+            .orderBy("doc_id")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -109,3 +109,54 @@ def test_point_lookup_pushes_the_key(spark):
     a parquet reader can row-group-skip on it."""
     plan = _plan(spark, "point_lookup")
     assert "EqualTo(o_orderkey," in plan
+
+
+def test_hilbert_key_is_shuffle_free_and_scan_is_pruned(spark):
+    """The Hilbert key must stay a chain of projections: zero
+    Exchange between the parquet scan and the key column, and the
+    scan reads only the 3 needed lineitem columns."""
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.operators.layout import hilbert_frame
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    dims = load_table(spark, "lineitem", SF).select(
+        (F.col("l_partkey") % 256).alias("dx"),
+        (F.col("l_suppkey") % 256).alias("dy"),
+        "l_quantity",
+    )
+    keyed = hilbert_frame(dims, "dx", "dy", bits=8, out="hkey")
+    plan = keyed._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan  # pure projection chain
+    scan = plan[plan.index("ReadSchema"):].splitlines()[0]
+    assert "l_partkey" in scan and "l_suppkey" in scan
+    assert "l_comment" not in scan and "l_orderkey" not in scan
+
+
+def test_mg_pass1_plan_has_no_shuffle(spark):
+    """Misra-Gries pass 1 reads the stream in place: the mapInPandas
+    summary stage must sit directly on the scan with no Exchange."""
+    from pyspark.sql import functions as F
+
+    from etl_sprint_2_5_spark.sources.parquet import load_table
+
+    tok = (
+        load_table(spark, "documents", SF)
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .where(F.col("word") != "")
+    )
+
+    def mg(batches):  # noqa: ANN001
+        yield from batches
+
+    summarized = tok.mapInPandas(mg, "word string")
+    plan = summarized._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "Exchange" not in plan

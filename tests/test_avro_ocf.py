@@ -209,3 +209,14 @@ def test_python_reads_java_reference_files(spark, tmp_path):
     data = p.read_bytes()
     mid = len(data) // 2
     assert read_ocf_range(data, 0, mid) + read_ocf_range(data, mid, len(data)) == back
+
+
+def test_empty_file_and_empty_partition_shape():
+    """A zero-record OCF (what an empty shuffle partition writes) is
+    a header + sync with no blocks: whole-file and range reads both
+    return [] rather than raising."""
+    data = write_ocf([], SCHEMA, block_rows=8)
+    schema, rows = read_ocf(data)
+    assert schema == SCHEMA and rows == []
+    assert read_ocf_range(data, 0, len(data)) == []
+    assert read_ocf_range(data, len(data) // 2, len(data)) == []

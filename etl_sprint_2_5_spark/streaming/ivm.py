@@ -123,7 +123,20 @@ class Pipeline:
     batch_fn: Callable[[object, object, int], DataFrame] | None = None
     _delta_upserts: int = 0
 
-    def upsert(self, spark: SparkSession, docs: DataFrame) -> None:
+    def upsert(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        probe_keys: DataFrame | None = None,
+    ) -> None:
+        """``probe_keys``: the affected-id frame the rebuild was
+        restricted by — a guaranteed superset of ``docs``' keys, so
+        the bucketed sink can probe touched buckets over this cheap
+        bounded frame instead of executing the (join/agg-heavy)
+        rebuild plan an extra time. The sink checks the superset
+        contract structurally (stray staged buckets abort the
+        commit), so a rebuild that ever emitted an out-of-set key
+        would fail loudly, not lose rows."""
         if self.sink_mode == "delta":
             from etl_sprint_2_5_spark.streaming.sink import (
                 compact_bucketed_view,
@@ -142,7 +155,8 @@ class Pipeline:
                 compact_bucketed_view(spark, self.sink_path)
         elif self.n_buckets > 0:
             upsert_keyed_parquet_bucketed(
-                spark, docs, self.sink_path, self.doc_key, self.n_buckets
+                spark, docs, self.sink_path, self.doc_key, self.n_buckets,
+                probe_keys=probe_keys,
             )
         else:
             upsert_keyed_parquet(spark, docs, self.sink_path, self.doc_key)
@@ -203,21 +217,35 @@ def run_cycle(
     # bounded by batch_size so it is safely materializable
     batch = batch.cache()
     try:
-        tail = (
-            batch.select(
-                F.col(p.cursor_field).alias("ts"), F.col(p.id_field).alias("id")
-            )
-            .orderBy(F.desc("ts"), F.desc("id"))
-            .first()
-        )
-        if tail is None:
+        # ONE aggregation job yields both the consumed-row count and
+        # the cursor tail (max over the composite (ts, id) — struct
+        # comparison is lexicographic, identical to ORDER BY ts DESC,
+        # id DESC LIMIT 1). The previous sort-then-first plus separate
+        # count() cost two scheduler round-trips per cycle; at ~20
+        # cycles per maintenance scenario the fixed per-job latency
+        # was a measurable slice of the loop.
+        head = batch.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.struct(
+                    F.col(p.cursor_field).alias("ts"),
+                    F.col(p.id_field).alias("id"),
+                )
+            ).alias("tail"),
+        ).first()
+        if not head["n"]:
             return 0
-        n = batch.count()
+        tail = head["tail"]
+        n = head["n"]
         ids = p.fanout.affected_ids(batch, load)
         docs = p.rebuild(load, ids)
         # T6: transient sink failures are retried with capped backoff;
         # only a still-failing sink aborts the cycle (offset unmoved)
-        with_backoff(lambda: p.upsert(spark, docs))
+        # ids rides along as the touched-bucket probe hint: the
+        # rebuild restricted docs to exactly these ids, so the sink
+        # can probe over the bounded id frame and execute the rebuild
+        # plan only once — inside the merge write
+        with_backoff(lambda: p.upsert(spark, docs, probe_keys=ids))
         # T2: ONLY after the sink returned do we advance the cursor
         ts_val = tail["ts"]
         if isinstance(ts_val, str):

@@ -594,6 +594,7 @@ def upsert_keyed_parquet_bucketed(
     n_buckets: int = 16,
     keep_versions: int = 2,
     gc_grace_seconds: float = 0.0,
+    probe_keys: DataFrame | None = None,
 ) -> int:
     """Bucket-pruned keyed upsert with a manifest-based commit — the
     file-level-pruned MERGE shape (what Delta/Iceberg do with file
@@ -622,7 +623,20 @@ def upsert_keyed_parquet_bucketed(
     sessions, so a redelivered row always lands in the same bucket,
     and a crash before the publish leaves the offset uncommitted →
     redelivery re-runs the same idempotent merge. Returns the number
-    of buckets touched."""
+    of buckets touched.
+
+    ``probe_keys``: optional single-column frame of key values the
+    caller GUARANTEES to be a superset of ``batch``'s keys (the IVM
+    caller's affected-id frame — the rebuild restricts the batch to
+    exactly those ids). When given, the touched-bucket probe runs
+    over this frame instead of executing the (often join/agg-heavy)
+    batch plan a second time, so the batch plan executes exactly once
+    — inside the merge write. A probed-but-absent bucket keeps its
+    current manifest entry unless it has live rows to rewrite (same
+    anti-join; byte-identical result). A batch row landing in an
+    UN-probed bucket would be silently dropped, so the commit lists
+    the staged dirs and raises loudly on any stray bucket — the
+    contract is checked, not trusted."""
     for col in _RESERVED_COLS:
         if col in batch.columns:
             raise ValueError(f"batch column {col!r} is reserved by the sink")
@@ -645,17 +659,32 @@ def upsert_keyed_parquet_bucketed(
             nb = int(man["n_buckets"])  # stamped count wins — no drift
         fields = _widen_fields(spark, path, man, batch.schema)  # fail fast
         kb_of = _kb_expr(_layout_of(man, nb), key)
-        # persist: the batch plan (often a rebuild join+agg) feeds BOTH
-        # the touched-bucket probe and the merge write — without the
-        # cache it would execute twice per cycle. The batch is the
-        # change, not the corpus, so caching it is bounded by CDC
-        # volume.
+        # persist: the batch plan (often a rebuild join+agg) feeds the
+        # merge write twice (anti-join key broadcast + union branch) —
+        # and, when no probe_keys hint is given, the touched-bucket
+        # probe as well. The batch is the change, not the corpus, so
+        # caching it is bounded by CDC volume.
         b = batch.withColumn("_kb", kb_of).persist()
         try:
+            if probe_keys is not None:
+                # probe over the caller's (cheap, bounded) key frame —
+                # the heavy batch plan then executes only once, in the
+                # merge write below
+                probe = probe_keys.select(
+                    F.col(probe_keys.columns[0]).alias(key)
+                ).withColumn("_kb", kb_of)
+            else:
+                probe = b
             touched = sorted(
-                r["_kb"] for r in b.select("_kb").distinct().collect()
+                r["_kb"] for r in probe.select("_kb").distinct().collect()
             )
             if not touched:
+                if probe_keys is not None and not b.isEmpty():
+                    raise RuntimeError(
+                        "upsert_keyed_parquet_bucketed: probe_keys is "
+                        "empty but the batch is not — the superset "
+                        "contract is violated"
+                    )
                 return 0
             n = _commit_touched_buckets(
                 spark, b, touched, path, key, kb_of, nb, man,
@@ -713,6 +742,24 @@ def _commit_touched_buckets(
     merged.repartition(len(touched), F.col("_kb")).write.mode(
         "overwrite"
     ).partitionBy("_kb").parquet(stage)
+    # the probe_keys superset contract is CHECKED, not trusted: a
+    # batch row whose bucket the probe missed would fall through the
+    # move loop below and be silently dropped by the stage cleanup —
+    # so any staged bucket outside the touched set aborts the commit
+    # (nothing moved, no manifest published, target unchanged)
+    staged_kbs = {
+        int(d.split("=", 1)[1])
+        for d in os.listdir(stage)
+        if d.startswith("_kb=")
+    }
+    stray = staged_kbs - {int(kb) for kb in touched}
+    if stray:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            "bucketed upsert: batch rows landed in bucket(s) "
+            f"{sorted(stray)} absent from the touched-bucket probe — "
+            "probe_keys is not a superset of the batch's keys"
+        )
     for kb in touched:
         src = os.path.join(stage, f"_kb={kb}")
         if not os.path.exists(src):

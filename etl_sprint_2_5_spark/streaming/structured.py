@@ -76,7 +76,10 @@ def stream_pipeline_from(
             return
         ids = p.fanout.affected_ids(batch_df, load)
         docs = p.rebuild(load, ids)
-        p.upsert(spark, docs)  # flat or bucket-pruned per p.n_buckets
+        # flat or bucket-pruned per p.n_buckets; ids is the bucketed
+        # sink's touched-bucket probe hint (rebuild restricts docs to
+        # exactly these ids; the sink checks the superset contract)
+        p.upsert(spark, docs, probe_keys=ids)
 
     writer = (
         changed_stream.writeStream.foreachBatch(process)

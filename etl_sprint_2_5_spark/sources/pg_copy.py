@@ -123,13 +123,26 @@ def have_pg() -> bool:
 
 class ephemeral_pg:
     """Context manager running a THROWAWAY PostgreSQL cluster on a
-    unix socket under ``base_dir`` — initdb + pg_ctl start on enter,
-    stop + delete on exit. Root-less: when the caller is root (this
-    container), the cluster runs as ``nobody`` via ``runuser`` (PG
-    refuses root); the socket is world-connectable so the caller's
-    psql subprocesses reach it. fsync is off and the instance is
-    socket-only — this is a test/verification instance, not a durable
-    deployment. Yields the DSN string."""
+    unix socket under ``base_dir`` — data-dir bootstrap + pg_ctl start
+    on enter, stop + delete on exit. Root-less: when the caller is
+    root (this container), the cluster runs as ``nobody`` via
+    ``runuser`` (PG refuses root); the socket is world-connectable so
+    the caller's psql subprocesses reach it. fsync is off and the
+    instance is socket-only — this is a test/verification instance,
+    not a durable deployment. Yields the DSN string.
+
+    Bootstrap cost: ``initdb`` runs ONCE per process into a cached
+    template data dir; each cluster then starts from a file-level
+    copy of the template (``cp -a``) — a PG data dir is relocatable
+    before first start, so the copy is byte-equivalent to a fresh
+    initdb at a fraction of the cost (the standard trick test
+    fixtures like pytest-postgresql use). Every cluster still starts
+    EMPTY: nothing but initdb's catalog is in the template, so no
+    query state can leak between scenarios. The template is
+    per-process (no cross-process sharing, no lock protocol) and
+    removed atexit."""
+
+    _template_dir: str | None = None  # process-wide initdb template
 
     def __init__(self, base_dir: str, port: int = 54329):
         self.base = base_dir
@@ -147,6 +160,32 @@ class ephemeral_pg:
                 f"{cmd[0]} failed: {proc.stderr.strip()[:500]}"
             )
 
+    def _template(self) -> str:
+        """The once-per-process initdb'd template data dir (never
+        started — no postmaster state, just initdb's catalog files)."""
+        import atexit
+        import os
+        import shutil as _sh
+        import tempfile
+
+        cls = type(self)
+        tpl = cls._template_dir
+        if tpl and os.path.isdir(tpl):
+            return tpl
+
+        base = tempfile.mkdtemp(prefix="pg_tpl_")
+        os.chmod(base, 0o755)
+        if os.geteuid() == 0:
+            _sh.chown(base, user="nobody")
+        tpl = f"{base}/data"
+        self._run(
+            "initdb", "-D", tpl, "-U", "pguser", "--auth=trust",
+            "--no-sync",
+        )
+        cls._template_dir = tpl
+        atexit.register(lambda: _sh.rmtree(base, ignore_errors=True))
+        return tpl
+
     def __enter__(self) -> str:
         import os
         import shutil as _sh
@@ -155,10 +194,10 @@ class ephemeral_pg:
         if os.geteuid() == 0:
             _sh.chown(self.base, user="nobody")
         data = f"{self.base}/data"
-        self._run(
-            "initdb", "-D", data, "-U", "pguser", "--auth=trust",
-            "--no-sync",
-        )
+        # cp of the never-started template == fresh initdb (see class
+        # docstring); run as the cluster owner so permissions come out
+        # 0700-owner-correct without a chown pass
+        self._run("cp", "-a", self._template(), data)
         # unix_socket_permissions=0700: trust auth stays unreachable by
         # arbitrary local users — only the cluster owner (and root,
         # which owns the test process) can connect to the socket

@@ -266,14 +266,32 @@ def run_to_completion(
     """Drain every pipeline until all report an empty batch.
 
     Equivalent to the daemon's poll loop (daemon.py:537-542) with
-    Trigger.AvailableNow semantics instead of one-batch-per-poll."""
+    Trigger.AvailableNow semantics instead of one-batch-per-poll.
+
+    Short-circuit: a cycle that returned FEWER rows than its
+    batch_size proves the keyset scan is past the last row — the
+    producer is ``ORDER BY (ts, id) LIMIT batch_size``, so a partial
+    batch means nothing remains after the advanced cursor. That
+    pipeline is not re-polled within THIS drain (sources are
+    quiescent during a drain — the CDC writes land between calls),
+    which removes the confirm-empty cycle per pipeline (a full
+    keyset-scan plan + aggregation job each) the moved==0 exit used
+    to cost. The drained set is per-call: the next call re-polls
+    everything, so post-drain mutations are picked up exactly as
+    before."""
     total = 0
+    drained: set[int] = set()
     for _ in range(max_cycles):
         moved = 0
-        for p in pipelines:
-            moved += run_cycle(spark, p, load, offsets)
+        for i, p in enumerate(pipelines):
+            if i in drained:
+                continue
+            n = run_cycle(spark, p, load, offsets)
+            moved += n
+            if n < p.batch_size:
+                drained.add(i)
         total += moved
-        if moved == 0:
+        if len(drained) == len(pipelines):
             return total
     raise RuntimeError("IVM did not converge within max_cycles")
 

@@ -579,6 +579,48 @@ def _drain_or_raise(q, name: str, timeout: int = 300) -> None:
         raise RuntimeError(f"{name} did not drain within {timeout}s")
 
 
+import contextlib  # noqa: E402
+
+
+@contextlib.contextmanager
+def bounded_state_shuffle(
+    spark: SparkSession, key_space_bound: int, keys_per_partition: int = 256
+):
+    """Scale a stateful streaming aggregation's shuffle width to the
+    KEY SPACE of the aggregate instead of the session's row-scale
+    default.
+
+    A sketch aggregate bounds its group cardinality BY CONSTRUCTION
+    (that is the point of a sketch: HLL registers, CMS cells, DDSketch
+    buckets, KMV shard samples — hundreds to low thousands of keys
+    forever). The stateful operator partitions its state by
+    ``spark.sql.shuffle.partitions``, and every state partition costs
+    a state-store delta file + commit PER MICRO-BATCH (and, for
+    applyInPandasWithState, a Python worker round-trip) — so a
+    row-scale width (32 locally, thousands on a production cluster)
+    spends almost all of its per-trigger cost on partitions holding a
+    handful of keys. Width here derives from the aggregate itself:
+    ``ceil(bound / keys_per_partition)`` clamped to [1, session
+    default] — the map-side partial aggregation already shrinks the
+    shuffle to ≤ bound rows per map task, so reduce-side parallelism
+    buys nothing. Derived-not-hardcoded keeps the rule valid on any
+    cluster size.
+
+    The width is read at stream START and baked into the checkpoint;
+    these gates create a fresh checkpoint per run, which is what makes
+    the per-query choice safe. The session value is restored on exit
+    (also on failure), so batch plans around the stream are untouched."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    width = max(1, -(-int(key_space_bound) // max(1, keys_per_partition)))
+    width = min(int(prev), width)
+    spark.conf.set(key, str(width))
+    try:
+        yield width
+    finally:
+        spark.conf.set(key, prev)
+
+
 @query(
     "streaming_tumbling_window_agg",
     oracle="""

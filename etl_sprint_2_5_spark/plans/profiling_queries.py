@@ -589,15 +589,22 @@ def streaming_hll_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("rho").alias("reg"))
         )
         sink = f"t_{os.path.basename(tmp)}"
-        q = (
-            regs.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        # state key space = event_type × m registers (≤ ~16 types in
+        # the fixture domain; the bound only sizes the state shuffle)
+        from etl_sprint_2_5_spark.plans.events_queries import (
+            bounded_state_shuffle,
         )
-        _drain_or_raise(q, "streaming_hll_estimates")
+
+        with bounded_state_shuffle(spark, 16 * m):
+            q = (
+                regs.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain_or_raise(q, "streaming_hll_estimates")
         est = hll_estimate(spark.table(sink), ("event_type",), b=b)
         exact = ev.groupBy("event_type").agg(
             F.countDistinct("user_id").alias("exact_distinct")
@@ -899,15 +906,22 @@ def streaming_dd_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
         )
         sink = f"t_{os.path.basename(tmp)}"
-        q = (
-            sk.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        # state key space = l_returnflag (3-value TPC-H domain, bound
+        # 4) × ≤ ~256 ddsketch bucket ids
+        from etl_sprint_2_5_spark.plans.events_queries import (
+            bounded_state_shuffle,
         )
-        _drain_or_raise(q, "streaming_dd_quantiles")
+
+        with bounded_state_shuffle(spark, 4 * 256):
+            q = (
+                sk.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain_or_raise(q, "streaming_dd_quantiles")
         drained = spark.createDataFrame(
             spark.table(sink).collect(), spark.table(sink).schema
         )
@@ -1107,15 +1121,21 @@ def streaming_cms_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n"))
         )
         sink = f"t_{os.path.basename(tmp)}"
-        q = (
-            cells.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        # state key space = exactly depth × width CMS cells
+        from etl_sprint_2_5_spark.plans.events_queries import (
+            bounded_state_shuffle,
         )
-        _drain_or_raise(q, "streaming_cms_estimates")
+
+        with bounded_state_shuffle(spark, depth * width):
+            q = (
+                cells.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain_or_raise(q, "streaming_cms_estimates")
         keys = ev.select("event_type").distinct()
         out = cms_estimate(
             spark.table(sink), keys, "event_type", width=width, depth=depth,
@@ -1903,16 +1923,24 @@ def streaming_kmv_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(F.col("hv"), F.lit(n_groups)).alias("g"), "hv"
         )
         sink = f"t_{os.path.basename(tmp)}"
-        q = (
-            kmv_bottomk_stream(hashed, k=_KMV_K)
-            .writeStream.outputMode("update")
-            .format("memory")
-            .queryName(sink)
-            .option("checkpointLocation", f"{tmp}/ckpt")
-            .trigger(availableNow=True)
-            .start()
+        # state key space = exactly n_groups shard samples; the
+        # applyInPandasWithState width also bounds the Python worker
+        # round-trips per trigger
+        from etl_sprint_2_5_spark.plans.events_queries import (
+            bounded_state_shuffle,
         )
-        _drain_or_raise(q, "streaming_kmv_estimates")
+
+        with bounded_state_shuffle(spark, n_groups, keys_per_partition=2):
+            q = (
+                kmv_bottomk_stream(hashed, k=_KMV_K)
+                .writeStream.outputMode("update")
+                .format("memory")
+                .queryName(sink)
+                .option("checkpointLocation", f"{tmp}/ckpt")
+                .trigger(availableNow=True)
+                .start()
+            )
+            _drain_or_raise(q, "streaming_kmv_estimates")
         from pyspark.sql import Window
 
         emitted = spark.table(sink)

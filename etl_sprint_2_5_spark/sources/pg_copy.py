@@ -368,15 +368,23 @@ class staged_ids:
         if len(self.ids) <= self.threshold:
             return ",".join(str(i) for i in self.ids) or "NULL"
         self.table = f"ids_stage_{uuid.uuid4().hex[:10]}"
-        pg_exec(
-            self.dsn,
-            f"CREATE UNLOGGED TABLE {self.table} (id bigint PRIMARY KEY)",
+        # ONE psql invocation for CREATE + COPY + ANALYZE: psql's
+        # COPY ... FROM STDIN inside a script reads the inline rows up
+        # to \. from the same stream, so the whole stage costs one
+        # process spawn + one connection instead of three (this runs
+        # per restriction per CDC cycle on the staged-fanout path —
+        # the spawn overhead was 3x the useful work for small id sets)
+        rows = "\n".join(str(i) for i in self.ids)
+        script = (
+            f"CREATE UNLOGGED TABLE {self.table} (id bigint PRIMARY KEY);\n"
+            f"COPY {self.table} (id) FROM STDIN WITH (FORMAT csv);\n"
+            f"{rows}\n\\.\n"
+            f"ANALYZE {self.table};"
         )
         try:
-            _copy_in(self.dsn, self.table, ["id"], [(i,) for i in self.ids])
-            pg_exec(self.dsn, f"ANALYZE {self.table}")
+            pg_exec(self.dsn, script)
         except BaseException:
-            # a COPY/ANALYZE failure means the with-body is never
+            # a mid-script failure means the with-body is never
             # entered and __exit__ never runs — drop here or the
             # stage table leaks for the life of the PG instance
             self.__exit__()

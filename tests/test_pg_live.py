@@ -305,18 +305,16 @@ def test_staged_ids_threshold_crossing(dsn):
         assert probe(frag)[0] == 0
 
 
-def test_staged_ids_enter_failure_drops_stage(dsn, monkeypatch):
-    """If COPY (or ANALYZE) fails inside __enter__, the with-body is
-    never entered and __exit__ never runs — the stage table must be
-    dropped before the error propagates, or it leaks for the life of
-    the PG instance."""
-
-    def boom(*a, **k):
-        raise RuntimeError("copy blew up")
-
-    monkeypatch.setattr(pg_copy, "_copy_in", boom)
-    with pytest.raises(RuntimeError, match="copy blew up"):
-        with pg_copy.staged_ids(dsn, list(range(50)), threshold=10):
+def test_staged_ids_enter_failure_drops_stage(dsn):
+    """If the staging script fails inside __enter__ AFTER the CREATE
+    committed, the with-body is never entered and __exit__ never runs
+    — the stage table must be dropped before the error propagates, or
+    it leaks for the life of the PG instance. Driven by a REAL
+    mid-script failure: duplicate ids violate the stage PK during the
+    inline COPY (one psql script runs CREATE + COPY + ANALYZE; the
+    CREATE autocommits before the COPY dies)."""
+    with pytest.raises(RuntimeError, match="psql failed"):
+        with pg_copy.staged_ids(dsn, [7] * 50, threshold=10):
             raise AssertionError("with-body must not be entered")
     left = pg_copy.pg_exec(
         dsn,

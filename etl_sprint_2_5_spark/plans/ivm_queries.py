@@ -97,6 +97,29 @@ def _stage_base(spark: SparkSession, sf_dir: str, base: str) -> None:
         df.write.mode("overwrite").parquet(f"{base}/{name}")
 
 
+def _memo_loader(spark: SparkSession, base: str):
+    """A ``load`` whose relations are resolved ONCE per PHASE, not per
+    cycle: every `spark.read.parquet` call builds a fresh file index
+    (directory listing) and re-reads footers for the schema, and the
+    maintenance loop calls ``load`` up to five times per cycle (keyset
+    producer, bridge fan-out, three rebuild tables) — pure repeated
+    driver-side work (guide §1.2/§6). Memoizing the DataFrame reuses
+    one resolved relation for the whole drain. Scope is ONE PHASE by
+    construction: sources are quiescent during a drain (the documented
+    run_to_completion invariant), and the caller builds a FRESH loader
+    after the CDC mutate so phase B sees the overwritten snapshots —
+    a loader carried across the mutate would serve a stale file index
+    over deleted files."""
+    cache: dict[str, DataFrame] = {}
+
+    def load(name: str) -> DataFrame:
+        if name not in cache:
+            cache[name] = spark.read.parquet(f"{base}/{name}")
+        return cache[name]
+
+    return load
+
+
 def _mutate(spark: SparkSession, sf_dir: str, base: str) -> None:
     """The CDC writes: rename customers (c_custkey % 10 == 0),
     re-prioritize orders (o_orderkey % 13 == 0), both stamped T1."""
@@ -273,8 +296,9 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~100k buckets at 100 TB; floors to 16 on this toy base)
     nb = buckets_for(dir_bytes(base))
 
-    def load(name: str) -> DataFrame:
-        return spark.read.parquet(f"{base}/{name}")
+    # one resolved relation per table per PHASE (see _memo_loader on
+    # why the loader must not outlive the mutate boundary)
+    load = _memo_loader(spark, base)
 
     # batch_size ≈ n/2 per source: every pipeline needs ≥2 keyset
     # cycles for the backfill, so the cursor provably advances
@@ -288,7 +312,9 @@ def ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_to_completion(spark, pipelines, load, offsets)  # phase A: backfill
     _mutate(spark, sf_dir, base)  # the CDC writes
-    consumed_b = run_to_completion(spark, pipelines, load, offsets)  # phase B
+    consumed_b = run_to_completion(
+        spark, pipelines, _memo_loader(spark, base), offsets
+    )  # phase B — fresh loader over the mutated snapshots
 
     docs = (
         read_bucketed_view(spark, gold)
@@ -338,8 +364,10 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     # ~100k buckets at 100 TB; floors to 16 on this toy base)
     nb = buckets_for(dir_bytes(base))
 
-    def load(name: str) -> DataFrame:
-        return spark.read.parquet(f"{base}/{name}")
+    # one resolved relation per table per PHASE (see _memo_loader);
+    # rebuilt fresh after the mutate so phase B's rebuilds read the
+    # overwritten snapshots
+    load = _memo_loader(spark, base)
 
     schemas = {
         "orders": (
@@ -394,7 +422,7 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
 
     from pyspark.sql.types import _parse_datatype_string
 
-    def drain(name: str) -> int:
+    def drain(name: str, loader) -> int:  # noqa: ANN001
         """One availableNow pass of one pipeline; returns the rows the
         STREAM itself consumed (per-batch counts recorded inside the
         foreachBatch body — see stream_pipeline's row_counter note on
@@ -405,7 +433,7 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
             pipelines[name],
             f"{tmp}/feed/{name}",
             _parse_datatype_string(schemas[name]),
-            load,
+            loader,
             f"{tmp}/ckpt/{name}",
             row_counter=counter,
         )
@@ -417,10 +445,11 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     # phase A: full-base backfill feed
     for name in pipelines:
         load(name).write.mode("append").parquet(f"{tmp}/feed/{name}")
-        drain(name)
+        drain(name, load)
 
     # the CDC writes: mutate the base snapshots, feed ONLY changed rows
     _mutate(spark, sf_dir, base)
+    load = _memo_loader(spark, base)  # fresh — post-mutate snapshots
     load("customer").where(F.col("c_custkey") % 10 == 0).write.mode(
         "append"
     ).parquet(f"{tmp}/feed/customer")
@@ -429,7 +458,7 @@ def streaming_ivm_maintained_docs(spark: SparkSession, sf_dir: str) -> DataFrame
     ).parquet(f"{tmp}/feed/orders")
 
     # phase B: resumed queries must consume exactly the new files
-    consumed_b = sum(drain(name) for name in pipelines)
+    consumed_b = sum(drain(name, load) for name in pipelines)
 
     docs = (
         read_bucketed_view(spark, gold)
@@ -476,8 +505,8 @@ def ivm_maintained_docs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     _stage_base(spark, sf_dir, base)
     nb = buckets_for(dir_bytes(base))
 
-    def load(name: str) -> DataFrame:
-        return spark.read.parquet(f"{base}/{name}")
+    # one resolved relation per table per PHASE (see _memo_loader)
+    load = _memo_loader(spark, base)
 
     sizes = {
         name: max(1, load(name).count() // 2 + 1)
@@ -490,7 +519,9 @@ def ivm_maintained_docs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     run_to_completion(spark, pipelines, load, offsets)  # phase A: backfill
     _mutate(spark, sf_dir, base)  # the CDC writes
-    consumed_b = run_to_completion(spark, pipelines, load, offsets)  # phase B
+    consumed_b = run_to_completion(
+        spark, pipelines, _memo_loader(spark, base), offsets
+    )  # phase B — fresh loader over the mutated snapshots
 
     docs = (
         read_bucketed_view(spark, gold)
@@ -991,49 +1022,69 @@ def _pg_live_env(
     def rd(sql: str, schema: str) -> DataFrame:
         return pg_copy.pg_copy_read(spark, dsn, sql, schema)
 
+    def _framed_reads(ids: list, reads) -> list[DataFrame]:  # noqa: ANN001
+        """All of one cycle's restricted reads in ONE psql spawn:
+        id staging (above stage_threshold) + every COPY read + the
+        stage DROP ride a single sentinel-framed script
+        (pg_copy.pg_copy_read_script) — per-read psql spawn+connect
+        was ~3× the useful server work at CDC batch sizes. ``reads``
+        is a list of (sql_template, ddl_schema) where the template
+        holds ``{frag}`` for the IN-list body."""
+        frag, prelude, epilogue, stage = pg_copy.id_restriction_script(
+            ids, stage_threshold
+        )
+        try:
+            return pg_copy.pg_copy_read_script(
+                spark, dsn,
+                [(sql.format(frag=frag), schema) for sql, schema in reads],
+                prelude=prelude, epilogue=epilogue,
+            )
+        except BaseException:
+            if stage is not None:
+                # the script died before its DROP epilogue — don't
+                # leak the stage table for the cluster's lifetime
+                pg_copy.pg_exec(dsn, f"DROP TABLE IF EXISTS {stage}")
+            raise
+
     def bridge_custkeys(picked: DataFrame) -> DataFrame:
         # the reference collects exactly this bounded id list into an
         # IN clause (daemon.py:139-152); above stage_threshold the
         # ids go through an UNLOGGED staged table instead — the
         # server-side hash semi-join that survives large fan-outs
         ks = [r.id for r in picked.collect()]
-        with pg_copy.staged_ids(dsn, ks, threshold=stage_threshold) as frag:
-            return rd(
-                "SELECT DISTINCT o_orderkey AS id FROM orders "
-                f"WHERE o_custkey IN ({frag})",
-                "id long",
-            )
+        (affected,) = _framed_reads(ks, [(
+            "SELECT DISTINCT o_orderkey AS id FROM orders "
+            "WHERE o_custkey IN ({frag})",
+            "id long",
+        )])
+        return affected
 
     def pg_rebuild(_load, ids: DataFrame) -> DataFrame:  # noqa: ANN001
         idl = [r.id for r in ids.collect()]
-        with pg_copy.staged_ids(
-            dsn, idl, threshold=stage_threshold
-        ) as frag:
-
-            def rload(name: str) -> DataFrame:
-                if name == "orders":
-                    return rd(
-                        "SELECT o_orderkey, o_custkey, o_orderpriority "
-                        f"FROM orders WHERE o_orderkey IN ({frag})",
-                        "o_orderkey long, o_custkey long, "
-                        "o_orderpriority string",
-                    )
-                if name == "customer":
-                    return rd(
-                        "SELECT c_custkey, c_name FROM customer "
-                        "WHERE c_custkey IN (SELECT o_custkey FROM "
-                        f"orders WHERE o_orderkey IN ({frag}))",
-                        "c_custkey long, c_name string",
-                    )
-                return rd(
-                    "SELECT li_id, l_orderkey, cents FROM lineitem "
-                    f"WHERE l_orderkey IN ({frag})",
-                    "li_id long, l_orderkey long, cents long",
-                )
-
-            # pg_copy_read is eager (the COPY runs at call time), so
-            # every read lands while the staged table is alive
-            return _rebuild_docs(rload, ids)
+        # one spawn for stage + all three restricted reads + drop;
+        # pg_copy_read_script is eager, so every read lands while the
+        # staged table is alive
+        o_df, c_df, li_df = _framed_reads(idl, [
+            (
+                "SELECT o_orderkey, o_custkey, o_orderpriority "
+                "FROM orders WHERE o_orderkey IN ({frag})",
+                "o_orderkey long, o_custkey long, "
+                "o_orderpriority string",
+            ),
+            (
+                "SELECT c_custkey, c_name FROM customer "
+                "WHERE c_custkey IN (SELECT o_custkey FROM "
+                "orders WHERE o_orderkey IN ({frag}))",
+                "c_custkey long, c_name string",
+            ),
+            (
+                "SELECT li_id, l_orderkey, cents FROM lineitem "
+                "WHERE l_orderkey IN ({frag})",
+                "li_id long, l_orderkey long, cents long",
+            ),
+        ])
+        tables = {"orders": o_df, "customer": c_df, "lineitem": li_df}
+        return _rebuild_docs(tables.__getitem__, ids)
 
     return {
         "counts": counts, "nb": nb, "rd": rd,

@@ -334,6 +334,39 @@ def pg_upsert_copy(
         pg_exec(dsn, f"DROP TABLE IF EXISTS {stage}")
 
 
+def id_restriction_script(
+    ids, threshold: int
+) -> tuple[str, str, str, str | None]:
+    """The ``staged_ids`` decision as SCRIPT FRAGMENTS, for callers
+    that batch their statements into one psql invocation: returns
+    ``(frag, prelude, epilogue, stage_table)`` where ``frag`` is the
+    ``IN (...)`` body (a literal id list below ``threshold``, a
+    ``SELECT id FROM <stage>`` above it), ``prelude`` stages the id
+    set (CREATE UNLOGGED + inline COPY + ANALYZE — empty on the
+    literal path), ``epilogue`` drops the stage, and ``stage_table``
+    names it (None on the literal path) so a caller whose script
+    failed mid-way can best-effort DROP. staged_ids wraps this for
+    the one-read-per-spawn shape; the CDC rebuild batches its three
+    restricted reads plus stage+drop into a single spawn."""
+    ids = [int(i) for i in ids]
+    if len(ids) <= threshold:
+        return (",".join(str(i) for i in ids) or "NULL", "", "", None)
+    table = f"ids_stage_{uuid.uuid4().hex[:10]}"
+    rows = "\n".join(str(i) for i in ids)
+    prelude = (
+        f"CREATE UNLOGGED TABLE {table} (id bigint PRIMARY KEY);\n"
+        f"COPY {table} (id) FROM STDIN WITH (FORMAT csv);\n"
+        f"{rows}\n\\.\n"
+        f"ANALYZE {table};"
+    )
+    return (
+        f"SELECT id FROM {table}",
+        prelude,
+        f"DROP TABLE IF EXISTS {table};",
+        table,
+    )
+
+
 class staged_ids:
     """Context manager turning a bounded affected-id set into the
     body of a SQL ``IN (...)`` — as a literal list below
@@ -365,31 +398,27 @@ class staged_ids:
         self.table: str | None = None
 
     def __enter__(self) -> str:
-        if len(self.ids) <= self.threshold:
-            return ",".join(str(i) for i in self.ids) or "NULL"
-        self.table = f"ids_stage_{uuid.uuid4().hex[:10]}"
         # ONE psql invocation for CREATE + COPY + ANALYZE: psql's
         # COPY ... FROM STDIN inside a script reads the inline rows up
         # to \. from the same stream, so the whole stage costs one
         # process spawn + one connection instead of three (this runs
         # per restriction per CDC cycle on the staged-fanout path —
         # the spawn overhead was 3x the useful work for small id sets)
-        rows = "\n".join(str(i) for i in self.ids)
-        script = (
-            f"CREATE UNLOGGED TABLE {self.table} (id bigint PRIMARY KEY);\n"
-            f"COPY {self.table} (id) FROM STDIN WITH (FORMAT csv);\n"
-            f"{rows}\n\\.\n"
-            f"ANALYZE {self.table};"
+        frag, prelude, _epi, table = id_restriction_script(
+            self.ids, self.threshold
         )
+        if table is None:
+            return frag
+        self.table = table
         try:
-            pg_exec(self.dsn, script)
+            pg_exec(self.dsn, prelude)
         except BaseException:
             # a mid-script failure means the with-body is never
             # entered and __exit__ never runs — drop here or the
             # stage table leaks for the life of the PG instance
             self.__exit__()
             raise
-        return f"SELECT id FROM {self.table}"
+        return frag
 
     def __exit__(self, *exc) -> None:
         if self.table:
@@ -444,12 +473,19 @@ def pg_copy_read(
     )
     if proc.returncode != 0:
         raise RuntimeError(f"COPY read failed: {proc.stderr.strip()}")
-    # quote-aware decode: only an UNQUOTED marker is NULL — PostgreSQL
-    # quotes a data value equal to the null string precisely so the
-    # two are distinguishable, and csv.reader would erase that
+    return _typed_frame(spark, proc.stdout, schema)
+
+
+def _typed_frame(
+    spark: SparkSession, copy_out: str, schema: str
+) -> DataFrame:
+    """COPY csv text → typed local DataFrame under an explicit DDL
+    schema. Quote-aware decode: only an UNQUOTED marker is NULL —
+    PostgreSQL quotes a data value equal to the null string precisely
+    so the two are distinguishable, and csv.reader would erase that."""
     rows = [
         tuple(None if (not q and v == _NULL) else v for q, v in rec)
-        for rec in _parse_csv_raw(proc.stdout)
+        for rec in _parse_csv_raw(copy_out)
     ]
     names = [f.split()[0] for f in schema.split(",")]
     str_schema = ", ".join(f"{n} string" for n in names)
@@ -458,3 +494,59 @@ def pg_copy_read(
     return raw.select(
         [F.col(n).cast(t).alias(n) for n, t in zip(names, types)]
     )
+
+
+def pg_copy_read_script(
+    spark: SparkSession,
+    dsn: str,
+    reads: list[tuple[str, str]],
+    prelude: str = "",
+    epilogue: str = "",
+) -> list[DataFrame]:
+    """Several ``COPY (query) TO STDOUT`` reads — plus optional
+    prelude/epilogue SQL (id staging, DROP) — in ONE psql invocation;
+    returns one typed DataFrame per ``(query, ddl_schema)`` pair in
+    order. The per-read spawn+connect overhead (~3× the useful server
+    work for CDC-cycle-sized restrictions) collapses to one spawn for
+    the whole statement group.
+
+    Framing: each COPY is followed by ``\\echo <uuid-sentinel>`` —
+    psql executes script statements sequentially and both COPY output
+    and ``\\echo`` write to the same stdout, so the sentinel lines
+    delimit the result sets exactly. The sentinel is a fresh UUID, so
+    no data row can collide with it; a quoted newline INSIDE a csv
+    field cannot fake a frame boundary either, because the split is on
+    the full sentinel string. ON_ERROR_STOP aborts the whole script on
+    any failure (non-zero exit → RuntimeError with PG's stderr); a
+    caller whose prelude staged a table should best-effort DROP it on
+    that error path (see id_restriction_script's stage_table)."""
+    sep = f"__frame_{uuid.uuid4().hex}__"
+    parts = []
+    if prelude:
+        parts.append(prelude)
+    for q, _schema in reads:
+        parts.append(
+            f"COPY ({q}) TO STDOUT WITH (FORMAT csv, NULL '{_NULL}');"
+        )
+        parts.append(f"\\echo {sep}")
+    if epilogue:
+        parts.append(epilogue)
+    proc = subprocess.run(
+        ["psql", dsn, "-v", "ON_ERROR_STOP=1", "-X", "-q", "-f", "-"],
+        input="\n".join(parts) + "\n",
+        capture_output=True,
+        text=True,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(f"COPY script failed: {proc.stderr.strip()}")
+    chunks = proc.stdout.split(sep + "\n")
+    if len(chunks) != len(reads) + 1:
+        raise RuntimeError(
+            f"COPY script framing: expected {len(reads)} sentinel-"
+            f"terminated result sets, got {len(chunks) - 1} "
+            "(psql emitted unexpected output between statements?)"
+        )
+    return [
+        _typed_frame(spark, chunk, schema)
+        for chunk, (_q, schema) in zip(chunks, reads)
+    ]

@@ -237,21 +237,36 @@ def run_cycle(
             return 0
         tail = head["tail"]
         n = head["n"]
+        # persist ONLY when the sink's touched-bucket probe will
+        # execute the frame a second time (rewrite-bucketed path): the
+        # affected-id frame then feeds the probe AND the rebuild's
+        # broadcast semi-join (AND, on source-native rebuilds, an
+        # eager collect), and without the persist a bridge fan-out
+        # re-runs its bridge-table scan+join per execution. The
+        # delta/flat sinks consume ids exactly once (the broadcast) —
+        # persisting there is pure overhead. Bounded by the batch's
+        # fan-out, same persistability argument as ``batch``.
         ids = p.fanout.affected_ids(batch, load)
-        docs = p.rebuild(load, ids)
-        # T6: transient sink failures are retried with capped backoff;
-        # only a still-failing sink aborts the cycle (offset unmoved)
-        # ids rides along as the touched-bucket probe hint: the
-        # rebuild restricted docs to exactly these ids, so the sink
-        # can probe over the bounded id frame and execute the rebuild
-        # plan only once — inside the merge write
-        with_backoff(lambda: p.upsert(spark, docs, probe_keys=ids))
-        # T2: ONLY after the sink returned do we advance the cursor
-        ts_val = tail["ts"]
-        if isinstance(ts_val, str):
-            ts_val = dt.datetime.fromisoformat(ts_val)
-        offsets.set(p.name, ts_val, tail["id"])
-        return n
+        if p.sink_mode != "delta" and p.n_buckets > 0:
+            ids = ids.persist()
+        try:
+            docs = p.rebuild(load, ids)
+            # T6: transient sink failures are retried with capped
+            # backoff; only a still-failing sink aborts the cycle
+            # (offset unmoved). ids rides along as the touched-bucket
+            # probe hint: the rebuild restricted docs to exactly these
+            # ids, so the sink can probe over the bounded id frame and
+            # execute the rebuild plan only once — inside the merge
+            # write
+            with_backoff(lambda: p.upsert(spark, docs, probe_keys=ids))
+            # T2: ONLY after the sink returned do we advance the cursor
+            ts_val = tail["ts"]
+            if isinstance(ts_val, str):
+                ts_val = dt.datetime.fromisoformat(ts_val)
+            offsets.set(p.name, ts_val, tail["id"])
+            return n
+        finally:
+            ids.unpersist()
     finally:
         batch.unpersist()
 

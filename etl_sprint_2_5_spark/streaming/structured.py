@@ -74,12 +74,25 @@ def stream_pipeline_from(
             row_counter.append(n)
         if not n:
             return
+        # persist only when the bucketed sink's probe executes the
+        # frame a second time (rewrite-bucketed path): ids then feeds
+        # the probe AND the rebuild's broadcast (and source-native
+        # rebuilds collect it) — without the persist a bridge fan-out
+        # re-executes its bridge scan+join per use. Delta/flat sinks
+        # consume ids once; persisting there is pure overhead. Bounded
+        # by the micro-batch's fan-out.
         ids = p.fanout.affected_ids(batch_df, load)
-        docs = p.rebuild(load, ids)
-        # flat or bucket-pruned per p.n_buckets; ids is the bucketed
-        # sink's touched-bucket probe hint (rebuild restricts docs to
-        # exactly these ids; the sink checks the superset contract)
-        p.upsert(spark, docs, probe_keys=ids)
+        if p.sink_mode != "delta" and p.n_buckets > 0:
+            ids = ids.persist()
+        try:
+            docs = p.rebuild(load, ids)
+            # flat or bucket-pruned per p.n_buckets; ids is the
+            # bucketed sink's touched-bucket probe hint (rebuild
+            # restricts docs to exactly these ids; the sink checks the
+            # superset contract)
+            p.upsert(spark, docs, probe_keys=ids)
+        finally:
+            ids.unpersist()
 
     writer = (
         changed_stream.writeStream.foreachBatch(process)

@@ -363,3 +363,78 @@ def test_pg_stream_range_tiling_and_nulls(dsn):
 
     # an empty interval plans zero partitions
     assert r.partitions(end, end) == []
+
+
+def test_pg_copy_read_script_framing(spark, dsn):
+    """pg_copy_read_script: several COPY reads + staging prelude +
+    DROP epilogue in ONE psql spawn, sentinel-framed. Pins: per-read
+    typing, empty result sets, NULL vs empty string vs literal-marker
+    strings inside a framed chunk, quoted newlines NOT faking a frame
+    boundary, and that the staged table is gone after the script."""
+    pg_copy.pg_exec(
+        dsn,
+        "CREATE TABLE frame_t (id bigint PRIMARY KEY, txt text); "
+        "INSERT INTO frame_t VALUES "
+        "(1, 'plain'), (2, NULL), (3, ''), (4, E'multi\\nline'), "
+        "(5, '\\N')",
+    )
+    frag, prelude, epilogue, stage = pg_copy.id_restriction_script(
+        [1, 2, 3, 4, 5], threshold=0
+    )
+    assert stage is not None and prelude and epilogue
+    a, b, c = pg_copy.pg_copy_read_script(
+        spark,
+        dsn,
+        [
+            (
+                f"SELECT id, txt FROM frame_t WHERE id IN ({frag}) "
+                "ORDER BY id",
+                "id long, txt string",
+            ),
+            ("SELECT id FROM frame_t WHERE id > 100", "id long"),
+            ("SELECT count(*) AS n FROM frame_t", "n long"),
+        ],
+        prelude=prelude,
+        epilogue=epilogue,
+    )
+    rows = {r.id: r.txt for r in a.collect()}
+    assert rows[1] == "plain"
+    assert rows[2] is None  # SQL NULL survives the frame
+    assert rows[3] == ""  # empty string stays distinct from NULL
+    assert rows[4] == "multi\nline"  # quoted newline, no frame split
+    assert rows[5] == "\\N"  # literal marker string stays a string
+    assert a.count() == 5
+    assert b.count() == 0  # empty result set frames cleanly
+    assert c.collect()[0].n == 5
+    # the staged table was dropped by the epilogue in the SAME spawn
+    left = pg_copy.pg_exec(
+        dsn,
+        "SELECT count(*) FROM pg_class WHERE relname LIKE 'ids_stage_%'",
+    ).strip()
+    assert left == "0"
+
+
+def test_pg_copy_read_script_error_aborts_whole_script(spark, dsn):
+    """ON_ERROR_STOP: a failing statement aborts the single-spawn
+    script with PG's stderr; the caller can then best-effort DROP the
+    staged table (the id_restriction_script contract)."""
+    frag, prelude, epilogue, stage = pg_copy.id_restriction_script(
+        [1, 2], threshold=0
+    )
+    with pytest.raises(RuntimeError, match="COPY script failed"):
+        pg_copy.pg_copy_read_script(
+            spark,
+            dsn,
+            [(f"SELECT no_such_col FROM frame_t WHERE id IN ({frag})",
+              "x long")],
+            prelude=prelude,
+            epilogue=epilogue,
+        )
+    # the stage leaked (script died before the epilogue) — the caller
+    # contract: drop by name
+    pg_copy.pg_exec(dsn, f"DROP TABLE IF EXISTS {stage}")
+    left = pg_copy.pg_exec(
+        dsn,
+        "SELECT count(*) FROM pg_class WHERE relname LIKE 'ids_stage_%'",
+    ).strip()
+    assert left == "0"

@@ -45,6 +45,10 @@ def main() -> None:
     # instrument the primitives
     pg_copy.pg_exec = timed("pg_exec", pg_copy.pg_exec)
     pg_copy.pg_copy_read = timed("pg_copy_read", pg_copy.pg_copy_read)
+    if hasattr(pg_copy, "pg_copy_read_script"):
+        pg_copy.pg_copy_read_script = timed(
+            "pg_copy_read_script", pg_copy.pg_copy_read_script
+        )
     pg_copy.pg_copy_load = timed("pg_copy_load", pg_copy.pg_copy_load)
     pg_copy._copy_in = timed("_copy_in", pg_copy._copy_in)
     orig_enter = pg_copy.ephemeral_pg.__enter__

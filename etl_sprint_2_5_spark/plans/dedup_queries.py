@@ -1233,8 +1233,26 @@ def dedup_repeated_substrings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.explode(spans).alias("z"))
         .select("doc_id", F.col("z.pos").alias("pos"), F.col("z.s").alias("s"))
     )
-    dfc = occ.groupBy("s").agg(F.countDistinct("doc_id").alias("d"))
-    dup = occ.join(dfc.where(F.col("d") >= 2), "s").select("doc_id", "pos")
+    # span doc-frequency WITHOUT a second pass over the span stream:
+    # the agg-then-join formulation computed the (expensive) span-hash
+    # Generate twice — once under the doc-frequency aggregate, once on
+    # the join's probe side (column pruning makes the two subtrees
+    # structurally different, so no exchange reuse is possible). The
+    # window form needs the span stream exactly once: one hash(s)
+    # exchange, one (s, doc_id) sort, then df = max(dense_rank by
+    # doc_id) over the span — identically countDistinct(doc_id) — and
+    # the df >= 2 filter keeps exactly the rows the inner join kept.
+    # A boilerplate span in a million documents buffers one window
+    # group (spills gracefully) — still linear in occurrences, never
+    # pairwise.
+    wrank = Window.partitionBy("s").orderBy("doc_id")
+    wspan = Window.partitionBy("s")
+    dup = (
+        occ.withColumn("rk", F.dense_rank().over(wrank))
+        .withColumn("d", F.max("rk").over(wspan))
+        .where(F.col("d") >= 2)
+        .select("doc_id", "pos")
+    )
     w = (
         Window.partitionBy("doc_id")
         .orderBy("pos")

@@ -160,3 +160,15 @@ def test_mg_pass1_plan_has_no_shuffle(spark):
         )
     )
     assert "Exchange" not in plan
+
+
+def test_repeated_substrings_hashes_spans_once(spark):
+    """dedup_repeated_substrings: the span-hash Generate (md5 per
+    K-token window — the expensive term) appears EXACTLY once. The
+    agg-then-join formulation evaluated it twice (doc-frequency
+    branch + join probe branch; column pruning makes the subtrees
+    non-identical, so exchange reuse can never kick in) — a silent
+    2x corpus scan at scale. The window form consumes the span
+    stream once."""
+    plan = _plan(spark, "dedup_repeated_substrings")
+    assert plan.count(") Generate") == 1, plan

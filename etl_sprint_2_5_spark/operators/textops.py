@@ -397,7 +397,14 @@ def unigram_nll(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     toks = docs.select(
         F.col(id_col), F.explode(tokenize(text_col)).alias("tok")
     )
-    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # cache the vocab table (guide §5): it feeds BOTH the corpus
+    # constants and the cost table, and without the cache each
+    # consumer re-derives it from the token stream — one extra full
+    # corpus scan + tokenize per call. It is exactly the state the
+    # docstring already requires to be memory-sized; callers that
+    # consume the result twice (perplexity bucketing) avoid yet more
+    # rescans by caching the doc-sized score frame on their side.
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
     consts = vocab.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
     )

@@ -848,7 +848,10 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket; per-doc scores stay integer end-to-end."""
     d = load_documents_spread(spark, sf_dir)
     scored = unigram_nll(d, "text", "doc_id").select("doc_id", "avg_nll_ppm")
-    with_src = scored.join(d.select("doc_id", "source"), "doc_id")
+    # cache: consumed by the per-source threshold aggregate AND the
+    # final bucketing join — one row per document (bounded), while
+    # each recompute costs full LM scoring passes over the corpus
+    with_src = scored.join(d.select("doc_id", "source"), "doc_id").cache()
     th = with_src.groupBy("source").agg(
         F.round(F.expr(f"percentile(avg_nll_ppm, {_PPL_Q[0]})"), 4).alias("q33"),
         F.round(F.expr(f"percentile(avg_nll_ppm, {_PPL_Q[1]})"), 4).alias("q67"),
@@ -1604,6 +1607,15 @@ def kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.size(F.split("tgram", " ")) == 3)
     )
     sp = F.split("tgram", " ")
+    # cache the TYPE tables (guide §5: reused AND recompute dearer):
+    # tric feeds ctx2, ctypes→mid, and the final cost join — without
+    # the cache each consumer re-derives it from the corpus (the
+    # executed plan carried SEVEN parquet scans + shingle Generates;
+    # zero exchange reuse fires because every consumer's aggregate
+    # prunes/keys differently). The cached tables are TYPE-sized
+    # (unique trigrams / bigrams), strictly smaller than the token
+    # stream they summarize, and spill to disk — at any scale one
+    # type-table materialization beats three more corpus scans.
     tric = (
         tg.select(
             F.element_at(sp, 1).alias("w1"),
@@ -1612,6 +1624,7 @@ def kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("w1", "w2", "w3")
         .agg(F.count(F.lit(1)).alias("c3"))
+        .cache()
     )
     ctx2 = tric.groupBy("w1", "w2").agg(
         F.sum("c3").alias("c12"), F.count(F.lit(1)).alias("nf12")
@@ -1628,6 +1641,7 @@ def kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(bsp, 1).alias("wa"), F.element_at(bsp, 2).alias("wb")
         )
         .distinct()
+        .cache()  # bigram TYPES: feeds contu AND tbt (see tric note)
     )
     contu = bgt.groupBy(F.col("wb").alias("w3")).agg(
         F.count(F.lit(1)).alias("npu")

@@ -79,8 +79,10 @@ def main() -> None:
             n = head["n"]
             ids = _t(
                 "3_fanout_plan",
-                lambda: p.fanout.affected_ids(batch, load).persist(),
+                lambda: p.fanout.affected_ids(batch, load),
             )
+            if p.sink_mode != "delta" and p.n_buckets > 0:
+                ids = ids.persist()  # mirrors ivm.run_cycle
             try:
                 docs = _t("4_rebuild_plan", p.rebuild, load, ids)
                 _t(

@@ -314,10 +314,16 @@ def dsir_scores(
         ).alias("bucket"),
         "ist",
     )
+    # cache: the bucket table is ``buckets`` rows by construction, but
+    # it is consumed twice (the distribution totals and the log-ratio
+    # projection) and each uncached consumer re-runs the full corpus
+    # tokenize+hash pass that feeds it — 3 corpus passes where the
+    # algorithm needs 2 (guide §5: fixed-size state, corpus-sized
+    # recompute).
     counts = bt.groupBy("bucket").agg(
         F.sum("ist").alias("t_c"),
         F.sum(F.lit(1) - F.col("ist")).alias("r_c"),
-    )
+    ).cache()
     consts = counts.agg(F.sum("t_c").alias("nt"), F.sum("r_c").alias("nr"))
     lr = counts.crossJoin(F.broadcast(consts)).select(
         "bucket",

@@ -271,6 +271,101 @@ def run_cycle(
         batch.unpersist()
 
 
+def _merge_key(p: Pipeline) -> tuple:
+    """Identity under which pipelines may share ONE rebuild + ONE sink
+    commit per drain round: same sink (path/key/bucketing/mode) and
+    the same rebuild plan builder. Delta-mode pipelines never merge —
+    their compaction cadence is counted in UPSERTS (compact_every), so
+    collapsing a round's k upserts into one would shift when the log
+    folds back into bases (the mixed base+delta final state the delta
+    gate exists to cross)."""
+    return (p.sink_path, p.doc_key, p.n_buckets, p.sink_mode, id(p.rebuild))
+
+
+def _run_round_merged(
+    spark: SparkSession,
+    plist: list[Pipeline],
+    load: TableLoader,
+    offsets: OffsetStore,
+) -> list[int]:
+    """One drain round for a group of same-sink pipelines: each member
+    contributes its keyset batch, head aggregation and fan-out exactly
+    as in :func:`run_cycle`, but the group pays ONE restricted rebuild
+    and ONE sink commit over the UNION of the members' affected-id
+    frames (guide §1.2: remove redundant passes — the per-pipeline
+    loop re-ran the same rebuild sources and re-committed the same
+    view k times per round with identical per-key results, since
+    sources are quiescent during a drain and the rebuild depends only
+    on the source snapshots and the id set). Result-identical to the
+    sequential per-pipeline cycles: rebuild(ids_a ∪ ids_b) row-for-row
+    equals rebuild(ids_a) upserted then rebuild(ids_b) upserted —
+    overlapping ids rebuild to the same row either way.
+
+    Cursor discipline is unchanged per member: every cursor advances
+    only AFTER the (single) sink call returned — a sink failure leaves
+    every member's offset unmoved and the whole round re-delivers,
+    idempotently. Returns the per-member consumed-row counts, aligned
+    with ``plist``."""
+    live: list[tuple[Pipeline, DataFrame | None, int, object]] = []
+    try:
+        for p in plist:
+            ts, last_id = offsets.get(p.name)
+            if p.batch_fn is not None:
+                batch = p.batch_fn(ts, last_id, p.batch_size)
+            else:
+                batch = keyset_batch(
+                    load(p.source), p.cursor_field, p.id_field, ts,
+                    last_id, p.batch_size,
+                )
+            batch = batch.cache()
+            head = batch.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(
+                    F.struct(
+                        F.col(p.cursor_field).alias("ts"),
+                        F.col(p.id_field).alias("id"),
+                    )
+                ).alias("tail"),
+            ).first()
+            if not head["n"]:
+                batch.unpersist()
+                live.append((p, None, 0, None))
+                continue
+            live.append((p, batch, head["n"], head["tail"]))
+        if all(b is None for _, b, _, _ in live):
+            return [0] * len(plist)
+        ids: DataFrame | None = None
+        for p, batch, _, _ in live:
+            if batch is None:
+                continue
+            part = p.fanout.affected_ids(batch, load)
+            ids = part if ids is None else ids.unionByName(part)
+        ids = ids.distinct()
+        rep = plist[0]  # group members share sink config + rebuild
+        # same conditional-persist rule as run_cycle: only the
+        # rewrite-bucketed sink's probe executes ids a second time
+        if rep.sink_mode != "delta" and rep.n_buckets > 0:
+            ids = ids.persist()
+        try:
+            docs = rep.rebuild(load, ids)
+            with_backoff(lambda: rep.upsert(spark, docs, probe_keys=ids))
+            # T2: cursors advance only after the shared sink returned
+            for p, batch, _, tail in live:
+                if batch is None:
+                    continue
+                ts_val = tail["ts"]
+                if isinstance(ts_val, str):
+                    ts_val = dt.datetime.fromisoformat(ts_val)
+                offsets.set(p.name, ts_val, tail["id"])
+            return [n for _, _, n, _ in live]
+        finally:
+            ids.unpersist()
+    finally:
+        for _, batch, _, _ in live:
+            if batch is not None:
+                batch.unpersist()
+
+
 def run_to_completion(
     spark: SparkSession,
     pipelines: list[Pipeline],
@@ -293,18 +388,48 @@ def run_to_completion(
     keyset-scan plan + aggregation job each) the moved==0 exit used
     to cost. The drained set is per-call: the next call re-polls
     everything, so post-drain mutations are picked up exactly as
-    before."""
+    before.
+
+    Round merging: pipelines sharing one sink AND one rebuild builder
+    (see :func:`_merge_key`; delta mode excluded) drain as a GROUP —
+    per round each member still reads its own bounded batch and fans
+    out its own affected ids, but the group runs one rebuild and one
+    sink commit over the union (``_run_round_merged`` proves result
+    identity). The reference daemon's seven coroutines behave the same
+    way five-at-a-time into the movies index; here it cuts the
+    dominant per-round cost (the merge commit and the rebuild's source
+    scans) from k per round to one."""
     total = 0
     drained: set[int] = set()
+    groups: dict[tuple, list[int]] = {}
+    for i, p in enumerate(pipelines):
+        if p.sink_mode != "delta":
+            groups.setdefault(_merge_key(p), []).append(i)
+    group_of: dict[int, list[int]] = {
+        i: idxs for idxs in groups.values() if len(idxs) > 1 for i in idxs
+    }
     for _ in range(max_cycles):
         moved = 0
+        seen: set[int] = set()
         for i, p in enumerate(pipelines):
-            if i in drained:
+            if i in drained or i in seen:
                 continue
-            n = run_cycle(spark, p, load, offsets)
-            moved += n
-            if n < p.batch_size:
-                drained.add(i)
+            members = group_of.get(i)
+            if members is not None:
+                alive = [j for j in members if j not in drained]
+                seen.update(alive)
+                counts = _run_round_merged(
+                    spark, [pipelines[j] for j in alive], load, offsets
+                )
+                for j, n in zip(alive, counts):
+                    moved += n
+                    if n < pipelines[j].batch_size:
+                        drained.add(j)
+            else:
+                n = run_cycle(spark, p, load, offsets)
+                moved += n
+                if n < p.batch_size:
+                    drained.add(i)
         total += moved
         if len(drained) == len(pipelines):
             return total

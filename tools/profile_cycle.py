@@ -104,24 +104,91 @@ def main() -> None:
 
     ivm.run_cycle = run_cycle
 
-    # ---- instrument the bucketed upsert piecewise --------------------
+    # ---- instrument the merged-round drain piecewise -----------------
+    def run_round_merged(spark, plist, load, offsets):  # noqa: ANN001
+        t_round = time.time()
+        live = []
+        try:
+            for p in plist:
+                ts, last_id = offsets.get(p.name)
+                if p.batch_fn is not None:
+                    batch = _t(
+                        "1_batch_fn", p.batch_fn, ts, last_id, p.batch_size
+                    )
+                else:
+                    from etl_sprint_2_5_spark.operators.keyset import (
+                        keyset_batch,
+                    )
+
+                    batch = keyset_batch(
+                        load(p.source), p.cursor_field, p.id_field, ts,
+                        last_id, p.batch_size,
+                    )
+                batch = batch.cache()
+                head = _t(
+                    "2_head_agg",
+                    lambda b=batch, pp=p: b.agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.max(
+                            F.struct(
+                                F.col(pp.cursor_field).alias("ts"),
+                                F.col(pp.id_field).alias("id"),
+                            )
+                        ).alias("tail"),
+                    ).first(),
+                )
+                if not head["n"]:
+                    batch.unpersist()
+                    live.append((p, None, 0, None))
+                    continue
+                live.append((p, batch, head["n"], head["tail"]))
+            if all(b is None for _, b, _, _ in live):
+                return [0] * len(plist)
+            ids = None
+            for p, batch, _, _ in live:
+                if batch is None:
+                    continue
+                part = _t(
+                    "3_fanout_plan", p.fanout.affected_ids, batch, load
+                )
+                ids = part if ids is None else ids.unionByName(part)
+            ids = ids.distinct()
+            rep = plist[0]
+            if rep.sink_mode != "delta" and rep.n_buckets > 0:
+                ids = ids.persist()
+            try:
+                docs = _t("4_rebuild_plan", rep.rebuild, load, ids)
+                _t(
+                    "5_upsert",
+                    lambda: with_backoff(
+                        lambda: rep.upsert(spark, docs, probe_keys=ids)
+                    ),
+                )
+                for p, batch, _, tail in live:
+                    if batch is None:
+                        continue
+                    ts_val = tail["ts"]
+                    if isinstance(ts_val, str):
+                        ts_val = dt.datetime.fromisoformat(ts_val)
+                    offsets.set(p.name, ts_val, tail["id"])
+                return [n for _, _, n, _ in live]
+            finally:
+                ids.unpersist()
+        finally:
+            for _, batch, _, _ in live:
+                if batch is not None:
+                    batch.unpersist()
+            STATS["0_round_total"].append(time.time() - t_round)
+
+    ivm._run_round_merged = run_round_merged
+
+    # ---- instrument the bucketed upsert's commit write ---------------
     orig_commit = sink._commit_touched_buckets
 
     def commit_timed(*a, **k):  # noqa: ANN001
         return _t("5c_commit_write", orig_commit, *a, **k)
 
     sink._commit_touched_buckets = commit_timed
-
-    orig_upsert = sink.upsert_keyed_parquet_bucketed
-
-    def upsert_timed(spark, batch, path, key, n_buckets=16, **kw):  # noqa: ANN001
-        # time the probe separately by wrapping probe_keys' collect via
-        # a thin proxy on DataFrame.collect is invasive; instead time
-        # total-upsert minus commit — the probe+persist slice is the
-        # difference.
-        return orig_upsert(spark, batch, path, key, n_buckets, **kw)
-
-    ivm.upsert_keyed_parquet_bucketed = orig_upsert
 
     # warmup
     plans.REGISTRY["point_lookup"].fn(spark, SF_DIR).write.format(

@@ -281,6 +281,7 @@ def dsir_scores(
     is_target,
     buckets: int = 256,
     salt: str = "dsir-v1",
+    cache_registry: list | None = None,
 ) -> DataFrame:
     """DSIR-style importance scores (Xie et al. 2023, hashed-n-gram
     construction): per-document sum of log(p_target/p_raw) over
@@ -320,10 +321,14 @@ def dsir_scores(
     # tokenize+hash pass that feeds it — 3 corpus passes where the
     # algorithm needs 2 (guide §5: fixed-size state, corpus-sized
     # recompute).
+    # Lifecycle: appended to ``cache_registry`` when given so the
+    # caller can unpersist after its final action (materialize_release)
     counts = bt.groupBy("bucket").agg(
         F.sum("ist").alias("t_c"),
         F.sum(F.lit(1) - F.col("ist")).alias("r_c"),
     ).cache()
+    if cache_registry is not None:
+        cache_registry.append(counts)
     consts = counts.agg(F.sum("t_c").alias("nt"), F.sum("r_c").alias("nr"))
     lr = counts.crossJoin(F.broadcast(consts)).select(
         "bucket",

@@ -376,7 +376,12 @@ def fulltext_score(
     )
 
 
-def unigram_nll(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def unigram_nll(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    cache_registry: list | None = None,
+) -> DataFrame:
     """Unigram language-model surprisal per document — the CCNet/Dolma
     'perplexity filter' shape with the corpus's own unigram stats as
     the model.
@@ -404,7 +409,13 @@ def unigram_nll(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
     # docstring already requires to be memory-sized; callers that
     # consume the result twice (perplexity bucketing) avoid yet more
     # rescans by caching the doc-sized score frame on their side.
+    # Lifecycle: the cache is appended to ``cache_registry`` when the
+    # caller passes one, so a query can unpersist it after its final
+    # action (registry.materialize_release) instead of leaving the
+    # entry to accumulate across a long-lived session.
     vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")).cache()
+    if cache_registry is not None:
+        cache_registry.append(vocab)
     consts = vocab.agg(
         F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v")
     )

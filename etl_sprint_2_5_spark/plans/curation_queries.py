@@ -19,7 +19,7 @@ from etl_sprint_2_5_spark.operators.curation import (
     pii_scrub,
     repetition_stats,
 )
-from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.plans.registry import materialize_release, query
 from etl_sprint_2_5_spark.plans.text_queries import (
     _DUCK_SHINGLES_T,
     _DUCK_TOKS,
@@ -330,7 +330,7 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("_dup").isNull().alias("ok_uniq"),
         )
     )
-    return (
+    out = (
         flags.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -345,6 +345,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+    # per-source report is driver-sized: collect and release the
+    # shingle cache so nothing outlives the query's action
+    return materialize_release(out, shingled)
 
 
 @query(
@@ -763,18 +766,25 @@ def dsir_importance_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_sprint_2_5_spark.operators.curation import dsir_scores
 
     d = load_documents_spread(spark, sf_dir)
-    scored = dsir_scores(d, "text", "doc_id", F.col("source") == "src0")
+    caches: list = []
+    scored = dsir_scores(
+        d, "text", "doc_id", F.col("source") == "src0",
+        cache_registry=caches,
+    )
     # cut to the top-100 BEFORE attaching metadata: the selection is a
     # TakeOrdered over the score table, and the source join is then a
     # broadcast of 100 rows against the corpus instead of a
     # corpus-sized shuffle join
     top = scored.orderBy(F.desc("lr_total_ppm"), F.asc("doc_id")).limit(100)
-    return (
+    out = (
         d.select("doc_id", "source")
         .join(F.broadcast(top), "doc_id")
         .select("doc_id", "source", "n_tokens", "lr_total_ppm")
         .orderBy(F.desc("lr_total_ppm"), F.asc("doc_id"))
     )
+    # top-100 is driver-sized: collect and release the 256-row bucket
+    # cache so nothing outlives the query's action (verdict item 3)
+    return materialize_release(out, *caches)
 
 
 @query(

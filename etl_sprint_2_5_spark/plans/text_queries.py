@@ -14,7 +14,7 @@ from etl_sprint_2_5_spark.operators.textops import (
     token_stats,
     unigram_nll,
 )
-from etl_sprint_2_5_spark.plans.registry import query
+from etl_sprint_2_5_spark.plans.registry import materialize_release, query
 from etl_sprint_2_5_spark.sources.parquet import (
     load_documents_spread,
     load_table,
@@ -498,11 +498,16 @@ def unigram_lm_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     drops first. Per-token costs are ppm-fixed-point BIGINTs so the
     ranking hash-matches across engines."""
     d = load_documents_spread(spark, sf_dir)
-    return (
-        unigram_nll(d, "text", "doc_id")
+    caches: list = []
+    top = (
+        unigram_nll(d, "text", "doc_id", cache_registry=caches)
         .orderBy(F.desc("avg_nll_ppm"), F.asc("doc_id"))
         .limit(20)
     )
+    # top-20 is driver-sized: collect it and release the operator's
+    # vocab cache so nothing outlives the query's action (r15 verdict
+    # item 3 — the caches previously leaned on the bench's clearCache)
+    return materialize_release(top, *caches)
 
 
 @query(
@@ -847,11 +852,17 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines so interpolation ulp differences cannot flip a
     bucket; per-doc scores stay integer end-to-end."""
     d = load_documents_spread(spark, sf_dir)
-    scored = unigram_nll(d, "text", "doc_id").select("doc_id", "avg_nll_ppm")
+    caches: list = []
+    scored = unigram_nll(
+        d, "text", "doc_id", cache_registry=caches
+    ).select("doc_id", "avg_nll_ppm")
     # cache: consumed by the per-source threshold aggregate AND the
     # final bucketing join — one row per document (bounded), while
-    # each recompute costs full LM scoring passes over the corpus
+    # each recompute costs full LM scoring passes over the corpus.
+    # Released with the vocab cache after the final (small) aggregate
+    # is collected below.
     with_src = scored.join(d.select("doc_id", "source"), "doc_id").cache()
+    caches.append(with_src)
     th = with_src.groupBy("source").agg(
         F.round(F.expr(f"percentile(avg_nll_ppm, {_PPL_Q[0]})"), 4).alias("q33"),
         F.round(F.expr(f"percentile(avg_nll_ppm, {_PPL_Q[1]})"), 4).alias("q67"),
@@ -861,7 +872,7 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("avg_nll_ppm") <= F.col("q67"), "middle")
         .otherwise("tail")
     )
-    return (
+    out = (
         with_src.join(F.broadcast(th), "source")
         .select("source", bucket.alias("bucket"), "avg_nll_ppm")
         .groupBy("source", "bucket")
@@ -871,6 +882,11 @@ def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "bucket")
     )
+    # per-(source, bucket) aggregate is driver-sized: collect and
+    # release the per-doc score frame + vocab cache (verdict item 3 —
+    # the per-doc frame is corpus-row-sized and must not outlive the
+    # query in a long-lived session)
+    return materialize_release(out, *caches)
 
 
 # --------------------------------------------------------------------
@@ -1678,7 +1694,7 @@ def kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cost_ppm").alias("total_nll_ppm"),
         )
     )
-    return (
+    top = (
         scored.select(
             "doc_id",
             "n_trigrams",
@@ -1688,3 +1704,6 @@ def kneser_ney_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_nll_ppm"), F.asc("doc_id"))
         .limit(20)
     )
+    # top-20 is driver-sized: collect and release the two type-table
+    # caches so nothing outlives the query's action (verdict item 3)
+    return materialize_release(top, tric, bgt)

@@ -162,13 +162,29 @@ def test_mg_pass1_plan_has_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
-def test_repeated_substrings_hashes_spans_once(spark):
-    """dedup_repeated_substrings: the span-hash Generate (md5 per
-    K-token window — the expensive term) appears EXACTLY once. The
-    agg-then-join formulation evaluated it twice (doc-frequency
-    branch + join probe branch; column pruning makes the subtrees
-    non-identical, so exchange reuse can never kick in) — a silent
-    2x corpus scan at scale. The window form consumes the span
-    stream once."""
+def test_repeated_substrings_skew_bounded(spark):
+    """dedup_repeated_substrings: the span doc-frequency must be the
+    SKEW-BOUNDED shape (r15 verdict item 4) — no window partitioned by
+    the span hash (a mega-frequent boilerplate span would funnel its
+    whole occurrence stream through ONE window group, the structure
+    AQE skew handling cannot split). Pins:
+    - no Window operator keyed by the span hash (the doc-coverage
+      window over doc_id is fine — bounded by document length);
+    - the doc-frequency is a two-level aggregate (partial dedup on
+      (s, doc_id), then count) — every level map-side combinable;
+    - the dup probe is a semi-join (broadcast or AQE-splittable SMJ),
+      never a per-span window.
+    The price is the span-hash Generate appearing twice (fork =
+    re-execution in Catalyst); that trade is documented in the query
+    and OPTIMIZATION_r16.md."""
     plan = _plan(spark, "dedup_repeated_substrings")
-    assert plan.count(") Generate") == 1, plan
+    assert plan.count(") Generate") == 2, plan
+    # the only Window in the plan is the per-document coverage sweep
+    import re
+
+    win_specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert win_specs, plan
+    for spec in win_specs:
+        assert "doc_id" in spec.split(",")[0], (spec, plan)
+    # semi-join probe present
+    assert "LeftSemi" in plan, plan

@@ -1042,8 +1042,14 @@ def _pg_live_env(
         except BaseException:
             if stage is not None:
                 # the script died before its DROP epilogue — don't
-                # leak the stage table for the cluster's lifetime
-                pg_copy.pg_exec(dsn, f"DROP TABLE IF EXISTS {stage}")
+                # leak the stage table for the cluster's lifetime.
+                # BEST-EFFORT: if the original failure was a dead
+                # connection/cluster this DROP fails too, and letting
+                # it raise would mask the original error.
+                try:
+                    pg_copy.pg_exec(dsn, f"DROP TABLE IF EXISTS {stage}")
+                except Exception:
+                    pass
             raise
 
     def bridge_custkeys(picked: DataFrame) -> DataFrame:

@@ -412,6 +412,9 @@ def test_pg_copy_read_script_framing(spark, dsn):
         "SELECT count(*) FROM pg_class WHERE relname LIKE 'ids_stage_%'",
     ).strip()
     assert left == "0"
+    # leave the module-scoped cluster exactly as found (tests must not
+    # depend on each other's residue)
+    pg_copy.pg_exec(dsn, "DROP TABLE frame_t")
 
 
 def test_pg_copy_read_script_error_aborts_whole_script(spark, dsn):
@@ -425,8 +428,10 @@ def test_pg_copy_read_script_error_aborts_whole_script(spark, dsn):
         pg_copy.pg_copy_read_script(
             spark,
             dsn,
-            [(f"SELECT no_such_col FROM frame_t WHERE id IN ({frag})",
-              "x long")],
+            # pg_class always exists and never has this column, so the
+            # failure does not depend on another test's table residue
+            [("SELECT no_such_col FROM pg_class "
+              f"WHERE oid::bigint IN ({frag})", "x long")],
             prelude=prelude,
             epilogue=epilogue,
         )

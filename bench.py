@@ -472,6 +472,19 @@ def main() -> None:
     with open(full_path, "w") as f:
         json.dump(full, f)
         f.write("\n")
+    # r15 verdict issue 5: the unstamped file is silently clobbered by
+    # whichever run came last (the driver's c8 run once overwrote the
+    # committed 3-batch medians). Also persist a copy stamped with the
+    # run's core count and batch count so runs are tellable apart;
+    # additions-only — the unstamped path stays the driver contract.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "")
+    stamp = f"_c{cpus}" if cpus else ""
+    stamped = os.path.join(
+        REPO, f"BENCH_FULL_sf{sf:g}{stamp}_b{n_batches}.json"
+    )
+    with open(stamped, "w") as f:
+        json.dump(full, f)
+        f.write("\n")
     print(json.dumps(full))
     print(
         json.dumps(
